@@ -1,0 +1,252 @@
+"""Near-duplicate detection operators (SURVEY.md §2.10): MinHash+LSH,
+SimHash, exact n-gram Jaccard. All built from DataFrame primitives —
+xxhash64 / transform / aggregate stay JVM-side; the only shuffles are the
+per-doc signature aggregation and the LSH bucket join.
+
+Scale shape (100 TB corpus):
+- shingling is a narrow map (explode before the shuffle);
+- MinHash signatures: one hash-partitioned aggregate on doc_id;
+- candidate generation: equi-join on (band_id, band_hash) — band buckets
+  are small by construction, and AQE skew-split handles hot buckets
+  (e.g. boilerplate-heavy shingles never form a bucket key because the
+  bucket key is the *signature band*, not the shingle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: standard universal-hash modulus; products of
+# (a < 2^31) * (h mod p < 2^61) would overflow — so we pre-fold xxhash64
+# into [0, 2^31) and keep all arithmetic < 2^62.
+_P = (1 << 31) - 1  # 2^31-1, also prime
+
+
+def _shingles(text_col, n: int):
+    """Distinct word n-gram shingles of a whitespace-tokenized text col."""
+    toks = F.split(text_col, " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), k)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: shingle inverted-index
+    self-join → intersection counts → |A∩B| / (|A|+|B|-|A∩B|).
+    Exact but O(sum of per-shingle doc-frequency²) — the right tool when
+    shingle frequencies are bounded; MinHash+LSH when they are not."""
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature as `num_hashes` columns m0..m{k-1}.
+
+    h_i(s) = (a_i * x + b_i) mod 2^31-1 over x = xxhash64(shingle) folded
+    into [0, 2^31); signature component i = min over the doc's shingles.
+    The min-aggregation is one hash aggregate — associative, map-side
+    combinable, order-independent: deterministic at any parallelism.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    x = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    hashed = sh.select(
+        "doc",
+        *[
+            ((F.lit(a) * x + F.lit(b)) % _P).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+    return hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs with estimated Jaccard.
+
+    Signature split into `bands` bands of r = num_hashes/bands rows; docs
+    colliding on any full band become candidates (p(collide) = 1-(1-j^r)^b).
+    Estimated similarity = fraction of matching signature components.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).cache()
+    band_rows = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[f"m{bi * r + j}" for j in range(r)]).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "b.band", "b.bh")
+    l, rt = band_rows.alias("l"), band_rows.alias("r")
+    cand = (
+        l.join(
+            rt,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = (matches / F.lit(float(num_hashes))).alias("est_jaccard")
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64; each output bit is
+    the sign of the sum over tokens of (+1 / -1) for that bit position.
+    Computed as a single JVM-side aggregate over a 64-slot counter array —
+    no shuffle beyond the tokenless per-row expression (it's per-doc, so
+    no aggregation across rows at all)."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_signs(h):
+        # +1/-1 per bit position; literal shift amounts (unrolled python
+        # loop — shiftright takes a plain int, not a Column).
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for i in range(64)
+            ]
+        )
+
+    counters = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, bit_signs(h), lambda a, b: a + b),
+    )
+    # materialize counters once, then pack sign bits into a long
+    with_counters = df.select(F.col(id_col).alias("doc"), counters.alias("__c"))
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.element_at("__c", i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return with_counters.select("doc", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks —
+    any pair within hamming distance 3 must agree on ≥1 chunk (pigeonhole)
+    — equi-join on (chunk_id, chunk_value), then exact hamming filter via
+    bit_count(xor)."""
+    sig = simhash(df, id_col, text_col).cache()
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.chunk", "c.cv")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

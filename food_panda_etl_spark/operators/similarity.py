@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Vectors are ArrayType(FloatType) columns; all math happens in JVM-side
+higher-order functions (zip_with/aggregate) widened to double in a fixed
+left-to-right fold — deterministic across engines and parallelism (the
+fold is per-row, not a shuffle aggregate).
+
+Scale path: brute-force top-k is O(|Q|·|N|) — fine when Q is small and
+broadcast; for all-pairs/kNN at corpus scale use `lsh_bucket_topk`
+(random-hyperplane signs → band buckets → in-bucket brute force), the
+classic approximate-NN trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a, b) -> Column:
+    """Deterministic double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm_sq(a) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score per pair, rank per query. Ties broken by neighbor id."""
+    pairs = vectors.join(F.broadcast(queries), F.col(id_col) != F.col(qid_col))
+    scored = pairs.select(
+        qid_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return scored.select(
+        qid_col, "neighbor_id", "score", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+
+
+def rhp_signature(vec_col, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign bits packed into a long — the LSH family for
+    cosine similarity (sign(v·p) per plane)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+    k: int = 10,
+    num_planes: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = pairs agreeing on at least
+    one band of random-hyperplane sign bits; exact cosine re-rank inside
+    candidates. Recall grows with bands; cost with bucket size. The join is
+    a plain equi-join on (band, band_bits) — shuffle-partitioned, AQE-skew
+    safe, no cross product anywhere."""
+    import random
+
+    if num_planes % bands:
+        raise ValueError("num_planes must be divisible by bands")
+    r = num_planes // bands
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+    def banded(df, vcol, idcol, out_id):
+        sig = rhp_signature(F.col(vcol), planes)
+        mask = (1 << r) - 1
+        return df.select(
+            F.col(idcol).alias(out_id),
+            F.col(vcol).alias(f"{out_id}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftright(sig, bi * r)
+                            .bitwiseAND(F.lit(mask).cast("long"))
+                            .alias("bb"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("s"),
+        ).select(out_id, f"{out_id}_vec", "s.band", "s.bb")
+
+    vb = banded(vectors, vec_col, id_col, "neighbor_id")
+    qb = banded(queries, qvec_col, qid_col, "qid")
+    cand = (
+        vb.join(qb, ["band", "bb"])
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "qid_vec", "neighbor_id", "neighbor_id_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "qid",
+        "neighbor_id",
+        cosine(F.col("neighbor_id_vec"), F.col("qid_vec")).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return scored.select(
+        "qid", "neighbor_id", "score", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)

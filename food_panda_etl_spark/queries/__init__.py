@@ -1,0 +1,61 @@
+"""Declared-query registry (SURVEY.md §2 ledger).
+
+Each query is registered with ``@query(name, oracle=...)`` so the Spark
+implementation and its DuckDB oracle SQL live side by side — the single
+most important invariant is that the two produce hash-identical results
+(same column names, same value types, deterministic numerics).
+
+Determinism conventions (SURVEY.md §7 "hard parts"):
+- Money/double SUMs: cast each addend to DECIMAL(18,s) first (exact,
+  order-independent sum), cast the total back to DOUBLE. Identical in both
+  engines because the addends are identical doubles rounded to the same
+  decimal, and decimal addition is associative.
+- Averages: exact decimal sum → double, divided by count in double space
+  (IEEE division of identical operands is identical).
+- Never ROUND() for correctness; never rely on float aggregation order.
+- Temporal outputs: strings (date_format/strftime) or integer epochs.
+- Ranking windows: always a total order (unique tie-break column).
+- Int widths: explicit CASTs so Spark and DuckDB agree (INT vs BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a declared query; ``oracle=None`` → rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # Import side effects populate the registries.
+    from food_panda_etl_spark.queries import (  # noqa: F401
+        aggregates,
+        joins,
+        relational,
+        setops,
+        similarity,
+        sorts,
+        text,
+        windows,
+    )
+
+
+_load_all()

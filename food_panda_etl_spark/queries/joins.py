@@ -1,0 +1,202 @@
+"""Join queries — SURVEY.md §2.3 (J1-J7).
+
+The reference's "joins" are RPC lookup fan-outs per vendor code with
+left-outer semantics (/root/reference/src/services/vendor.rs:47-71; the
+HTTP-400 path keeps the row with null payloads :96-105). Here they are
+declarative equi-joins; Catalyst/AQE pick broadcast vs shuffled-hash vs
+sort-merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.asof import asof_join
+from food_panda_etl_spark.operators.range_join import range_join
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.queries.aggregates import dsum
+from food_panda_etl_spark.tables import load_table
+
+
+@query(
+    "q_inner_join",
+    oracle="""
+    SELECT n_name, count(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — fact ⋈ dim ⋈ dim chain. nation (25 rows) broadcast explicitly;
+    orders⋈customer left to AQE (broadcast at test SF, sort-merge on the
+    shuffled key at cluster scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            dsum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_left_join",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS order_cnt,
+           COALESCE(CAST(max(o_totalprice) AS DOUBLE), -1.0) AS max_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3 — the reference's lookup-join semantics: every left key
+    survives, missing payloads become nulls (vendor 400-path,
+    /root/reference/src/services/vendor.rs:96-105), defaults via coalesce
+    (:61-64). max() over doubles is order-independent — no decimal cast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.max("o_totalprice"), F.lit(-1.0)).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — existence check (vendors-with-reviews analog). left_semi never
+    duplicates left rows and prunes the right side to the join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — negated existence (vendors-without-reviews analog)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT p_brand, count(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS matched_price
+    FROM part JOIN lineitem
+      ON l_extendedprice >= p_retailprice * 20
+     AND l_extendedprice <  p_retailprice * 21
+    GROUP BY p_brand
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — band join via the bucketed strategy (operators/range_join.py):
+    explode the part band into price buckets, equi-join lineitem on bucket,
+    residual-filter. O(|R|·band/w) replication instead of the O(|L|·|R|)
+    nested loop the naive theta join would plan."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice") * 20).alias("band_lo"),
+        (F.col("p_retailprice") * 21).alias("band_hi"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    joined = range_join(
+        li, p, left_value="l_extendedprice", right_lo="band_lo",
+        right_hi="band_hi", bucket_width=2000.0,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("cnt"),
+        dsum(F.col("l_extendedprice")).alias("matched_price"),
+    )
+
+
+@query(
+    "q_join_1n_agg",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           count(l_orderkey) AS line_cnt,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_qty
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+)
+def q_join_1n_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — 1:N enrichment then per-key aggregate (vendor ⟕ reviews shape,
+    /root/reference/src/services/vendor.rs:52-55)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("line_cnt"),
+            F.coalesce(dsum(F.col("l_quantity")), F.lit(0.0)).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, m.event_id AS prev_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') m
+      ON p.user_id = m.user_id AND m.ts < p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — as-of join: for each purchase, the most recent earlier
+    non-purchase event of the same user. Implemented with the
+    union-and-window strategy (operators/asof.py) — one shuffle on the key,
+    no cross product. Oracle uses DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        others,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        strict=True,
+        tie_break="event_id",
+    )
+    return out.select("event_id", F.col("asof_event_id").alias("prev_event_id"))

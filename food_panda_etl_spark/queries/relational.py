@@ -1,0 +1,281 @@
+"""Scans, projections, filters, and scalar-function queries.
+
+Covers SURVEY.md §2.1 (S6), §2.2 (P1-P9), §2.8 scalar families, and the
+pagination arithmetic A2/A3 (§2.4). Reference citations on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.tables import load_table
+
+
+@query(
+    "q_scan_count",
+    oracle="SELECT count(*) AS n FROM lineitem",
+)
+def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A1 — full-scan row count (ref: atomic counter,
+    /root/reference/src/storage/json.rs:44,56-58). Parquet row-group
+    statistics make this metadata-only under Spark's count aggregate."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_project",
+    oracle="SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — column projection (ref: items[*].code extraction,
+    /root/reference/src/main.rs:144-147). Column pruning reaches the scan:
+    ReadSchema lists exactly these three columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@query(
+    "q_filter_range",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_matched
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — TPC-H Q6 shape: range + between + comparison predicates, all
+    pushed to the parquet scan (PushedFilters). The reference only filters
+    on HTTP status codes (/root/reference/src/services/api.rs:104-134);
+    this is the standard-predicate extension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'done'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'partial' END AS status_bucket
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — multi-branch conditional routing (ref: status-code dispatch
+    OK/400/403/429, /root/reference/src/clients/http.rs:110-137)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "done")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_bucket"),
+    )
+
+
+@query(
+    "q_null_handling",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COALESCE(CAST(o_orderkey AS VARCHAR), 'no-order') AS order_label,
+           (o_orderkey IS NULL) AS is_unmatched
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — outer-join nulls + coalesce defaulting (ref: reviews/ratings
+    failures degrade to None, /root/reference/src/services/vendor.rs:67-68;
+    'Unknown' default :61-64)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"]) & (o["o_totalprice"] > 400000),
+        "left",
+    )
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("no-order")).alias(
+            "order_label"
+        ),
+        F.col("o_orderkey").isNull().alias("is_unmatched"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           COALESCE(json_extract_string(props, '$.k'), 'missing') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — JSON field extraction with default (ref: details.name else
+    'Unknown', /root/reference/src/services/vendor.rs:61-64). Dynamic JSON
+    stays a string column; schema-on-read via get_json_object."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        "event_id",
+        F.coalesce(k, F.lit("missing")).alias("k_str"),
+        k.cast("int").alias("k_int"),
+    )
+
+
+@query(
+    "q_epoch_cast",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           epoch_ms(ts) AS epoch_millis
+    FROM events
+    """,
+)
+def q_epoch_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — timestamp→epoch-seconds cast (ref: DateTime.timestamp() to
+    Int64, /root/reference/src/storage/parquet.rs:69-75). Session TZ is
+    UTC so NTZ→LTZ cast is identity."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return e.select(
+        "event_id",
+        ts.cast("long").alias("epoch_s"),
+        F.unix_millis(ts).alias("epoch_millis"),
+    )
+
+
+@query(
+    "q_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)  AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT)   AS d,
+           strftime(o_orderdate, '%Y-%m')  AS ym,
+           strftime(o_orderdate, '%m')     AS month_padded
+    FROM orders
+    """,
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — date-part partition-key derivation incl. zero-padding (ref:
+    year/%02d-month/%02d-day keys, /root/reference/src/main.rs:236-244)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(d, "MM").alias("month_padded"),
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                    AS brand_u,
+           lower(p_type)                     AS type_l,
+           substring(p_name, 1, 8)           AS name_prefix,
+           replace(p_name, ' ', '_')         AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           concat(p_brand, ':', p_type)      AS brand_type,
+           CAST(length(p_name) AS INT)       AS name_len
+    FROM part
+    WHERE p_name LIKE '%a%'
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string family (ref: format! templating + replace(' ','_') +
+    zero-pad, /root/reference/src/main.rs:113,236-244)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000.0)               AS abs_diff,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kb,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT)        AS qty_ceil,
+           l_orderkey % 97                               AS key_mod,
+           sqrt(l_quantity)                              AS qty_sqrt,
+           l_extendedprice * (1 - l_discount)            AS disc_price
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 math family (ref: ceil-division + rate arithmetic,
+    /root/reference/src/main.rs:121-123,186-188). floor/ceil/abs/sqrt on
+    identical doubles are IEEE-deterministic across engines; no round()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_diff"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kb"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+@query(
+    "q_ceil_div",
+    oracle="""
+    SELECT count(*) AS available_count,
+           CAST(ceil(CAST(count(*) AS DOUBLE) / 48.0) AS BIGINT) AS total_pages,
+           CAST(count(*) AS DOUBLE) / 300.0 AS rows_per_second,
+           300.0 / 60.0 AS total_minutes
+    FROM orders
+    """,
+)
+def q_ceil_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 — pagination ceil-division + throughput metrics (ref:
+    total_pages = ceil(available/returned), /root/reference/src/main.rs:
+    121-123; vendors_per_second = n/elapsed, :186-198; page size 48 :120)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(F.count("*").alias("available_count"))
+    return agg.select(
+        "available_count",
+        F.ceil(F.col("available_count").cast("double") / 48.0).alias("total_pages"),
+        (F.col("available_count").cast("double") / 300.0).alias("rows_per_second"),
+        (F.lit(300.0) / 60.0).alias("total_minutes"),
+    )

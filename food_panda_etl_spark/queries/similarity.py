@@ -1,0 +1,157 @@
+"""Similarity / dedup / multimodal declared queries over ``embeddings``
+and ``documents`` — SURVEY.md §2.10.
+
+Oracle-checked where the math is engine-deterministic (fixed-order double
+folds); rows-only where the algorithm is seeded-hash-specific (MinHash,
+SimHash, random hyperplanes — DuckDB cannot replicate xxhash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from food_panda_etl_spark.operators.similarity import (
+    brute_force_topk,
+    l2_norm_sq,
+    lsh_bucket_topk,
+)
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.tables import load_table
+
+
+@query(
+    "q_array_size",
+    oracle="""
+    SELECT vec_id, CAST(len(embedding) AS INT) AS dim, label
+    FROM embeddings
+    """,
+)
+def q_array_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8/§2.10 — array cardinality on the multimodal fixture."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.size("embedding").alias("dim"), "label")
+
+
+@query(
+    "q_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           list_reduce(
+             list_prepend(0.0, list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, b) -> a + b) AS norm_sq
+    FROM embeddings
+    """,
+)
+def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — squared L2 norm as a fixed-order double fold: both engines
+    fold left-to-right over identical floats widened to double, so the
+    result hashes identically despite being floating point."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2_norm_sq(F.col("embedding")).alias("norm_sq"))
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+               (a, b) -> a + b)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid)
+    SELECT qid, vec_id AS neighbor_id, CAST(rn AS INT) AS rn
+    FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+          FROM pairs) t
+    WHERE rn <= 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — exact brute-force cosine top-10 for 5 query vectors
+    (broadcast NL join + per-query rank). Scores are identical doubles in
+    both engines (same fold order), so the ranking matches exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = brute_force_topk(e, q, k=10)
+    return out.select("qid", "neighbor_id", "rn")
+
+
+@query("q_cosine_topk_lsh", oracle=None)  # seeded random hyperplanes → rows-only
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the scale path: random-hyperplane LSH bucketing + in-bucket
+    exact re-rank (operators/similarity.py). Equi-join on band bits; no
+    cross product. Recall vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    dim = 16  # embeddings fixture dim; validated in tests
+    out = lsh_bucket_topk(e, q, dim=dim, k=10)
+    return out.select("qid", "neighbor_id", "rn")
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+                      string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
+                      string_split(text,' ')[i+4])) AS shingle
+        FROM documents) WHERE shingle <> ''),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc
+    JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — exact 5-gram Jaccard near-dup pairs via shingle inverted
+    index (operators/dedup.py). Oracle-checkable because Jaccard is a ratio
+    of integers."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.8).select(
+        F.col("doc_a"), F.col("doc_b"), F.col("jaccard")
+    )
+
+
+@query("q_minhash_neardup", oracle=None)  # xxhash64-seeded → rows-only
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — MinHash+LSH near-dup candidates (operators/dedup.py):
+    signature aggregate + banded bucket join. Estimator quality asserted
+    against exact Jaccard in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, threshold=0.7
+    )
+
+
+@query("q_simhash_neardup", oracle=None)  # xxhash64-based → rows-only
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — SimHash near-dup pairs: 64-bit signatures, 4×16-bit band
+    join, bit_count hamming filter (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)

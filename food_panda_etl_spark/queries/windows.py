@@ -1,0 +1,182 @@
+"""Window-function queries — SURVEY.md §2.5 (W1-W5) + the batch-checkable
+tumbling window (§2.9).
+
+Every ranking window carries a unique tie-break column: the driver's
+hash-compare needs a total order wherever row identity depends on rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.tables import load_table
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn
+    FROM (SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — newest-k per key (ref: newest-30 reviews per vendor,
+    /root/reference/src/services/api.rs:188-223). row_number + filter is
+    the shuffle-once pattern; Spark pushes the k-limit into the sort within
+    each partition (WindowGroupLimit)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_batch_number",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ceil(CAST(row_number() OVER (ORDER BY o_orderkey) AS DOUBLE) / 48.0) AS INT) AS batch_number
+    FROM orders
+    """,
+)
+def q_batch_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/P5 — page-batch stamping: batch = ceil(seq/48) (ref: page index
+    stamped on every vendor row, /root/reference/src/services/vendor.rs:66,
+    page size 48 /root/reference/src/main.rs:120). NOTE: a global
+    row_number is a single-partition window — correct but serial; at 100 TB
+    batch identity should derive from a key (hash-bucket) or from
+    monotonically-increasing partition-local ids, not a global sort. Kept
+    here because reference parity demands exact global page numbers."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ceil(F.row_number().over(w).cast("double") / 48.0)
+        .cast("int")
+        .alias("batch_number"),
+    )
+
+
+@query(
+    "q_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(rank()       OVER w  AS INT) AS rnk,
+           CAST(dense_rank() OVER w  AS INT) AS drnk,
+           CAST(ntile(4)     OVER w2 AS INT) AS quartile
+    FROM customer
+    WINDOW w  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+           w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — ranking family. rank/dense_rank tolerate order ties (equal rank
+    is deterministic); ntile needs the unique tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w2).alias("quartile"),
+    )
+
+
+@query(
+    "q_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — analytic lag/lead: per-user inter-event gaps (sessionization
+    building block)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.unix_millis(F.lag(F.col("ts").cast("timestamp")).over(w))
+    return e.select(
+        "event_id",
+        "user_id",
+        (ms - prev_ms).alias("ms_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "q_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — cumulative frame. Decimal accumulation: exact regardless of how
+    either engine associates the running aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@query(
+    "q_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — tumbling event-time window, batch form. The identical
+    window() expression runs under Structured Streaming with a watermark
+    (streaming/windows.py); string-formatted start for a stable oracle."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "sum_value",
+        )
+    )
