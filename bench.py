@@ -1,0 +1,89 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is executed to completion with the no-op sink (full pipeline
+runs — scan, shuffle, agg — but no driver-side collect / disk write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from food_panda_etl_spark.queries import QUERIES
+from food_panda_etl_spark.session import get_spark
+
+# Scale-relevant headline set: fact-table scans/aggs/joins/windows + the
+# LLM-pipeline operators. q_ngram_jaccard excluded (exact all-pairs
+# shingle join is the non-scale path by design; q_minhash_neardup is its
+# scale replacement and IS measured).
+HEADLINE = [
+    "q_scan_count",
+    "q_filter_range",
+    "q_groupby_agg",
+    "q_group_pct",
+    "q_count_distinct",
+    "q_inner_join",
+    "q_left_join",
+    "q_join_1n_agg",
+    "q_range_join",
+    "q_semi_join",
+    "q_topk_per_group",
+    "q_running_sum",
+    "q_lag_lead",
+    "q_tumbling_window",
+    "q_sort_multi",
+    "q_topk_global",
+    "q_union_all",
+    "q_dedup",
+    "q_token_count",
+    "q_array_explode",
+    "q_fingerprint",
+    "q_minhash_neardup",
+    "q_simhash_neardup",
+    "q_cosine_topk",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="fpe-bench", extra_conf={"spark.ui.enabled": "false"})
+
+    # JVM/codegen warmup on the smallest table; not measured.
+    run_query(spark, "q_scan_count", sf_dir)
+
+    # Steady-state timing: whole-stage codegen compiles on first execution
+    # (~4x inflation on sub-second queries); report min of two runs.
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(min(run_query(spark, name, sf_dir) for _ in range(2)), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,9 +23,11 @@ from pyspark.sql import functions as F
 _P = (1 << 31) - 1  # 2^31-1, also prime
 
 
-def _shingles(text_col, n: int):
-    """Distinct word n-gram shingles of a whitespace-tokenized text col."""
-    toks = F.split(text_col, " ")
+def _shingles(toks, n: int):
+    """Distinct word n-gram shingles of a token-array column. ``toks`` must
+    be a plain column reference (pre-materialized array), NOT a split()
+    expression — a non-trivial expression captured inside the transform
+    lambda is re-evaluated per element, turning shingling quadratic."""
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(1), k)
     gram = F.transform(
@@ -39,9 +41,11 @@ def _shingles(text_col, n: int):
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """(id, shingle) pairs, distinct per document."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    return toks.select(
+        "doc", F.explode(_shingles(F.col("__toks"), n)).alias("shingle")
     ).filter(F.col("shingle") != "")
 
 

@@ -117,7 +117,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS matched_price
     FROM part JOIN lineitem
       ON l_extendedprice >= p_retailprice * 20
-     AND l_extendedprice <  p_retailprice * 21
+     AND l_extendedprice <  p_retailprice * 20 + 1
     GROUP BY p_brand
     """,
 )
@@ -130,12 +130,12 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_brand",
         (F.col("p_retailprice") * 20).alias("band_lo"),
-        (F.col("p_retailprice") * 21).alias("band_hi"),
+        (F.col("p_retailprice") * 20 + 1).alias("band_hi"),
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     joined = range_join(
         li, p, left_value="l_extendedprice", right_lo="band_lo",
-        right_hi="band_hi", bucket_width=2000.0,
+        right_hi="band_hi", bucket_width=2.0,
     )
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("cnt"),
