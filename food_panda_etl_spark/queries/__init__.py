@@ -54,6 +54,7 @@ def _load_all() -> None:
         similarity,
         sorts,
         text,
+        vendor_pipeline,
         windows,
     )
 

@@ -1,0 +1,105 @@
+"""Sinks: hive-partitioned Parquet, JSON lines, S3A/MinIO configuration.
+
+The reference hand-rolls everything here: a row→column pivot into one Arrow
+RecordBatch (``/root/reference/src/storage/parquet.rs:13-97``), a formatted
+partition key ``city_id=<c>/year=<y>/month=%02d/day=%02d/vendors_<ts>.parquet``
+(``src/main.rs:236-244``), and an 8 MiB multipart uploader
+(``src/storage/minio.rs:139-242``). In Spark all three are declarative:
+``partitionBy`` writes the identical hive layout with per-partition parallel
+writers (no ``Arc<Mutex<JsonWriter>>`` single-writer bottleneck,
+``src/main.rs:117``), the Parquet writer chunks row groups and spills, and
+the S3A committer does multipart transparently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARTITION_KEYS = ["city_id", "year", "month", "day"]
+
+
+def with_partition_keys(df: DataFrame, ts_col: str = "extraction_completed_at") -> DataFrame:
+    """Derive ``year``/``month``/``day`` partition strings from a timestamp.
+
+    ``date_format`` with ``MM``/``dd`` reproduces the reference's zero-padded
+    ``{:02}`` keys (``src/main.rs:238-244``) — plain ``month()`` would write
+    ``month=8``, not ``month=08``. Year intentionally unpadded (``{}`` in the
+    reference too). Accepts an epoch-seconds long (the at-rest type,
+    ``src/storage/parquet.rs:24-25``) or a timestamp column.
+    """
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) in ("bigint", "int"):
+        ts = F.timestamp_seconds(ts)
+    return (
+        df.withColumn("year", F.date_format(ts, "yyyy"))
+        .withColumn("month", F.date_format(ts, "MM"))
+        .withColumn("day", F.date_format(ts, "dd"))
+    )
+
+
+def write_partitioned_vendors(
+    df: DataFrame,
+    base_path: str,
+    *,
+    ts_col: str = "extraction_completed_at",
+    mode: str = "overwrite",
+) -> None:
+    """Write the vendor table under the reference's exact hive layout.
+
+    ``city_id=<c>/year=<y>/month=<mm>/day=<dd>/part-*.parquet`` — identical
+    pruning keys to ``src/main.rs:236-244``; the epoch-stamped *filename* is
+    a non-semantic artifact (Spark's task-UUID filenames serve the same
+    uniqueness purpose). With ``partitionOverwriteMode=dynamic`` (session
+    default) an overwrite touches only the partitions present in ``df`` —
+    the day-level idempotent re-run story a 100 TB pipeline needs.
+    """
+    out = with_partition_keys(df, ts_col)
+    out.write.mode(mode).partitionBy(*PARTITION_KEYS).parquet(base_path)
+
+
+def write_json_lines(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSONL sink (S7). The reference spools a single ``[row,\\n…]`` array
+    file behind a mutex (``src/storage/json.rs:14-58``) purely as a staging
+    area; JSONL is the scale-correct shape (splittable, parallel writers).
+    """
+    df.write.mode(mode).json(path)
+
+
+def s3a_conf(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    *,
+    path_style: bool = True,
+    multipart_size: str = "64M",
+) -> dict[str, str]:
+    """Hadoop S3A settings equivalent to the reference's MinIO client.
+
+    ``force_path_style(true)`` (``src/storage/minio.rs:47``) ≡
+    ``fs.s3a.path.style.access``; the 8 MiB multipart threshold/part size
+    (``src/storage/minio.rs:140``) maps to ``fs.s3a.multipart.size`` — 64 MiB
+    default here because 8 MiB parts are too small at 100 TB (S3 caps a
+    multipart object at 10k parts → 8 MiB parts cap files at ~78 GiB and
+    multiply request counts).
+
+    Apply via ``spark.conf`` prefixed ``spark.hadoop.`` or on the builder;
+    then ``df.write.parquet("s3a://bucket/key")`` — the committer handles
+    create/upload-part/complete (``src/storage/minio.rs:150-242``) itself.
+    """
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.multipart.size": multipart_size,
+        # Directory committer: task-level commit without rename storms —
+        # the correctness/perf baseline for object stores.
+        "spark.hadoop.fs.s3a.committer.name": "directory",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }

@@ -26,3 +26,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMALL
+
+
+@pytest.fixture()
+def out_dir():
+    """Scratch dir inside the repo (the environment forbids writes outside
+    /root/repo); removed after the test."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    os.makedirs(base, exist_ok=True)
+    d = tempfile.mkdtemp(dir=base)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
