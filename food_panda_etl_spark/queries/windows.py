@@ -180,3 +180,73 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                      - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events, range(4) t(k)
+    GROUP BY 1
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — sliding (hopping) window, batch form of
+    streaming/ops.py::sliding_counts: every event lands in
+    duration/slide = 4 overlapping windows (oracle: replicate each row
+    against range(4) hop offsets)."""
+    from food_panda_etl_spark.streaming.ops import sliding_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return sliding_counts(e, watermark=None).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "cnt",
+        "sum_value",
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER win IS NULL
+                    OR ts >= lag(ts) OVER win + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — gap-based session windows, batch form of
+    streaming/ops.py::session_counts. Spark's session_window merges events
+    whose gap < 30 min and sets end = last_ts + gap; the oracle is the
+    equivalent gaps-and-islands SQL (new session when diff >= gap)."""
+    from food_panda_etl_spark.streaming.ops import session_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return session_counts(e, watermark=None).select(
+        "user_id",
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+        "cnt",
+        "sum_value",
+    )

@@ -1,0 +1,127 @@
+"""Structured Streaming smoke tests (SURVEY.md §2.9): file-source
+micro-batches, watermark late-data drop, watermarked dedup, and the
+applyInPandasWithState custom stateful operator."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    running_user_totals,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _event(eid, ts, user=1, etype="click", value=1.0):
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": "{}",
+    }
+
+
+def _write_files(out_dir, batches):
+    """One JSONL file per micro-batch, with strictly increasing mtimes so
+    the file source replays them in order."""
+    src = os.path.join(out_dir, "stream_in")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"batch_{i:03d}.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return src
+
+
+def test_tumbling_watermark_drops_late_rows(spark, out_dir):
+    """Batch 0 fills the 10:00 window and advances the watermark to 11:50
+    via a 12:00 event; the 10:15 straggler is behind the watermark and must
+    NOT bump the 10:00 window's count. The straggler arrives two batches
+    later because the late-events filter uses the previous batch's
+    watermark (Spark's two-phase watermark propagation) — one batch after
+    advancement it is not yet in force."""
+    src = _write_files(
+        out_dir,
+        [
+            [
+                _event(1, "2024-01-01 10:00:00"),
+                _event(2, "2024-01-01 10:10:00"),
+                _event(3, "2024-01-01 10:20:00"),
+                _event(4, "2024-01-01 12:00:00"),
+            ],
+            [_event(5, "2024-01-01 12:01:00")],  # watermark now in force
+            [_event(6, "2024-01-01 10:15:00")],  # late — dropped
+        ],
+    )
+    stream = read_events_stream(spark, src)
+    out = run_available_now(
+        tumbling_counts(stream, watermark="10 minutes"), output_mode="update"
+    )
+    got = (
+        out.select(F.date_format("w.start", "HH:mm").alias("ws"), "cnt")
+        .groupBy("ws")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    )
+    by_window = {r["ws"]: r["cnt"] for r in got}
+    assert by_window["10:00"] == 3  # straggler dropped; 4 would mean no watermark
+    assert by_window["12:00"] == 2  # the 12:00 and 12:01 events
+
+
+def test_streaming_dedup_within_watermark(spark, out_dir):
+    src = _write_files(
+        out_dir,
+        [
+            [_event(1, "2024-01-01 10:00:00", user=7), _event(1, "2024-01-01 10:00:30", user=7)],
+            [_event(1, "2024-01-01 10:01:00", user=7), _event(2, "2024-01-01 10:02:00", user=8)],
+        ],
+    )
+    stream = read_events_stream(spark, src)
+    out = run_available_now(
+        streaming_dedup(stream, ["event_id"], watermark="10 minutes"),
+        output_mode="append",
+    )
+    rows = out.select("event_id").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_streaming_dedup_batch_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "event_id long, x string"
+    )
+    assert streaming_dedup(df, ["event_id"]).count() == 2
+
+
+def test_running_user_totals_stateful(spark, out_dir):
+    """applyInPandasWithState: totals accumulate across micro-batches; the
+    final per-user state equals the batch groupBy over all rows."""
+    src = _write_files(
+        out_dir,
+        [
+            [_event(1, "2024-01-01 10:00:00", user=1, value=2.0),
+             _event(2, "2024-01-01 10:01:00", user=2, value=5.0)],
+            [_event(3, "2024-01-01 10:02:00", user=1, value=3.0)],
+        ],
+    )
+    stream = read_events_stream(spark, src)
+    out = run_available_now(running_user_totals(stream), output_mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("t"))
+        .collect()
+    )
+    got = {r["user_id"]: (r["n"], r["t"]) for r in final}
+    assert got == {1: (2, 5.0), 2: (1, 5.0)}
+    # intermediate state was emitted too: user 1 appears with n_events=1
+    u1 = sorted(r["n_events"] for r in out.filter("user_id = 1").collect())
+    assert u1 == [1, 2]
