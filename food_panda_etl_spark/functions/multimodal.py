@@ -1,0 +1,174 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / frame-sample as Arrow-batched
+``mapInPandas`` stages.
+
+Design (the part that matters at 100 TB):
+
+- **Payloads are opaque bytes in the engine.** Media never becomes a
+  first-class type; it is a ``BinaryType`` column plus a cheap typed
+  ``meta`` struct computed ONCE at ingest (byte length, content hash,
+  declared dimensions). Every filter/join/group the pipeline does runs on
+  the metadata columns JVM-side — the bytes only cross the Arrow boundary
+  inside an explicitly invoked decode stage.
+- **Decode is per-partition, Arrow-batched, bounded-memory.** One
+  ``mapInPandas`` batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  rows; callers control bytes-per-task by repartitioning on the id before
+  decoding (``repartition_for_decode``).
+- **Codecs are pluggable and STUBBED here.** The container ships no
+  image/audio libraries, so the real decoder raises
+  ``NotImplementedError`` behind an import-try, and tests exercise a
+  deterministic fake codec over a tiny self-describing payload format
+  (``synth_image_payload``). The Spark-side plumbing — schemas, batch
+  iteration, row fan-out for frame sampling — is real and tested; swapping
+  ``_decode_payload`` for PIL/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Canonical media-table shape: payload + typed metadata.
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<format: string, width: int, height: int, n_bytes: bigint, content_id: string>"
+)
+
+_MAGIC = b"FAKEIMG:"
+
+
+def synth_image_payload(width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake 'image': a self-describing header + one byte per
+    pixel. Stands in for real JPEG/PNG bytes so the plumbing is testable
+    without codecs."""
+    header = _MAGIC + f"{width}x{height}:".encode()
+    n = width * height
+    pixels = bytes((seed * 31 + i * 7) % 256 for i in range(n))
+    return header + pixels
+
+
+def attach_payload_meta(df: DataFrame, payload_col: str = "payload", fmt: str = "fakeimg") -> DataFrame:
+    """Compute the typed metadata struct from raw bytes — JVM-side
+    built-ins only (no Python in this hot path); dimensions are parsed by
+    the decode stage, not here."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.octet_length(p).cast("bigint").alias("n_bytes"),
+            F.substring(F.md5(p), 1, 16).alias("content_id"),
+        ),
+    )
+
+
+def repartition_for_decode(df: DataFrame, partitions: int, id_col: str = "media_id") -> DataFrame:
+    """Spread payload bytes evenly before a decode stage: arrow batch size
+    caps rows per batch, this caps bytes per task."""
+    return df.repartition(partitions, id_col)
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse one payload into (width, height, pixel_bytes).
+
+    REAL-CODEC SEAM: replace with ``PIL.Image.open(io.BytesIO(payload))``
+    (or libvips / ffmpeg for video) when the libraries exist. Only the fake
+    self-describing format decodes here; anything else raises — a real
+    deployment catches that per-row into an error column, it must never
+    kill the job.
+    """
+    if not payload.startswith(_MAGIC):
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image codecs unavailable in this environment; "
+                "payload is not in the fake testable format"
+            ) from exc
+        raise NotImplementedError("PIL path intentionally unimplemented here")
+    head, _, rest = payload[len(_MAGIC):].partition(b":")
+    w_s, _, h_s = head.partition(b"x")
+    w, h = int(w_s), int(h_s)
+    return w, h, rest[: w * h]
+
+
+DECODED_SCHEMA = (
+    "media_id bigint, width int, height int, mean_pixel double, content_id string"
+)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract: (width, height, mean pixel intensity).
+
+    The canonical decode-stage shape: iterate Arrow batches, loop rows in
+    Python (codecs are per-item anyway), emit a narrow typed frame — the
+    heavy bytes do NOT survive into the output, so downstream stages are
+    columnar and light."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "mean_pixel": [], "content_id": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                w, h, px = _decode_payload(bytes(payload))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_pixel"].append(sum(px) / len(px) if px else 0.0)
+                out["content_id"].append(meta["content_id"])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload", "meta").mapInPandas(fn, DECODED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id bigint, frame_no int, frame binary"
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, frame_rows: int = 1) -> DataFrame:
+    """Video-style frame sampling: one input row fans out to one row per
+    sampled 'frame' (here: every ``every_n``-th pixel row of the fake
+    image stands in for a frame). Row-multiplying mapInPandas is the UDTF
+    shape — output cardinality is data-dependent, schema is fixed."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = _decode_payload(bytes(payload))
+                for row in range(0, h, every_n):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(row)
+                    out["frame"].append(px[row * w : (row + frame_rows) * w])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(fn, FRAMES_SCHEMA)
+
+
+EMBED_SCHEMA = "media_id bigint, embedding array<float>"
+
+
+def embed_media(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Bytes → fixed-dim float vector (deterministic byte-histogram
+    projection standing in for a real vision/audio encoder). Output plugs
+    directly into the similarity operators (operators/similarity.py)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "embedding": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, px = _decode_payload(bytes(payload))
+                vec = [0.0] * dim
+                for i, b in enumerate(px):
+                    vec[i % dim] += b / 255.0
+                norm = sum(v * v for v in vec) ** 0.5 or 1.0
+                out["media_id"].append(mid)
+                out["embedding"].append([v / norm for v in vec])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(fn, EMBED_SCHEMA)

@@ -145,24 +145,54 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> Column:
-    """n-gram/marker-token language heuristic (§2.10 language-ID). Returns
-    a column scoring text against per-language marker sets — on the
-    synthetic corpus all text is English-ish tokens, so this is exercised
-    by unit tests rather than a declared oracle query."""
+    """Marker-token language heuristic (§2.10 language-ID): argmax of
+    per-language function-word hit counts, 'und' when no marker hits.
+    Declared query: q_langid. NB: higher-order F.filter treats a
+    two-parameter lambda as (element, index) — marker sets must bind via a
+    closure, not a lambda default arg."""
     markers = {
         "en": ["the", "and", "of"],
         "es": ["el", "la", "de"],
         "de": ["der", "die", "und"],
     }
     toks = F.split(F.col(text_col), " ")
-    scores = [
-        F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias(lang)
-        for lang, ws in markers.items()
-    ]
-    # argmax over marker hit-counts, 'und' (undetermined) when all zero
-    best = F.greatest(*[F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))) for ws in markers.values()])
+
+    def hits(ws: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    best = F.greatest(*[hits(ws) for ws in markers.values()])
     pred = F.when(best == 0, F.lit("und"))
     for lang, ws in markers.items():
-        hit = F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws)))
-        pred = pred.when(hit == best, F.lit(lang))
+        pred = pred.when(hits(ws) == best, F.lit(lang))
     return pred.otherwise(F.lit("und"))
+
+
+@query(
+    "q_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'and', 'of'))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('el', 'la', 'de'))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('der', 'die', 'und'))) AS s_de
+      FROM documents
+    )
+    SELECT CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+                ELSE 'de' END AS lang_pred,
+           count(*) AS cnt
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 language-ID — marker-token heuristic distribution over the
+    corpus. The when-chain tie-break order (en, es, de) is mirrored in the
+    oracle's CASE; 'und' when no marker hits."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(language_id(d).alias("lang_pred")).agg(
+        F.count("*").alias("cnt")
+    )
