@@ -36,11 +36,14 @@ HEADLINE = [
     "q_running_sum",
     "q_lag_lead",
     "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
     "q_sort_multi",
     "q_topk_global",
     "q_union_all",
     "q_dedup",
     "q_token_count",
+    "q_langid",
     "q_array_explode",
     "q_fingerprint",
     "q_minhash_neardup",
