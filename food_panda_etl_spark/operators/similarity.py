@@ -151,3 +151,35 @@ def lsh_bucket_topk(
     return scored.select(
         "qid", "neighbor_id", "score", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= k)
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all (a, b), a < b, with
+    cosine(a, b) >= threshold.
+
+    This is the O(N²) exact baseline (a BNLJ with the smaller side
+    broadcast) — the verification standard the approximate paths are
+    measured against. At corpus scale run `lsh_bucket_topk`-style
+    hyperplane bucketing first and verify only in-bucket candidates; the
+    scoring expression is shared so approximate and exact agree wherever
+    both produce a pair."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

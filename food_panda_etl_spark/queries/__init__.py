@@ -54,6 +54,7 @@ def _load_all() -> None:
         similarity,
         sorts,
         text,
+        udx,
         vendor_pipeline,
         windows,
     )

@@ -155,3 +155,33 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, bit_count hamming filter (operators/dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "q_embed_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(a.embedding)),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+             (x, y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(a.embedding)),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+             (x, y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))) >= 0.4
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — embedding-cosine near-dup pairs (exact baseline; the LSH
+    bucketed variant is the scale path). Scores hash-match DuckDB because
+    both engines fold identical doubles left-to-right (see q_vector_norm /
+    q_cosine_topk)."""
+    from food_panda_etl_spark.operators.similarity import cosine_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, threshold=0.4)

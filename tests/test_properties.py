@@ -1,0 +1,102 @@
+"""Property-based invariants (SURVEY.md §5.5) over seeded random frames:
+percentage-of-total closure, dedup idempotence, set-op count algebra,
+left-outer row preservation, running-sum totals. Few examples, small
+frames — each example runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=0, max_value=1000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SET
+@given(rows=rows_strategy)
+def test_group_pct_sums_to_100(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v long")
+    pct = df.groupBy("k").agg(F.count("*").alias("cnt")).select(
+        (F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy())).alias("pct")
+    )
+    total = pct.agg(F.sum("pct").alias("s")).collect()[0]["s"]
+    assert abs(total - 100.0) < 1e-9
+
+
+@SET
+@given(rows=rows_strategy)
+def test_dedup_idempotent_and_bounded(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v long")
+    once = df.dropDuplicates(["k"])
+    twice = once.dropDuplicates(["k"])
+    n_once, n_twice = once.count(), twice.count()
+    assert n_once == n_twice  # idempotent
+    assert n_once <= df.count()
+    assert n_once == df.select("k").distinct().count()
+
+
+@SET
+@given(a=rows_strategy, b=rows_strategy)
+def test_setop_count_algebra(spark, a, b):
+    da = spark.createDataFrame(a, "k string, v long")
+    db = spark.createDataFrame(b, "k string, v long")
+    # union-all additivity
+    assert da.unionAll(db).count() == da.count() + db.count()
+    # distinct partition: |A| = |A∩B| + |A\B| over distinct rows
+    dda, ddb = da.distinct(), db.distinct()
+    assert dda.count() == dda.intersect(ddb).count() + dda.subtract(ddb).count()
+
+
+@SET
+@given(
+    n_codes=st.integers(min_value=1, max_value=25),
+    detail_mask=st.integers(min_value=0, max_value=(1 << 25) - 1),
+)
+def test_enrich_preserves_code_universe(spark, n_codes, detail_mask):
+    """Left-outer semantics: every code survives enrichment no matter which
+    subset has details/reviews/ratings (src/services/vendor.rs:82-115)."""
+    from food_panda_etl_spark.vendor import enrich_vendors
+
+    codes = spark.createDataFrame(
+        [(1, f"v{i:03d}") for i in range(n_codes)], "city_id int, code string"
+    )
+    details = spark.createDataFrame(
+        [(f"v{i:03d}", '{"name":"x"}') for i in range(n_codes) if detail_mask >> i & 1]
+        or [("__none__", "{}")],
+        "code string, details string",
+    )
+    empty_reviews = spark.createDataFrame([], "code string, review string, created_at long")
+    empty_ratings = spark.createDataFrame([], "code string, ratings string")
+    out = enrich_vendors(codes, details, empty_reviews, empty_ratings)
+    assert out.count() == n_codes
+    assert out.filter(F.col("code").isNull()).count() == 0
+
+
+@SET
+@given(rows=rows_strategy)
+def test_running_sum_ends_at_group_total(spark, rows):
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], "k string, i long, v long"
+    )
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    run = df.select("k", "i", F.sum("v").over(w).alias("rs"))
+    last = run.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy(F.desc("i")))
+    ).filter("rn = 1")
+    totals = df.groupBy("k").agg(F.sum("v").alias("t"))
+    joined = last.join(totals, "k")
+    assert joined.filter(F.col("rs") != F.col("t")).count() == 0

@@ -173,3 +173,22 @@ def test_with_partition_keys_accepts_timestamp(spark):
     )
     r = with_partition_keys(df).collect()[0]
     assert (r["year"], r["month"], r["day"]) == ("2025", "03", "06")
+
+
+def test_partition_pruning_reaches_scan(spark, out_dir):
+    """S9 at scale: a city_id/date predicate must prune partitions at plan
+    time (PartitionFilters on the scan), not filter post-read."""
+    import os as _os
+
+    df = spark.createDataFrame(
+        [(c, f"v{c}{i}", 1_741_300_000 + c * 86_400)
+         for c in (1, 2, 3) for i in range(4)],
+        "city_id int, code string, extraction_completed_at long",
+    )
+    base = _os.path.join(out_dir, "pruned_lake")
+    write_partitioned_vendors(df, base)
+    q = spark.read.parquet(base).filter("city_id = 2 and month = '03'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "city_id" in plan.split("PartitionFilters", 1)[1][:200]
+    assert q.count() == 4
