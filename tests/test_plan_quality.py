@@ -1,0 +1,59 @@
+"""Plan-quality gates (SCALE.md): the physical plans the engine claims —
+pushdown, pruning, broadcasts, no cartesian products — are asserted here
+so they cannot regress silently."""
+
+from __future__ import annotations
+
+import pytest
+
+from food_panda_etl_spark.plans import lint_plan, plan_summary
+from food_panda_etl_spark.queries import QUERIES
+
+# Every declared query must be cartesian-free (brute-force similarity
+# queries use BroadcastNestedLoopJoin with a join condition — allowed,
+# bounded, and documented — but never an unconditioned CartesianProduct).
+RELATIONAL = [
+    "q_scan_count", "q_filter_range", "q_groupby_agg", "q_group_pct",
+    "q_inner_join", "q_left_join", "q_semi_join", "q_anti_join",
+    "q_join_1n_agg", "q_topk_per_group", "q_running_sum", "q_rank",
+    "q_tumbling_window", "q_sort_multi", "q_union_all", "q_dedup",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_no_cartesian_products(spark, sf_dir, name):
+    assert lint_plan(QUERIES[name](spark, sf_dir)) == []
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    problems = lint_plan(
+        QUERIES["q_filter_range"](spark, sf_dir),
+        require_pushed_filters=True,
+        max_scan_columns=4,  # 4 of 11 lineitem columns — pruning works
+        max_exchanges=1,     # single partial->final agg shuffle
+    )
+    assert problems == []
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    s = plan_summary(QUERIES["q_inner_join"](spark, sf_dir))
+    # orders ⋈ customer ⋈ nation: both dim joins broadcast, no SMJ
+    assert s.broadcast_joins == 2
+    assert s.sort_merge_joins == 0
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    s = plan_summary(QUERIES["q_topk_per_group"](spark, sf_dir))
+    assert s.window_group_limits >= 1  # k-limit pushed below the shuffle
+
+
+def test_groupby_agg_is_partial_final(spark, sf_dir):
+    s = plan_summary(QUERIES["q_groupby_agg"](spark, sf_dir))
+    assert s.exchanges == 1  # one shuffle: map-side combine then final
+    assert s.scans_with_pushed_filters >= 1
+
+
+def test_minhash_join_is_equi_not_cross(spark, sf_dir):
+    # the LSH band join must be hash-joinable (equi on band/bucket)
+    s = plan_summary(QUERIES["q_minhash_neardup"](spark, sf_dir))
+    assert s.cartesian_products == 0
