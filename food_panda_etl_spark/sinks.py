@@ -103,3 +103,24 @@ def s3a_conf(
             "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
         ),
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    *,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles data into ``num_buckets`` hash
+    buckets on ``bucket_col`` so subsequent equi-joins/aggregations on that
+    key read co-located buckets and skip their shuffle entirely — the
+    pay-once-shuffle-never-again pattern for fact tables that join on the
+    same key query after query. (Bucketing requires ``saveAsTable``;
+    plain-path parquet cannot carry bucket metadata.)"""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

@@ -125,3 +125,52 @@ def test_running_user_totals_stateful(spark, out_dir):
     # intermediate state was emitted too: user 1 appears with n_events=1
     u1 = sorted(r["n_events"] for r in out.filter("user_id = 1").collect())
     assert u1 == [1, 2]
+
+
+def test_session_window_streaming(spark, out_dir):
+    """session_counts under readStream: two bursts for user 1 separated by
+    > gap → two sessions; user 2's single event → one session."""
+    from food_panda_etl_spark.streaming.ops import session_counts
+
+    src = _write_files(
+        out_dir,
+        [
+            [_event(1, "2024-01-01 10:00:00", user=1),
+             _event(2, "2024-01-01 10:10:00", user=1),
+             _event(3, "2024-01-01 10:05:00", user=2)],
+            [_event(4, "2024-01-01 12:00:00", user=1)],
+        ],
+    )
+    stream = read_events_stream(spark, src)
+    # session-window streaming aggregation supports append, not update:
+    # a session emits once, when the watermark passes its end
+    out = run_available_now(
+        session_counts(stream, gap="30 minutes", watermark="10 minutes"),
+        output_mode="append",
+    )
+    rows = [
+        (r["user_id"], r["w"]["start"].strftime("%H:%M"), r["cnt"])
+        for r in out.collect()
+    ]
+    # the 12:00 event advances the watermark to 11:50, closing both early
+    # sessions; its own session is still open at stream end → not emitted
+    assert (1, "10:00", 2) in rows  # 10:00+10:10 merged (gap < 30m)
+    assert (2, "10:05", 1) in rows
+    assert not any(u == 1 and s == "12:00" for u, s, _ in rows)
+
+
+def test_sliding_window_streaming(spark, out_dir):
+    from food_panda_etl_spark.streaming.ops import sliding_counts
+
+    src = _write_files(
+        out_dir, [[_event(1, "2024-01-01 10:20:00"), _event(2, "2024-01-01 10:25:00")]]
+    )
+    stream = read_events_stream(spark, src)
+    out = run_available_now(
+        sliding_counts(stream, duration="1 hour", slide="15 minutes"),
+        output_mode="update",
+    )
+    rows = {(r["w"]["start"].strftime("%H:%M"), r["cnt"]) for r in out.collect()}
+    # each event lands in 4 hops; both events share windows 09:30..10:15
+    assert ("10:15", 2) in rows and ("09:30", 2) in rows
+    assert ("10:30", 0) not in {r for r in rows}
