@@ -20,7 +20,11 @@ from food_panda_etl_spark.session import get_spark
 # Scale-relevant headline set: fact-table scans/aggs/joins/windows + the
 # LLM-pipeline operators. q_ngram_jaccard excluded (exact all-pairs
 # shingle join is the non-scale path by design; q_minhash_neardup is its
-# scale replacement and IS measured).
+# scale replacement and IS measured). q_embed_neardup_lsh excluded for the
+# same reason inverted: at this corpus's low-similarity threshold (0.4)
+# LSH needs r=4-bit bands for recall, which prunes so little that it costs
+# more than the measured exact q_embed_neardup; LSH pays off at real
+# near-dup thresholds (>=0.85) — see operators/similarity.py.
 HEADLINE = [
     "q_scan_count",
     "q_filter_range",
@@ -49,6 +53,7 @@ HEADLINE = [
     "q_minhash_neardup",
     "q_simhash_neardup",
     "q_cosine_topk",
+    "q_embed_neardup",
 ]
 
 

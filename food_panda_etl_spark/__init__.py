@@ -12,8 +12,9 @@ row-at-a-time Python UDFs in hot paths (Arrow-batched pandas UDFs only
 where built-ins cannot express the semantics).
 """
 
+from food_panda_etl_spark.config import Settings
 from food_panda_etl_spark.session import get_spark
 from food_panda_etl_spark.tables import TABLES, load_table, load_tables
 
-__all__ = ["get_spark", "TABLES", "load_table", "load_tables"]
+__all__ = ["Settings", "get_spark", "TABLES", "load_table", "load_tables"]
 __version__ = "0.1.0"

@@ -185,3 +185,14 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(e, threshold=0.4)
+
+
+@query("q_embed_neardup_lsh", oracle=None)  # seeded hyperplanes → rows-only
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the scale path for embedding near-dup: hyperplane band
+    buckets → candidate equi-join → exact cosine verify. Recall vs the
+    exact operator asserted in tests."""
+    from food_panda_etl_spark.operators.similarity import lsh_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(e, threshold=0.4, dim=16)

@@ -1,0 +1,69 @@
+"""Approximate-vs-exact contracts for the similarity/dedup scale paths:
+LSH top-k recall, LSH near-dup recall+precision, MinHash candidate recall
+against exact Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.dedup import exact_jaccard_pairs, minhash_lsh_pairs
+from food_panda_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_bucket_topk,
+    lsh_neardup_pairs,
+)
+from food_panda_etl_spark.tables import load_table
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {
+        (r["qid"], r["neighbor_id"]) for r in brute_force_topk(e, q, k=10).collect()
+    }
+    approx = {
+        (r["qid"], r["neighbor_id"])
+        for r in lsh_bucket_topk(e, q, dim=16, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH top-k recall {recall:.2f} too low"
+
+
+def test_lsh_neardup_recall_and_exactness(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_neardup_pairs(e, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in lsh_neardup_pairs(e, threshold=0.4, dim=16).collect()
+    }
+    # every reported pair is exact-verified (no false positives) and the
+    # scores are the same doubles the exact path computes
+    for pair, score in approx.items():
+        assert pair in exact
+        assert score == exact[pair]
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"LSH near-dup recall {recall:.2f} too low"
+
+
+def test_minhash_candidates_cover_exact_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, threshold=0.7
+        ).collect()
+    }
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.8, f"MinHash recall {recall:.2f} over {len(exact)} true pairs"
