@@ -48,6 +48,7 @@ def _load_all() -> None:
     # Import side effects populate the registries.
     from food_panda_etl_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         relational,
         setops,

@@ -9,6 +9,7 @@ point, the operators don't fork.
 """
 
 from food_panda_etl_spark.streaming.ops import (
+    interval_join,
     running_user_totals,
     session_counts,
     sliding_counts,
@@ -23,6 +24,7 @@ from food_panda_etl_spark.streaming.runner import (
 
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
+    "interval_join",
     "read_events_stream",
     "run_available_now",
     "running_user_totals",

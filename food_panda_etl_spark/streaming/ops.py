@@ -153,3 +153,40 @@ def running_user_totals(df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events within ``within`` AFTER
+    the left event, per key. Both sides carry watermarks and the join
+    condition carries both time bounds — that pair is what lets Spark
+    evict join state (left rows older than watermark+within can never
+    match again). Unbounded stream-stream joins are the other classic
+    state explosion; never ship one without the time bound."""
+    l_ = left.select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r_ = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    if left.isStreaming:
+        l_ = l_.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r_ = r_.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l_.join(r_, cond, "inner").select("l_key", "l_id", "r_id", "l_ts", "r_ts")

@@ -174,3 +174,65 @@ def test_sliding_window_streaming(spark, out_dir):
     # each event lands in 4 hops; both events share windows 09:30..10:15
     assert ("10:15", 2) in rows and ("09:30", 2) in rows
     assert ("10:30", 0) not in {r for r in rows}
+
+
+def test_stream_stream_interval_join(spark, out_dir):
+    """Click→purchase attribution within 30 minutes, per user — the
+    bounded stream-stream join. Result must equal the batch join over the
+    same rows."""
+    from food_panda_etl_spark.streaming.ops import interval_join
+
+    batches = [
+        [_event(1, "2024-01-01 10:00:00", user=1, etype="click"),
+         _event(2, "2024-01-01 10:10:00", user=1, etype="purchase"),
+         _event(3, "2024-01-01 10:50:00", user=1, etype="purchase")],  # > 30m after click 1
+        [_event(4, "2024-01-01 11:00:00", user=2, etype="click"),
+         _event(5, "2024-01-01 11:05:00", user=2, etype="purchase")],
+    ]
+    src = _write_files(out_dir, batches)
+    stream = read_events_stream(spark, src)
+    clicks = stream.filter("event_type = 'click'")
+    buys = stream.filter("event_type = 'purchase'")
+    out = run_available_now(
+        interval_join(clicks, buys, within="30 minutes"), output_mode="append"
+    )
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    assert got == {(1, 2), (4, 5)}  # (1,3) excluded: outside the interval
+
+
+def test_checkpoint_recovery_preserves_dedup_state(spark, out_dir):
+    """Stop/restart against the same checkpoint: dedup state survives, so
+    a key that already passed before the restart is still dropped after
+    it — the exactly-once story a production stream depends on."""
+    src = os.path.join(out_dir, "in")
+    ckpt = os.path.join(out_dir, "ckpt")
+    sink = os.path.join(out_dir, "sink")
+    os.makedirs(src)
+
+    def run_once():
+        stream = read_events_stream(spark, src, max_files_per_trigger=None)
+        q = (
+            streaming_dedup(stream, ["event_id"], watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def add_file(name, rows):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    add_file("a.jsonl", [_event(1, "2024-01-01 10:00:00"), _event(2, "2024-01-01 10:01:00")])
+    run_once()
+    # restart with a duplicate of event 1 plus a new event
+    add_file("b.jsonl", [_event(1, "2024-01-01 10:02:00"), _event(3, "2024-01-01 10:03:00")])
+    run_once()
+
+    final = spark.read.parquet(sink)
+    assert sorted(r["event_id"] for r in final.collect()) == [1, 2, 3]
