@@ -39,6 +39,18 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Read the embedding dimensionality from the data (one 1-row job).
+    Hyperplanes MUST match the vector length: `zip_with` null-pads the
+    shorter side, a null product nulls the whole fold, and every sign bit
+    silently becomes 0 — all vectors land in one bucket and the 'LSH'
+    join degenerates into a full cross product."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer vector dim from column {vec_col!r}")
+    return int(row["d"])
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -53,13 +65,26 @@ def brute_force_topk(
     The corpus side is repartitioned first — a single-split parquet corpus
     would otherwise score N·|Q| pairs on one task."""
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    pairs = vectors.repartition(par, id_col).join(
-        F.broadcast(queries), F.col(id_col) != F.col(qid_col)
+    # Norms are per-row facts — compute them once per corpus/query row
+    # BEFORE the pair fan-out, not inside the O(|Q|·|N|) scoring (which
+    # would fold every array three times per pair instead of once).
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__nn"),
+    ).repartition(par, "neighbor_id")
+    qs = queries.select(
+        F.col(qid_col).alias(qid_col),
+        F.col(qvec_col).alias("__qv"),
+        F.sqrt(l2_norm_sq(F.col(qvec_col))).alias("__qn"),
     )
+    pairs = corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col(qid_col))
     scored = pairs.select(
         qid_col,
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col(qvec_col)).alias("score"),
+        "neighbor_id",
+        (dot(F.col("__nv"), F.col("__qv")) / (F.col("__nn") * F.col("__qn"))).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.select(
@@ -95,14 +120,14 @@ def rhp_signature(vec_col, planes: list[list[float]]) -> Column:
 def lsh_bucket_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qe",
     k: int = 10,
     num_planes: int = 12,
-    bands: int = 3,
+    bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = pairs agreeing on at least
@@ -114,6 +139,8 @@ def lsh_bucket_topk(
 
     if num_planes % bands:
         raise ValueError("num_planes must be divisible by bands")
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
     r = num_planes // bands
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
@@ -124,6 +151,7 @@ def lsh_bucket_topk(
         return df.select(
             F.col(idcol).alias(out_id),
             F.col(vcol).alias(f"{out_id}_vec"),
+            F.sqrt(l2_norm_sq(F.col(vcol))).alias(f"{out_id}_norm"),
             F.explode(
                 F.array(
                     *[
@@ -137,20 +165,26 @@ def lsh_bucket_topk(
                     ]
                 )
             ).alias("s"),
-        ).select(out_id, f"{out_id}_vec", "s.band", "s.bb")
+        ).select(out_id, f"{out_id}_vec", f"{out_id}_norm", "s.band", "s.bb")
 
     vb = banded(vectors, vec_col, id_col, "neighbor_id")
     qb = banded(queries, qvec_col, qid_col, "qid")
     cand = (
         vb.join(qb, ["band", "bb"])
         .filter(F.col("neighbor_id") != F.col("qid"))
-        .select("qid", "qid_vec", "neighbor_id", "neighbor_id_vec")
+        .select(
+            "qid", "qid_vec", "qid_norm", "neighbor_id", "neighbor_id_vec",
+            "neighbor_id_norm",
+        )
         .distinct()
     )
     scored = cand.select(
         "qid",
         "neighbor_id",
-        cosine(F.col("neighbor_id_vec"), F.col("qid_vec")).alias("score"),
+        (
+            dot(F.col("neighbor_id_vec"), F.col("qid_vec"))
+            / (F.col("neighbor_id_norm") * F.col("qid_norm"))
+        ).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.select(
@@ -177,18 +211,29 @@ def cosine_neardup_pairs(
     # streamed side of the BNLJ must be repartitioned or the O(N²) scoring
     # runs on a single task regardless of cluster width.
     par = vectors.sparkSession.sparkContext.defaultParallelism
+    # Norms once per row, not per pair: inside the N²/2 scoring the old
+    # cosine() form folded each 64-float array 3× per pair; hoisting the
+    # sqrt(norm²) to the row level leaves one zip_with fold + one multiply
+    # per pair (~3× less array work), bit-identical output.
     a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("norm_a"),
     ).repartition(par, "id_a")
     b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("norm_b"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -197,11 +242,11 @@ def cosine_neardup_pairs(
 def lsh_neardup_pairs(
     vectors: DataFrame,
     threshold: float,
-    dim: int,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 12,
-    bands: int = 3,
+    bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: random-hyperplane band
@@ -226,6 +271,8 @@ def lsh_neardup_pairs(
 
     if num_planes % bands:
         raise ValueError("num_planes must be divisible by bands")
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
     r = num_planes // bands
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
@@ -257,13 +304,26 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("norm_a"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("norm_b"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -99,8 +99,7 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    dim = 16  # embeddings fixture dim; validated in tests
-    out = lsh_bucket_topk(e, q, dim=dim, k=10)
+    out = lsh_bucket_topk(e, q, k=10)  # dim inferred from the data
     return out.select("qid", "neighbor_id", "rn")
 
 
@@ -195,4 +194,4 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from food_panda_etl_spark.operators.similarity import lsh_neardup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(e, threshold=0.4, dim=16)
+    return lsh_neardup_pairs(e, threshold=0.4)

@@ -26,7 +26,7 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     }
     approx = {
         (r["qid"], r["neighbor_id"])
-        for r in lsh_bucket_topk(e, q, dim=16, k=10).collect()
+        for r in lsh_bucket_topk(e, q, k=10).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH top-k recall {recall:.2f} too low"
@@ -40,7 +40,7 @@ def test_lsh_neardup_recall_and_exactness(spark, sf_dir):
     }
     approx = {
         (r["id_a"], r["id_b"]): r["score"]
-        for r in lsh_neardup_pairs(e, threshold=0.4, dim=16).collect()
+        for r in lsh_neardup_pairs(e, threshold=0.4).collect()
     }
     # every reported pair is exact-verified (no false positives) and the
     # scores are the same doubles the exact path computes
@@ -50,6 +50,28 @@ def test_lsh_neardup_recall_and_exactness(spark, sf_dir):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.5, f"LSH near-dup recall {recall:.2f} too low"
+
+
+def test_rhp_signatures_not_degenerate(spark, sf_dir):
+    """Regression: hyperplanes built for the wrong dim null-pad through
+    zip_with and every signature collapses to 0 — one bucket, silent full
+    cross product. With dim inferred from the data the corpus must spread
+    across many buckets."""
+    import random
+
+    from food_panda_etl_spark.operators.similarity import _infer_dim, rhp_signature
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = _infer_dim(e, "embedding")
+    assert dim == 64
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(12)]
+    n_sigs = (
+        e.select(rhp_signature(F.col("embedding"), planes).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_sigs > 10, f"only {n_sigs} distinct signatures — degenerate bucketing"
 
 
 def test_minhash_candidates_cover_exact_jaccard(spark, sf_dir):
