@@ -40,9 +40,18 @@ def _shingles(toks, n: int):
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
+    """(id, shingle) pairs, distinct per document.
+
+    Repartitions on doc id first: a document corpus often arrives as few
+    parquet splits, and without the exchange every downstream shingle/hash
+    cycle runs on as many cores as there were input files (observed: the
+    whole MinHash pipeline on 1 of 32 cores). One narrow-row shuffle of
+    (id, text) buys full-width parallelism for the expensive part."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .repartition(par, "doc")  # exchange raw text, tokenize post-shuffle
+        .select("doc", F.split(F.col("__text"), " ").alias("__toks"))
     )
     return toks.select(
         "doc", F.explode(_shingles(F.col("__toks"), n)).alias("shingle")
@@ -99,6 +108,12 @@ def minhash_signatures(
 
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+    # Explode + hash + groupBy(min) deliberately: the exploded pipeline is
+    # whole-stage-codegen (xxhash + k linear hashes compile to tight JVM
+    # loops), and partial aggregation collapses each doc's rows BEFORE the
+    # exchange, so the shuffle carries one k-column row per doc. A per-row
+    # array_min(transform(...)) formulation avoids the shuffle but runs
+    # interpreted (HOF lambdas don't codegen) — measured 3-4x slower.
     sh = shingle_table(df, id_col, text_col, shingle_n)
     x = F.pmod(F.xxhash64("shingle"), F.lit(_P))
     hashed = sh.select(
