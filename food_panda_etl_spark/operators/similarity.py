@@ -192,6 +192,84 @@ def lsh_bucket_topk(
     ).filter(F.col("rn") <= k)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    `ncells` Voronoi cells around centroid vectors, probe only the
+    `nprobe` cells nearest each query, exact-rerank inside the probed
+    cells. The other classic ANN scale path next to hyperplane LSH
+    (`lsh_bucket_topk`): assignment is one broadcast N×C scoring pass
+    (C = ncells, tiny), search cost drops to ~nprobe/ncells of brute
+    force, and the probed join is a plain equi-join on cell id.
+
+    Centroids are a deterministic sample — the ncells corpus vectors with
+    the smallest xxhash64(id) (seedless, data-derived, stable across
+    runs/parallelism). Real deployments would k-means-refine them; the
+    plumbing (assign → probe → in-cell rerank) is identical and that is
+    what this operator exercises.
+    """
+    cent_rows = (
+        vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+        .limit(ncells)
+        .collect()
+    )
+    spark = vectors.sparkSession
+    cent = spark.createDataFrame(
+        [(i, list(map(float, r["cvec"]))) for i, r in enumerate(cent_rows)],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    ).select("cell", "cvec", F.sqrt(l2_norm_sq(F.col("cvec"))).alias("cnorm"))
+
+    def assign(df, idc, vc, out_id, probes):
+        """Top-`probes` nearest cells per vector via broadcast scoring."""
+        scored = df.select(
+            F.col(idc).alias(out_id),
+            F.col(vc).alias(f"{out_id}_vec"),
+            F.sqrt(l2_norm_sq(F.col(vc))).alias(f"{out_id}_norm"),
+        ).crossJoin(F.broadcast(cent))
+        # cosine argmax per vector: the vector's own norm is constant
+        # across cells, so dividing by the centroid norm alone suffices
+        scored = scored.withColumn(
+            "__cscore", dot(F.col(f"{out_id}_vec"), F.col("cvec")) / F.col("cnorm")
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("__cscore").desc(), F.col("cell"))
+        return (
+            scored.withColumn("__crn", F.row_number().over(w))
+            .filter(F.col("__crn") <= probes)
+            .select(out_id, f"{out_id}_vec", f"{out_id}_norm", "cell")
+        )
+
+    corpus_cells = assign(vectors, id_col, vec_col, "neighbor_id", 1)
+    query_cells = assign(queries, qid_col, qvec_col, "qid", nprobe)
+    cand = corpus_cells.join(query_cells, "cell").filter(
+        F.col("neighbor_id") != F.col("qid")
+    )
+    # no distinct needed: each corpus vector lives in exactly one cell
+    # (probes=1), so a (qid, neighbor) pair can arise from at most one
+    # probed cell
+    scored = cand.select(
+        "qid",
+        "neighbor_id",
+        (
+            dot(F.col("neighbor_id_vec"), F.col("qid_vec"))
+            / (F.col("neighbor_id_norm") * F.col("qid_norm"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return scored.select(
+        "qid", "neighbor_id", "score", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -103,6 +103,21 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "neighbor_id", "rn")
 
 
+@query("q_ivf_topk", oracle=None)  # data-derived centroids → rows-only
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the IVF ANN scale path: deterministic centroid sample →
+    broadcast cell assignment → nprobe nearest cells per query → exact
+    in-cell cosine rerank (operators/similarity.py::ivf_topk). Recall vs
+    brute force asserted in tests."""
+    from food_panda_etl_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk(e, q, k=10).select("qid", "neighbor_id", "rn")
+
+
 @query(
     "q_ngram_jaccard",
     oracle="""

@@ -52,6 +52,28 @@ def test_lsh_neardup_recall_and_exactness(spark, sf_dir):
         assert recall >= 0.5, f"LSH near-dup recall {recall:.2f} too low"
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from food_panda_etl_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {
+        (r["qid"], r["neighbor_id"]) for r in brute_force_topk(e, q, k=10).collect()
+    }
+    got = ivf_topk(e, q, k=10, ncells=16, nprobe=8).collect()
+    approx = {(r["qid"], r["neighbor_id"]) for r in got}
+    # every query must come back with a full probed result set
+    assert len(got) == 5 * 10
+    recall = len(exact & approx) / len(exact)
+    # The fixture embeddings are isotropic noise (no cluster structure),
+    # the worst case for IVF: expected recall ~= probed fraction. Probing
+    # half the cells must beat that floor — i.e. the centroid ranking
+    # carries signal — and clear 0.5 comfortably on clustered real data.
+    assert recall >= 0.5, f"IVF top-k recall {recall:.2f} too low"
+
+
 def test_rhp_signatures_not_degenerate(spark, sf_dir):
     """Regression: hyperplanes built for the wrong dim null-pad through
     zip_with and every signature collapses to 0 — one bucket, silent full
