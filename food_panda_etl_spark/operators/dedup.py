@@ -192,7 +192,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the sign of the sum over tokens of (+1 / -1) for that bit position.
     Computed as a single JVM-side aggregate over a 64-slot counter array —
     no shuffle beyond the tokenless per-row expression (it's per-doc, so
-    no aggregation across rows at all)."""
+    no aggregation across rows at all).
+
+    Like shingle_table, repartitions on the id first: the interpreted
+    64-slot fold is the expensive stage, and a single-split parquet corpus
+    would run it on one core."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.select(F.col(id_col).alias(id_col), F.col(text_col)).repartition(
+        par, id_col
+    )
     toks = F.split(F.col(text_col), " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 

@@ -52,6 +52,7 @@ def _load_all() -> None:
         joins,
         relational,
         setops,
+        sql_layer,
         similarity,
         sorts,
         text,

@@ -1,0 +1,119 @@
+"""SQL-entry-point queries: the same engine driven through ``spark.sql``
+instead of the DataFrame builder — exercising the parser, temp-view
+catalog, and Catalyst rewrites the DataFrame API can't reach directly
+(correlated-subquery decorrelation, GROUPING SETS).
+
+The reference has no SQL layer (SURVEY.md §4.1 — straight-line imperative
+Rust); these are EXT surface proving the Spark-native engine exposes one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.tables import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's max-price order).
+    Catalyst decorrelates this into an aggregate + join — one shuffle on
+    o_custkey, no per-row re-execution (the naive nested-loop reading).
+    MAX over doubles is order-independent, so the filter boundary is
+    bit-exact across engines."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) straight through spark.sql — the
+    3-table join + agg + global top-10 benchmark shape. Revenue summed in
+    decimal then cast to double (exact, engine-agnostic); l_orderkey
+    tie-break makes the LIMIT deterministic."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
+               o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < DATE '1995-03-15'
+          AND l_shipdate > DATE '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT n_name, r_name,
+           CAST(GROUPING(n_name, r_name) AS BIGINT) AS gid,
+           count(*) AS cnt
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((n_name), (r_name), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-nation,
+    per-region, and grand totals in ONE shuffle pass — Spark expands the
+    sets with an Expand node, not three scans."""
+    _views(spark, sf_dir, "nation", "region")
+    return spark.sql(
+        """
+        SELECT n_name, r_name,
+               CAST(grouping_id(n_name, r_name) AS BIGINT) AS gid,
+               count(*) AS cnt
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((n_name), (r_name), ())
+        """
+    )
