@@ -33,6 +33,8 @@ HEADLINE = [
     "q_count_distinct",
     "q_inner_join",
     "q_left_join",
+    "q_tpch_q3",
+    "q_scalar_subquery",
     "q_join_1n_agg",
     "q_range_join",
     "q_semi_join",

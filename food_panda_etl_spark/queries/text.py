@@ -196,3 +196,40 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(language_id(d).alias("lang_pred")).agg(
         F.count("*").alias("cnt")
     )
+
+
+@query(
+    "q_text_clean",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             ' +', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text scrub: mask emails and URLs, collapse repeated
+    spaces, trim — the standard pre-tokenization normalization pass, as a
+    chain of JVM-side regexp_replace (codegen'd, zero Python). At 100 TB
+    this is a pure narrow map: no shuffle, predicate/column pruning intact."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("text"),
+                    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                    "<EMAIL>",
+                ),
+                r"https?://[^ ]+",
+                "<URL>",
+            ),
+            r" +",
+            " ",
+        )
+    )
+    return d.select("doc_id", cleaned.alias("clean_text"))
