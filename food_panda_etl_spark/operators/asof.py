@@ -38,26 +38,31 @@ def asof_join(
     (take the greatest) for determinism.
     """
     lcols = left.columns
+    # The payload travels as ONE struct so the as-of match is atomic per
+    # right row: last(ignorenulls) applied per-column could stitch together
+    # values from different right rows whenever a right row holds NULL in
+    # some payload column but not others.
+    payload_type = right.select(F.struct(*right_payload)).schema[0].dataType
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(0 if strict else 1).alias("__side"),
         F.struct(*lcols).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in right_payload],
+        F.lit(None).cast(payload_type).alias("__p"),
     )
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(1 if strict else 0).alias("__side"),
         F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__p_{c}") for c in right_payload],
+        F.struct(*right_payload).alias("__p"),
     )
     # strict: at equal ts, left (__side=0) sorts BEFORE right (__side=1) in
     # a DESCENDING-exclusive sense — we order ascending so rows visible to
     # last(...) at a left row are exactly those with ts < left ts.
     order = [F.col("__ts").asc(), F.col("__side").asc()]
     if tie_break is not None:
-        order.append(F.col(f"__p_{tie_break}").asc_nulls_first())
+        order.append(F.col("__p")[tie_break].asc_nulls_first())
     w = (
         Window.partitionBy("__k")
         .orderBy(*order)
@@ -66,12 +71,9 @@ def asof_join(
     unioned = l.unionByName(r)
     matched = unioned.select(
         "__lrow",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_payload
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__lrow").isNotNull())
     return matched.select(
         *[F.col("__lrow")[c].alias(c) for c in lcols],
-        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_payload],
+        *[F.col("__m")[c].alias(f"asof_{c}") for c in right_payload],
     )

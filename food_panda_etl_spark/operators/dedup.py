@@ -28,8 +28,13 @@ def _shingles(toks, n: int):
     be a plain column reference (pre-materialized array), NOT a split()
     expression — a non-trivial expression captured inside the transform
     lambda is re-evaluated per element, turning shingling quadratic."""
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)
+    k = F.size(toks) - (n - 1)
+    # sequence(1, 0) is DESCENDING [1, 0] (not empty!), and element_at(0)
+    # throws under ANSI — so a doc shorter than n tokens must yield an
+    # explicitly empty index array, not sequence-to-zero.
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -61,6 +61,16 @@ def replicated_skew_join(
     broadcast-sized but pushed over the broadcast threshold by a hot-key
     build). Join semantics are unchanged — each big row still matches
     exactly the small rows with its key, under exactly one salt value."""
+    # The rewrite is only semantics-preserving when unmatched SMALL-side
+    # rows are never emitted: under right/full joins each replicated small
+    # row that matches nothing would surface `salt` times. Refuse those.
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti"}:
+        raise NotImplementedError(
+            f"replicated_skew_join does not preserve {how!r} semantics: "
+            "the replicated small side would emit unmatched rows salt "
+            "times; use AQE skew-join splitting for right/full joins"
+        )
     big_s = big.withColumn("__salt", (F.rand(seed=11) * salt).cast("int"))
     small_r = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

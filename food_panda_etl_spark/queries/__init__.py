@@ -45,20 +45,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def _load_all() -> None:
-    # Import side effects populate the registries.
+    # Import side effects populate the registries. ORDER MATTERS: the
+    # correctness driver records only the first N registered queries, so
+    # modules still lacking driver evidence (round-1 gap: windows, text,
+    # udx, vendor_pipeline) register first, and long-stable driver-green
+    # modules (analytics, setops, sorts, sql_layer — all hash-verified in
+    # CORRECTNESS_r01.json) register last. Rotate per round as evidence
+    # accumulates.
     from food_panda_etl_spark.queries import (  # noqa: F401
-        aggregates,
-        analytics,
-        joins,
-        relational,
-        setops,
-        sql_layer,
-        similarity,
-        sorts,
+        windows,
         text,
         udx,
         vendor_pipeline,
-        windows,
+        similarity,
+        aggregates,
+        joins,
+        relational,
+        analytics,
+        setops,
+        sorts,
+        sql_layer,
     )
 
 

@@ -61,7 +61,12 @@ class _VendorListReader(DataSourceReader):
         backend = _resolve_backend(self.backend_spec)
         parts: list[InputPartition] = []
         for city in self.cities:
-            probe = backend.list_page(city, 0, self.page_size)
+            # Same retry policy as the executor-side read(): a transient
+            # failure during planning must not fail the whole job.
+            probe = retry_with_backoff(
+                lambda _a, c=city: backend.list_page(c, 0, self.page_size),
+                retries=self.retries,
+            )
             avail = probe["data"]["available_count"]
             pages = max(1, math.ceil(avail / self.page_size))
             parts.extend(

@@ -31,6 +31,13 @@ DIMENSION_TABLES = {"region", "nation", "supplier", "part"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark
+        # rejects outright unless nanos are surfaced as epoch-nanos longs.
+        # The conf is runtime-settable, and setting it here (not only in
+        # session.py's builder) means sessions we did NOT build — the
+        # correctness driver's, a notebook's — can read the table too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py);

@@ -96,6 +96,32 @@ def test_rhp_signatures_not_degenerate(spark, sf_dir):
     assert n_sigs > 10, f"only {n_sigs} distinct signatures — degenerate bucketing"
 
 
+def test_short_documents_yield_zero_shingles(spark):
+    """Regression (ADVICE r1): sequence(1, 0) is DESCENDING [1, 0], not
+    empty, so a doc shorter than n tokens used to abort the whole job with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode. Short docs must
+    contribute zero shingles — and the rest of the pipeline must still run."""
+    from food_panda_etl_spark.operators.dedup import minhash_lsh_pairs as mlp
+    from food_panda_etl_spark.operators.dedup import shingle_table
+
+    d = spark.createDataFrame(
+        [
+            (1, "one"),  # 1 token < n
+            (2, "two tokens"),  # 2 tokens < n
+            (3, ""),  # empty text
+            (4, "a b c d e f g h"),
+            (5, "a b c d e f g h"),  # exact dup of 4
+        ],
+        "doc_id int, text string",
+    )
+    sh = shingle_table(d, "doc_id", "text", n=5)
+    per_doc = {r["doc"]: r["n"] for r in sh.groupBy("doc").agg(F.count("*").alias("n")).collect()}
+    assert 1 not in per_doc and 2 not in per_doc and 3 not in per_doc
+    assert per_doc[4] == 4  # 8 tokens → 4 distinct 5-grams
+    pairs = mlp(d, "doc_id", "text", num_hashes=16, bands=8, shingle_n=5, threshold=0.9).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(4, 5)}
+
+
 def test_minhash_candidates_cover_exact_jaccard(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     exact = {

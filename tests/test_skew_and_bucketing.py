@@ -58,6 +58,19 @@ def test_replicated_skew_join_equals_plain_join(spark):
     assert n_left == big.count()
 
 
+def test_replicated_skew_join_rejects_right_and_full(spark):
+    """ADVICE r1: under right/full joins every unmatched replicated
+    small-side row would surface `salt` times — the operator must refuse
+    rather than silently corrupt."""
+    import pytest
+
+    big = _skewed_df(spark, n_hot=10, n_cold=3)
+    small = spark.createDataFrame([("hot", 1), ("absent", 2)], "k string, tag int")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(NotImplementedError):
+            replicated_skew_join(big, small, "k", salt=4, how=how)
+
+
 def test_skew_profilers(spark):
     df = _skewed_df(spark)
     top = top_keys_by_frequency(df, "k", n=1).collect()
