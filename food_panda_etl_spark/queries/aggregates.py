@@ -167,9 +167,33 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 exact dedup — keep min-id representative per identical text.
     Deterministic alternative to dropDuplicates() (which keeps an arbitrary
-    row). At 100 TB: group by a hash of the payload instead of the payload
-    itself to shrink shuffle width — see operators/dedup.py."""
+    row).
+
+    100 TB shape: the shuffle key is ``xxhash64(text)`` (8 bytes), never
+    the payload — grouping by the text itself would make the exchange key
+    the document body. min/max(text) ride along as partially-aggregated
+    values (map-side combine collapses duplicates before the exchange),
+    and min==max per group proves every member was byte-identical. The
+    (astronomically rare) colliding hashes are re-aggregated exactly by
+    full text; that branch joins against an almost-always-empty hash list,
+    which AQE's empty-relation propagation eliminates at runtime — so the
+    second documents scan never actually runs."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_cnt")
-    ).select("doc_id", "text", "dup_cnt")
+    base = d.select(F.xxhash64("text").alias("__h"), "doc_id", "text")
+    g = base.groupBy("__h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("dup_cnt"),
+        F.min("text").alias("text"),
+        F.max("text").alias("__tmax"),
+    )
+    clean = g.filter(F.col("text").eqNullSafe(F.col("__tmax"))).select(
+        "doc_id", "text", "dup_cnt"
+    )
+    coll_hashes = g.filter(~F.col("text").eqNullSafe(F.col("__tmax"))).select("__h")
+    coll = (
+        base.join(F.broadcast(coll_hashes), "__h")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_cnt"))
+        .select("doc_id", "text", "dup_cnt")
+    )
+    return clean.unionByName(coll)

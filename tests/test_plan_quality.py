@@ -53,6 +53,26 @@ def test_groupby_agg_is_partial_final(spark, sf_dir):
     assert s.scans_with_pushed_filters >= 1
 
 
+def test_dedup_shuffles_hash_not_payload(spark, sf_dir):
+    """q_dedup's exchange key must be the 8-byte xxhash64, never the
+    document text (the payload was the shuffle key in round 1 — at 100 TB
+    that exchanges the corpus body). After execution AQE must also have
+    propagated the empty collision branch away: one exchange total."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_dedup"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "hashpartitioning(__h" in plan
+    df.collect()  # materialize so AQE finalizes the plan
+    final = explain_formatted(df)
+    if "== Final Plan ==" in final:  # strip the pre-AQE initial plan
+        final = final.split("== Initial Plan ==")[0]
+    import re
+
+    n_ex = len(re.findall(r"\+- Exchange", final))
+    assert n_ex == 1, f"collision branch not eliminated:\n{final}"
+
+
 def test_minhash_join_is_equi_not_cross(spark, sf_dir):
     # the LSH band join must be hash-joinable (equi on band/bucket)
     s = plan_summary(QUERIES["q_minhash_neardup"](spark, sf_dir))
