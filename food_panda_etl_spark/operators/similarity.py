@@ -317,6 +317,135 @@ def cosine_neardup_pairs(
     )
 
 
+def auto_band_params(threshold: float, target_miss: float = 1e-5) -> tuple[int, int]:
+    """(num_planes, bands) for sign-LSH candidate generation sized so a
+    pair EXACTLY AT the threshold is missed with probability <= target_miss.
+
+    p(bit agrees) = 1 - arccos(theta)/pi; a band of r bits collides with
+    p^r; miss = (1 - p^r)^L. Low thresholds force r small (r=2) — pruning
+    is weak there because random pairs collide at 0.25/band, which is the
+    honest economics of sign-LSH in the low-similarity regime; high
+    thresholds earn wide bands (r=8 → 1/256 random collisions/band).
+    Bands round up to a multiple of 4 for even chunking."""
+    import math
+
+    p = 1.0 - math.acos(threshold) / math.pi
+    r = 2 if threshold < 0.6 else (4 if threshold < 0.8 else 8)
+    l = math.ceil(math.log(target_miss) / math.log(1.0 - p**r))
+    l = ((l + 3) // 4) * 4
+    return r * l, l
+
+
+def _band_structs(vec_col, planes: list[list[float]], bands: int):
+    """Exploded-ready array of (band, bb) structs with PER-BAND bit packing
+    — unlike :func:`rhp_signature` there is no 64-plane ceiling, so wide
+    high-threshold configurations (e.g. 8 bits x 48 bands) work."""
+    r = len(planes) // bands
+
+    def band_value(bi: int):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in planes[bi * r + j]]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(r)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    return F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), band_value(bi).alias("bb"))
+            for bi in range(bands)
+        ]
+    )
+
+
+def embed_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_max_rows: int = 256,
+    target_miss: float = 1e-5,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the DECLARED path: banded
+    sign-LSH candidates + exact cosine verify, with band parameters derived
+    from the threshold (:func:`auto_band_params`) so recall at the
+    threshold boundary is >= 1 - target_miss per pair. Falls back to the
+    exact all-pairs operator only for corpora small enough that a
+    quadratic join is trivially cheaper than signature computation
+    (<= exact_max_rows; the count is one parquet-metadata job).
+
+    Same (a < b, score >= threshold) contract and the same fixed-order
+    double scoring as :func:`cosine_neardup_pairs`, so every emitted pair
+    carries the identical score bits — the two paths differ only in which
+    candidate pairs get scored. No O(N^2) join node appears in this plan:
+    candidates come from an equi-join on (band, band_bits), dedup carries
+    ids only, and vectors re-attach via two narrow hash joins."""
+    import random
+
+    if vectors.count() <= exact_max_rows:
+        return cosine_neardup_pairs(vectors, threshold, id_col, vec_col)
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
+    num_planes, bands = auto_band_params(threshold, target_miss)
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    src = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).repartition(par, "id")
+    banded = src.select(
+        "id", F.explode(_band_structs(F.col("vec"), planes, bands)).alias("s")
+    ).select("id", "s.band", "s.bb")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bb")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bb")
+    cand = (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = src.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.sqrt(l2_norm_sq(F.col("vec"))).alias("norm_a"),
+    )
+    vb = src.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.sqrt(l2_norm_sq(F.col("vec"))).alias("norm_b"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def lsh_neardup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -191,14 +191,18 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 — embedding-cosine near-dup pairs (exact baseline; the LSH
-    bucketed variant is the scale path). Scores hash-match DuckDB because
-    both engines fold identical doubles left-to-right (see q_vector_norm /
-    q_cosine_topk)."""
-    from food_panda_etl_spark.operators.similarity import cosine_neardup_pairs
+    """§2.10 — embedding-cosine near-dup pairs. The declared path is
+    banded sign-LSH candidates + exact verify with bands sized for the
+    threshold (operators/similarity.py::embed_neardup_pairs); the O(N²)
+    exact join survives only behind a small-corpus guard. Hash-matches the
+    exact DuckDB oracle because the verify step scores candidates with the
+    same fixed-order double folds AND the band parameters drive per-pair
+    miss probability below 1e-5 at the threshold boundary (recall == 1.0
+    on the fixtures, asserted in tests)."""
+    from food_panda_etl_spark.operators.similarity import embed_neardup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(e, threshold=0.4)
+    return embed_neardup_pairs(e, threshold=0.4)
 
 
 @query("q_embed_neardup_lsh", oracle=None)  # seeded hyperplanes → rows-only

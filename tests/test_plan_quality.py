@@ -77,3 +77,14 @@ def test_minhash_join_is_equi_not_cross(spark, sf_dir):
     # the LSH band join must be hash-joinable (equi on band/bucket)
     s = plan_summary(QUERIES["q_minhash_neardup"](spark, sf_dir))
     assert s.cartesian_products == 0
+
+
+def test_embed_neardup_has_no_quadratic_join(spark, sf_dir):
+    """The declared embedding near-dup path must contain NO O(N²) join
+    node — no BroadcastNestedLoopJoin, no CartesianProduct. (Round 1 the
+    oracled path was the exact BNLJ baseline; now the exact join survives
+    only behind the small-corpus guard, which the 500-row fixture already
+    exceeds.)"""
+    s = plan_summary(QUERIES["q_embed_neardup"](spark, sf_dir))
+    assert s.nested_loop_joins == 0, "BNLJ in declared near-dup plan"
+    assert s.cartesian_products == 0

@@ -52,6 +52,55 @@ def test_lsh_neardup_recall_and_exactness(spark, sf_dir):
         assert recall >= 0.5, f"LSH near-dup recall {recall:.2f} too low"
 
 
+def test_embed_neardup_auto_matches_exact_bitwise(spark, sf_dir):
+    """The declared q_embed_neardup path (threshold-tuned LSH + exact
+    verify) must reproduce the exact operator's output EXACTLY — same
+    pairs, same score bits — because the driver hash-compares it against
+    the all-pairs DuckDB oracle. exact_max_rows=0 forces the LSH path even
+    on the 500-row fixture."""
+    from food_panda_etl_spark.operators.similarity import embed_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_neardup_pairs(e, threshold=0.4).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embed_neardup_pairs(e, threshold=0.4, exact_max_rows=0).collect()
+    }
+    assert auto == exact  # full recall AND bit-identical scores
+
+
+def test_embed_neardup_small_corpus_guard(spark, sf_dir):
+    """Under exact_max_rows the guard must route to the exact operator
+    (identical output, no signature work)."""
+    from food_panda_etl_spark.operators.similarity import embed_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_neardup_pairs(e, threshold=0.4).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embed_neardup_pairs(e, threshold=0.4, exact_max_rows=256).collect()
+    }
+    assert auto == exact
+
+
+def test_auto_band_params_regimes(spark):
+    from food_panda_etl_spark.operators.similarity import auto_band_params
+
+    for theta in (0.4, 0.7, 0.9):
+        planes, bands = auto_band_params(theta)
+        r = planes // bands
+        assert planes == r * bands
+        # low threshold → narrow bands; high threshold → wide bands
+        assert r == {0.4: 2, 0.7: 4, 0.9: 8}[theta]
+        assert bands % 4 == 0 and bands <= 128
+
+
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     from food_panda_etl_spark.operators.similarity import ivf_topk
 
