@@ -14,6 +14,7 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
+import pandas as pd  # module level: pandas_udf type hints resolve via globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -193,15 +194,64 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64; each output bit is
-    the sign of the sum over tokens of (+1 / -1) for that bit position.
-    Computed as a single JVM-side aggregate over a 64-slot counter array —
-    no shuffle beyond the tokenless per-row expression (it's per-doc, so
-    no aggregation across rows at all).
+    """64-bit SimHash per document: per-token xxhash64 (JVM, codegen);
+    each output bit is the sign of the sum over tokens of (+1/-1) for that
+    bit position.
 
-    Like shingle_table, repartitions on the id first: the interpreted
-    64-slot fold is the expensive stage, and a single-split parquet corpus
-    would run it on one core."""
+    The bit-counting stage is an Arrow-batched pandas_udf over the
+    JVM-computed hash arrays: one (tokens x 64) sign matrix per batch,
+    segment-reduced with np.add.reduceat — replaces the interpreted
+    64-slot zip_with fold that was the single costliest op in the round-1
+    bench (2.1 s -> sub-second at sf0.1). Token hashing stays JVM-side so
+    signatures are bit-identical to the HOF reference implementation
+    (asserted in tests); only per-row arithmetic crosses to Python, Arrow
+    both ways, no shuffle at all.
+
+    Like shingle_table, repartitions on the id first: a single-split
+    parquet corpus would otherwise run the whole stage on one core."""
+    from pyspark.sql.functions import pandas_udf
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.select(F.col(id_col).alias(id_col), F.col(text_col)).repartition(
+        par, id_col
+    )
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    @pandas_udf("long")
+    def _pack_signature(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(hs)
+        out = np.zeros(n, dtype=np.uint64)
+        # null text -> null hash array -> signature 0, matching the HOF
+        # fold (its null when-condition falls through to otherwise(0))
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in hs), dtype=np.int64, count=n
+        )
+        nz = np.flatnonzero(lens)  # docs with >=1 token
+        if nz.size:
+            flat = np.concatenate([np.asarray(hs.iloc[i], dtype=np.int64) for i in nz])
+            bits = (
+                (flat.view(np.uint64)[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            ).astype(np.int64)
+            signs = 2 * bits - 1  # (tokens x 64) in doc order
+            offsets = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            counters = np.add.reduceat(signs, offsets, axis=0)  # (docs x 64)
+            powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            out[nz] = (counters > 0).astype(np.uint64) @ powers
+        return pd.Series(out.view(np.int64))
+
+    return df.select(
+        F.col(id_col).alias("doc"), _pack_signature(hashes).alias("simhash")
+    )
+
+
+def _simhash_hof(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Reference implementation of :func:`simhash` as a pure JVM
+    higher-order-function fold — interpreted (HOF lambdas don't codegen),
+    ~2x slower, kept as the equality oracle for the vectorized path."""
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.select(F.col(id_col).alias(id_col), F.col(text_col)).repartition(
         par, id_col

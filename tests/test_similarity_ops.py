@@ -145,6 +145,23 @@ def test_rhp_signatures_not_degenerate(spark, sf_dir):
     assert n_sigs > 10, f"only {n_sigs} distinct signatures — degenerate bucketing"
 
 
+def test_simhash_vectorized_equals_hof_reference(spark, sf_dir):
+    """The Arrow pandas_udf signature stage must be bit-identical to the
+    pure-JVM HOF fold it replaced — including null text, empty text, and
+    single-token docs."""
+    from food_panda_etl_spark.operators.dedup import _simhash_hof, simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "one")],
+        "doc_id long, text string",
+    )
+    d = d.select("doc_id", "text").unionByName(extra)
+    fast = {r["doc"]: r["simhash"] for r in simhash(d, "doc_id", "text").collect()}
+    ref = {r["doc"]: r["simhash"] for r in _simhash_hof(d, "doc_id", "text").collect()}
+    assert fast == ref
+
+
 def test_short_documents_yield_zero_shingles(spark):
     """Regression (ADVICE r1): sequence(1, 0) is DESCENDING [1, 0], not
     empty, so a doc shorter than n tokens used to abort the whole job with
