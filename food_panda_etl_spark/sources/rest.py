@@ -31,10 +31,16 @@ DEFAULT_PAGE_SIZE = 48  # src/main.rs:120
 
 
 def _resolve_backend(spec: str):
-    """Instantiate ``module.path:ClassName`` — options travel to executors
-    as strings, so the backend is addressed, not pickled."""
-    mod, _, cls = spec.partition(":")
-    return getattr(importlib.import_module(mod), cls)()
+    """Instantiate ``module.path:ClassName[?key=val&key=val]`` — options
+    travel to executors as strings, so the backend is addressed, not
+    pickled. Query-string kwargs parameterize real backends (e.g.
+    ``...http_backend:HttpVendorBackend?base_url=http://host:8080``)."""
+    from urllib.parse import parse_qsl
+
+    target, _, qs = spec.partition("?")
+    mod, _, cls = target.partition(":")
+    kwargs = dict(parse_qsl(qs)) if qs else {}
+    return getattr(importlib.import_module(mod), cls)(**kwargs)
 
 
 @dataclass
