@@ -57,6 +57,7 @@ def _load_all() -> None:
         text,
         udx,
         vendor_pipeline,
+        storage,
         similarity,
         aggregates,
         joins,

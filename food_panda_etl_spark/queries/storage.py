@@ -1,0 +1,83 @@
+"""Storage-discipline queries: the partitioned-sink → partition-pruned
+read-back loop (SURVEY.md §2.1 S9 exercised end-to-end).
+
+The reference writes hive-layout parquet (``/root/reference/src/main.rs:
+236-244``) but nothing ever reads it back pruned. At 100 TB the entire
+point of the layout is that a dim-filtered join touches only matching
+partition directories — dynamic partition pruning (DPP) — so this module
+proves the posture end-to-end: write a fact table partitioned by a
+derived date key, join it against a filtered dim, and let the plan show
+``PartitionFilters: [... dynamicpruningexpression(...)]`` instead of a
+full scan. Plan-lint asserts that in CI (tests/test_plan_quality.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.tables import load_table
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _dpp_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_REPO_ROOT, ".tmp", f"dpp_lineitem_{tag}")
+
+
+def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem written through the S9 hive-partitioned sink, partitioned
+    by ship year-month, then read back as a partitioned source. Rewritten
+    idempotently per sf_dir (overwrite)."""
+    path = _dpp_path(sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_ym", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    li.write.mode("overwrite").partitionBy("ship_ym").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "q_partition_prune",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_ym,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE year(l_shipdate) = 1995
+    GROUP BY 1
+    """,
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 round-trip + DPP: the fact side is the partitioned read-back,
+    the dim side is the distinct 1995 months derived from ``orders`` (a
+    filtered build side the optimizer can only evaluate at runtime), and
+    the join key is the partition column — so the fact scan must carry a
+    ``dynamicpruningexpression`` partition filter, reading 12 of ~84
+    partition directories. Oracle equivalence holds because the write →
+    read round-trip is semantically the identity on rows.
+
+    100 TB posture: this is the layout/pruning discipline that turns a
+    full-corpus scan into a per-day (here per-month) touch; the same plan
+    shape covers the reference's city/year/month/day layout."""
+    fact = partitioned_lineitem(spark, sf_dir)
+    months = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_ym"))
+        .filter(F.col("ship_ym").startswith("1995"))
+        .distinct()
+    )
+    joined = fact.join(months, "ship_ym")
+    return (
+        joined.groupBy("ship_ym")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

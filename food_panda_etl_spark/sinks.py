@@ -105,6 +105,35 @@ def s3a_conf(
     }
 
 
+def apply_s3a_conf(spark, conf: dict[str, str]) -> list[str]:
+    """Apply :func:`s3a_conf` to a LIVE session: ``spark.hadoop.*`` keys
+    are static builder conf, but the underlying Hadoop Configuration —
+    the object the S3A filesystem actually reads — is mutable at runtime.
+    SQL-layer keys (committer protocol classes) go through ``spark.conf``,
+    which validates the class is loadable: on a deployment without the
+    ``spark-hadoop-cloud`` module those keys cannot apply and are returned
+    as skipped (empty list = everything applied). Set them on the builder
+    of a cluster that ships the cloud committers.
+
+    Runbook: ``apply_s3a_conf(spark, s3a_conf(endpoint, key, secret))``
+    then ``df.write.parquet("s3a://bucket/prefix")`` — the directory
+    committer multiparts and commits without rename storms.
+    """
+    from pyspark.errors.exceptions.captured import IllegalArgumentException
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    skipped: list[str] = []
+    for k, v in conf.items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop."):], v)
+        else:
+            try:
+                spark.conf.set(k, v)
+            except IllegalArgumentException:
+                skipped.append(k)  # committer jar not on this classpath
+    return skipped
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -79,6 +79,19 @@ def test_minhash_join_is_equi_not_cross(spark, sf_dir):
     assert s.cartesian_products == 0
 
 
+def test_partition_prune_is_dynamic(spark, sf_dir):
+    """The S9 round-trip query must prune partitions dynamically: the
+    fact scan carries a dynamicpruningexpression PartitionFilter fed by
+    the filtered dim — the 100 TB layout discipline, end-to-end."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_partition_prune"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    s = plan_summary(df)
+    assert s.scans_with_partition_filters >= 1
+
+
 def test_embed_neardup_has_no_quadratic_join(spark, sf_dir):
     """The declared embedding near-dup path must contain NO O(N²) join
     node — no BroadcastNestedLoopJoin, no CartesianProduct. (Round 1 the
