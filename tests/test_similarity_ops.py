@@ -53,11 +53,11 @@ def test_lsh_neardup_recall_and_exactness(spark, sf_dir):
 
 
 def test_embed_neardup_auto_matches_exact_bitwise(spark, sf_dir):
-    """The declared q_embed_neardup path (threshold-tuned LSH + exact
-    verify) must reproduce the exact operator's output EXACTLY — same
-    pairs, same score bits — because the driver hash-compares it against
-    the all-pairs DuckDB oracle. exact_max_rows=0 forces the LSH path even
-    on the 500-row fixture."""
+    """The declared q_embed_neardup path must reproduce the exact
+    operator's output EXACTLY — same pairs, same score bits — because the
+    driver hash-compares it against the all-pairs DuckDB oracle.
+    exact_max_rows=0 forces the scale path (triangle block join at
+    θ=0.4) even on the 500-row fixture."""
     from food_panda_etl_spark.operators.similarity import embed_neardup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -70,6 +70,44 @@ def test_embed_neardup_auto_matches_exact_bitwise(spark, sf_dir):
         for r in embed_neardup_pairs(e, threshold=0.4, exact_max_rows=0).collect()
     }
     assert auto == exact  # full recall AND bit-identical scores
+
+
+def test_triangle_join_every_block_count(spark, sf_dir):
+    """The triangle equi-join must enumerate every unordered pair exactly
+    once for ANY block count (same-block pairs only in the diagonal
+    bucket) — bit-identical to the exact baseline."""
+    from food_panda_etl_spark.operators.similarity import triangle_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").limit(120)
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_neardup_pairs(e, threshold=0.35).collect()
+    }
+    for blocks in (1, 2, 3, 7):
+        tri = {
+            (r["id_a"], r["id_b"]): r["score"]
+            for r in triangle_neardup_pairs(e, threshold=0.35, blocks=blocks).collect()
+        }
+        assert tri == exact, f"blocks={blocks}"
+
+
+def test_embed_neardup_lsh_branch_high_threshold(spark, sf_dir):
+    """θ>=0.6 routes through banded LSH + verify (incl. the wide >64-plane
+    branch at θ=0.9): no false positives, and every surviving pair is in
+    the exact set with identical bits."""
+    from food_panda_etl_spark.operators.similarity import embed_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    for theta in (0.7, 0.9):
+        exact = {
+            (r["id_a"], r["id_b"]): r["score"]
+            for r in cosine_neardup_pairs(e, threshold=theta).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["score"]
+            for r in embed_neardup_pairs(e, threshold=theta, exact_max_rows=0).collect()
+        }
+        assert got == exact  # fixture has no pairs that high — both empty
 
 
 def test_embed_neardup_small_corpus_guard(spark, sf_dir):
