@@ -54,18 +54,18 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_batch_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2/P5 — page-batch stamping: batch = ceil(seq/48) (ref: page index
     stamped on every vendor row, /root/reference/src/services/vendor.rs:66,
-    page size 48 /root/reference/src/main.rs:120). NOTE: a global
-    row_number is a single-partition window — correct but serial; at 100 TB
-    batch identity should derive from a key (hash-bucket) or from
-    monotonically-increasing partition-local ids, not a global sort. Kept
-    here because reference parity demands exact global page numbers."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ceil(F.row_number().over(w).cast("double") / 48.0)
-        .cast("int")
-        .alias("batch_number"),
+    page size 48 /root/reference/src/main.rs:120). The exact global
+    sequence comes from operators/order.py::global_row_number — the
+    two-phase range-partition + local-rank + prefix-sum-offset scheme —
+    NOT a single-partition ``row_number() OVER (ORDER BY ...)``, which
+    serializes the whole table through one task at 100 TB. Same output
+    (o_orderkey is unique → total order), scalable plan."""
+    from food_panda_etl_spark.operators.order import batch_number, global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    numbered = global_row_number(o, ["o_orderkey"], out_col="__rn")
+    return numbered.select(
+        "o_orderkey", batch_number(F.col("__rn")).alias("batch_number")
     )
 
 

@@ -79,6 +79,42 @@ def test_minhash_join_is_equi_not_cross(spark, sf_dir):
     assert s.cartesian_products == 0
 
 
+def test_global_row_number_is_range_partitioned(spark, sf_dir):
+    """q_batch_number must NOT contain a single-partition global window:
+    the plan carries rangepartitioning (phase 1) and every Window node
+    has a partition spec. Output equality with the naive global window is
+    asserted in test_oracle_parity (the oracle IS the global window)."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_batch_number"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan or "__pid" in plan
+
+
+def test_global_row_number_matches_naive_window(spark):
+    """Two-phase numbering == the naive global window on data with many
+    partitions and duplicate-free keys."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from food_panda_etl_spark.operators.order import global_row_number
+
+    df = spark.range(0, 10_000, 1, 8).select(
+        (F.col("id") * 7919 % 10_000).alias("k")  # permuted, unique
+    )
+    naive = {
+        r["k"]: r["rn"]
+        for r in df.select(
+            "k", F.row_number().over(W.orderBy("k")).alias("rn")
+        ).collect()
+    }
+    fast = {
+        r["k"]: r["rn"] for r in global_row_number(df, ["k"]).collect()
+    }
+    assert fast == naive
+
+
 def test_partition_prune_is_dynamic(spark, sf_dir):
     """The S9 round-trip query must prune partitions dynamically: the
     fact scan carries a dynamicpruningexpression PartitionFilter fed by
