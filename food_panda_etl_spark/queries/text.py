@@ -233,3 +233,119 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", cleaned.alias("clean_text"))
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — TF-IDF top-3 terms per document, log-free variant
+    (score = tf · N/df): every factor is an integer so the double math is
+    a single division+multiply — bit-identical across engines, unlike
+    ln() whose libm rounding may differ. Plan: token explode (narrow) →
+    (doc, term) hash agg → term-level df agg (broadcast back: df table is
+    vocabulary-sized, far smaller than the corpus) → per-doc top-k via
+    WindowGroupLimit. At 100 TB the only fact-wide shuffles are the two
+    aggregations; the df join broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 1, 0)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             ) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS total_bigrams,
+           CAST(len(list_distinct(grams)) AS INT) AS distinct_bigrams,
+           CASE WHEN len(grams) = 0 THEN NULL
+                ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE) END AS dup_ratio
+    FROM g
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — repetition quality signal (Gopher-style duplicate-bigram
+    fraction): high dup_ratio flags boilerplate/spam for training-data
+    filtering. Pure narrow map — per-row array ops, zero shuffle; the
+    ratio is an integer-derived double (deterministic division)."""
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the token array BEFORE the transform lambda captures it:
+    # a split() expression inside the lambda re-evaluates per element
+    # (the quadratic trap operators/dedup.py::_shingles documents)
+    with_toks = d.select("doc_id", tokens_col().alias("__toks"))
+    toks = F.col("__toks")
+    k = F.size(toks) - 1
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )
+    total = F.size(grams)
+    dist = F.size(F.array_distinct(grams))
+    return with_toks.select(
+        "doc_id",
+        total.alias("total_bigrams"),
+        dist.alias("distinct_bigrams"),
+        F.when(total == 0, F.lit(None).cast("double"))
+        .otherwise((total - dist).cast("double") / total.cast("double"))
+        .alias("dup_ratio"),
+    )
