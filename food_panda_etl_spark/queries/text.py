@@ -263,10 +263,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score = tf · N/df): every factor is an integer so the double math is
     a single division+multiply — bit-identical across engines, unlike
     ln() whose libm rounding may differ. Plan: token explode (narrow) →
-    (doc, term) hash agg → term-level df agg (broadcast back: df table is
-    vocabulary-sized, far smaller than the corpus) → per-doc top-k via
+    (doc, term) hash agg → term-level df agg → per-doc top-k via
     WindowGroupLimit. At 100 TB the only fact-wide shuffles are the two
-    aggregations; the df join broadcasts."""
+    aggregations; the df side is vocabulary-sized, so AQE broadcasts it
+    when it fits and shuffle-joins when it does not (no forced hint)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
         F.col("term") != ""
@@ -274,8 +274,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
+    # no broadcast HINT on df_: it is vocabulary-sized (small at test SFs,
+    # where AQE broadcasts it anyway, but potentially GBs at corpus scale
+    # — a forced broadcast would OOM exactly when it matters)
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
