@@ -31,6 +31,12 @@ DIMENSION_TABLES = {"region", "nation", "supplier", "part"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The engine's determinism contract (SURVEY.md §7) is UTC sessions:
+    # every declared query's timestamp math must hash-match a naive-UTC
+    # DuckDB oracle. Pin it here so sessions we did not build (the
+    # correctness driver's, a notebook's) behave identically on a
+    # non-UTC host. Runtime-settable, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark
         # rejects outright unless nanos are surfaced as epoch-nanos longs.
