@@ -100,3 +100,50 @@ def test_running_sum_ends_at_group_total(spark, rows):
     totals = df.groupBy("k").agg(F.sum("v").alias("t"))
     joined = last.join(totals, "k")
     assert joined.filter(F.col("rs") != F.col("t")).count() == 0
+
+
+@SET
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1, max_size=60, unique=True,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_global_row_number_is_a_permutation_rank(spark, keys, nparts):
+    """Two-phase numbering assigns exactly rank-in-sorted-order for any
+    unique key set and any partition count."""
+    from food_panda_etl_spark.operators.order import global_row_number
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(3)
+    got = {
+        r["k"]: r["rn"]
+        for r in global_row_number(df, ["k"], num_partitions=nparts).collect()
+    }
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expect
+
+
+@SET
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    blocks=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_triangle_join_enumerates_every_pair_once(spark, n, blocks, seed):
+    """For any block count the triangle equi-join must score every
+    unordered pair exactly once: with threshold=-1 (accept all) the output
+    is exactly the n*(n-1)/2 pair set, no dups, no misses."""
+    import random
+
+    from food_panda_etl_spark.operators.similarity import triangle_neardup_pairs
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in triangle_neardup_pairs(df, threshold=-1.0, blocks=blocks).collect()
+    ]
+    assert len(got) == len(set(got)) == n * (n - 1) // 2
+    assert all(a < b for a, b in got)
