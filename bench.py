@@ -20,11 +20,12 @@ from food_panda_etl_spark.session import get_spark
 # Scale-relevant headline set: fact-table scans/aggs/joins/windows + the
 # LLM-pipeline operators. q_ngram_jaccard excluded (exact all-pairs
 # shingle join is the non-scale path by design; q_minhash_neardup is its
-# scale replacement and IS measured). q_embed_neardup_lsh excluded for the
-# same reason inverted: at this corpus's low-similarity threshold (0.4)
-# LSH needs r=4-bit bands for recall, which prunes so little that it costs
-# more than the measured exact q_embed_neardup; LSH pays off at real
-# near-dup thresholds (>=0.85) — see operators/similarity.py.
+# scale replacement and IS measured). q_embed_neardup now measures the
+# regime-routed declared path (triangle block equi-join at θ=0.4 — sign-
+# LSH cannot prune below ~0.6; see operators/similarity.py); the banded
+# LSH branch is what runs at real near-dup thresholds (>=0.6).
+# Round-2 additions at the END of the list so per-query times stay
+# comparable against BENCH_r01 keys.
 HEADLINE = [
     "q_scan_count",
     "q_filter_range",
@@ -56,6 +57,12 @@ HEADLINE = [
     "q_simhash_neardup",
     "q_cosine_topk",
     "q_embed_neardup",
+    # round-2 additions (q_partition_prune stays out: it rewrites the
+    # partitioned dataset each run — a sink exercise, measured in tests,
+    # at odds with the no-disk-write rule above)
+    "q_batch_number",
+    "q_tfidf",
+    "q_repetition",
 ]
 
 
