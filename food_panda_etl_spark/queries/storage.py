@@ -81,3 +81,45 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderkey,
+             (o_orderkey * 2654435761) % 1000 AS bucket
+      FROM orders
+    )
+    SELECT CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the data-mixing primitive
+    every training pipeline needs. Assignment is multiplicative hashing
+    (Knuth: key · 2654435761 mod 1000) — pure integer arithmetic, so the
+    SAME rows land in the same split in any engine, any run, any
+    partitioning (unlike ``df.randomSplit``, whose assignment depends on
+    partition layout). 80/10/10 thresholds on the bucket. A narrow map +
+    one aggregation; at 100 TB the split column is computed in the scan
+    projection and the write fans out via ``partitionBy('split')``."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % 1000
+    tagged = o.select(
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+        .alias("split"),
+        "o_orderkey",
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

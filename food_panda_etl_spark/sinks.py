@@ -105,6 +105,54 @@ def s3a_conf(
     }
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_keys: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the unglamorous operation that keeps a
+    100 TB lake readable. Streaming/incremental writers leave thousands
+    of KB-sized files per partition; every downstream scan then pays one
+    task + one object-store GET per file. This rewrites the dataset into
+    ``ceil(bytes / target_file_bytes)`` files (per partition when
+    ``partition_keys`` is given), sizing from the FILESYSTEM (actual
+    bytes), not row counts. Returns the file count written.
+
+    The rewrite goes through a temp dir + atomic-ish swap so a failed
+    compaction never destroys the source. At real scale run per-partition
+    (only partitions whose file count exceeds a threshold) — the
+    partition_keys path here preserves the hive layout via partitionBy.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    if not files:
+        return 0
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_keys:
+        writer = writer.partitionBy(*partition_keys)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return len(
+        [f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)]
+    )
+
+
 def apply_s3a_conf(spark, conf: dict[str, str]) -> list[str]:
     """Apply :func:`s3a_conf` to a LIVE session: ``spark.hadoop.*`` keys
     are static builder conf, but the underlying Hadoop Configuration —

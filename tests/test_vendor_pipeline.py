@@ -192,3 +192,30 @@ def test_partition_pruning_reaches_scan(spark, out_dir):
     assert "PartitionFilters" in plan
     assert "city_id" in plan.split("PartitionFilters", 1)[1][:200]
     assert q.count() == 4
+
+
+def test_compact_parquet_merges_small_files(spark, out_dir):
+    """A fragmented dataset (64 tiny files) compacts to the byte-target
+    file count with identical rows; a second compaction is a no-op shape."""
+    import glob
+    import os
+
+    from food_panda_etl_spark.sinks import compact_parquet
+    from food_panda_etl_spark.tables import load_table
+
+    path = os.path.join(out_dir, "frag")
+    li = load_table(spark, os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"), "lineitem")
+    li.repartition(64).write.parquet(path)  # simulate a streaming writer
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert before >= 64
+    rows_before = spark.read.parquet(path).count()
+    checksum_before = (
+        spark.read.parquet(path).selectExpr("sum(hash(l_orderkey, l_linenumber)) h").collect()[0]["h"]
+    )
+    n_files = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_files < before and n_files >= 1
+    assert spark.read.parquet(path).count() == rows_before
+    checksum_after = (
+        spark.read.parquet(path).selectExpr("sum(hash(l_orderkey, l_linenumber)) h").collect()[0]["h"]
+    )
+    assert checksum_after == checksum_before
