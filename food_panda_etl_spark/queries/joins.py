@@ -200,3 +200,39 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_break="event_id",
     )
     return out.select("event_id", F.col("asof_event_id").alias("prev_event_id"))
+
+
+@query(
+    "q_nullsafe_join",
+    oracle="""
+    WITH l AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+               FROM customer),
+         r AS (SELECT n_nationkey, n_name FROM nation
+               UNION ALL SELECT NULL, 'UNASSIGNED')
+    SELECT l.c_custkey, r.n_name
+    FROM l JOIN r ON l.nk IS NOT DISTINCT FROM r.n_nationkey
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the idiom for joining
+    "unassigned" rows to a sentinel dimension row. Still a hash-joinable
+    equi condition (EqualNullSafe), so the plan is a broadcast hash join,
+    not a BNLJ."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    left = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    right = n.select("n_nationkey", "n_name").unionByName(
+        n.sparkSession.createDataFrame(
+            [(None, "UNASSIGNED")], "n_nationkey bigint, n_name string"
+        )
+    )
+    return left.join(
+        F.broadcast(right), left["nk"].eqNullSafe(right["n_nationkey"])
+    ).select("c_custkey", "n_name")

@@ -117,3 +117,34 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n_name), (r_name), ())
         """
     )
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 50000)
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst decorrelates into a
+    left-semi plus a left-anti join on o_custkey (two hash joins, no
+    per-row subquery re-execution). The filter predicates push into the
+    orders scans before either join."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+        """
+    )
