@@ -128,6 +128,32 @@ def test_partition_prune_is_dynamic(spark, sf_dir):
     assert s.scans_with_partition_filters >= 1
 
 
+def test_exists_subquery_decorrelates_to_semi_anti(spark, sf_dir):
+    """EXISTS/NOT EXISTS must become two hash joins (semi + anti) with
+    pushed scan filters — no per-row subquery re-execution."""
+    s = plan_summary(QUERIES["q_exists_subquery"](spark, sf_dir))
+    assert s.broadcast_joins + s.sort_merge_joins == 2
+    assert s.nested_loop_joins == 0 and s.cartesian_products == 0
+    assert s.scans_with_pushed_filters >= 2
+
+
+def test_tfidf_topk_is_window_group_limit(spark, sf_dir):
+    """Per-doc top-3 must push the k-limit below the shuffle
+    (WindowGroupLimit); the only BNLJ allowed is the benign 1-row
+    n_docs broadcast cross join."""
+    s = plan_summary(QUERIES["q_tfidf"](spark, sf_dir))
+    assert s.window_group_limits >= 1
+    assert s.nested_loop_joins <= 1  # the 1-row corpus-count broadcast
+
+
+def test_nullsafe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe must stay hash-joinable (EqualNullSafe keys), never a
+    nested-loop fallback."""
+    s = plan_summary(QUERIES["q_nullsafe_join"](spark, sf_dir))
+    assert s.broadcast_joins + s.sort_merge_joins >= 1
+    assert s.nested_loop_joins == 0 and s.cartesian_products == 0
+
+
 def test_embed_neardup_has_no_quadratic_join(spark, sf_dir):
     """The declared embedding near-dup path must contain NO O(N²) join
     node — no BroadcastNestedLoopJoin, no CartesianProduct. (Round 1 the
