@@ -13,6 +13,13 @@ Determinism conventions (SURVEY.md §7 "hard parts"):
 - Averages: exact decimal sum → double, divided by count in double space
   (IEEE division of identical operands is identical).
 - Never ROUND() for correctness; never rely on float aggregation order.
+- Decimal→double casts are cross-engine-exact ONLY while the unscaled
+  decimal stays below 2^53: DuckDB converts int128→double then divides
+  by 10^scale (two roundings), Spark/Python round the decimal directly
+  (one). Measured divergence: SUM(price²) AS DECIMAL(28,4) at sf0.001
+  differs by 1 ulp after cast. Keep summed scales small and magnitudes
+  bounded; multi-moment statistics (corr/covar assembled from big
+  moments) are NOT oracle-safe — don't declare them oracled.
 - Temporal outputs: strings (date_format/strftime) or integer epochs.
 - Ranking windows: always a total order (unique tie-break column).
 - Int widths: explicit CASTs so Spark and DuckDB agree (INT vs BIGINT).
