@@ -149,6 +149,78 @@ def sample_frames(df: DataFrame, every_n: int = 2, frame_rows: int = 1) -> DataF
     return df.select("media_id", "payload").mapInPandas(fn, FRAMES_SCHEMA)
 
 
+def synth_audio_payload(
+    freq_hz: float, n_samples: int, rate: int = 16_000, amplitude: float = 0.5,
+    seed: int = 0,
+) -> bytes:
+    """Deterministic raw-PCM audio payload: a sine at ``freq_hz`` plus a
+    little seeded noise, encoded s16le. Unlike the fake image format this
+    IS a real audio encoding — raw PCM is what WAV carries after its
+    44-byte header — so the decode below is genuine, not a stand-in."""
+    import math
+
+    out = bytearray()
+    for i in range(n_samples):
+        noise = (((seed * 2654435761 + i * 40503) >> 7) % 199 - 99) / 99.0 * 0.01
+        v = amplitude * math.sin(2.0 * math.pi * freq_hz * i / rate) + noise
+        s = max(-32768, min(32767, int(v * 32767.0)))
+        out += s.to_bytes(2, "little", signed=True)
+    return bytes(out)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, n_samples bigint, rms double, zero_crossing_rate double, "
+    "spectral_centroid_hz double, dominant_freq_hz double"
+)
+
+
+def audio_features(df: DataFrame, rate: int = 16_000) -> DataFrame:
+    """REAL audio feature extraction over raw-PCM payloads — numpy DSP,
+    no external codec: s16le decode via ``np.frombuffer``, RMS energy,
+    zero-crossing rate, spectral centroid and dominant frequency from an
+    rFFT. This is the actual feature stage a training-data pipeline runs
+    after (stubbed, compressed-format) decode; for PCM the whole path is
+    live and unit-tested against known sine inputs.
+
+    Same scale shape as ``decode_images``: Arrow batches in, narrow typed
+    features out — the waveform bytes never survive past this stage."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_samples": [], "rms": [],
+                "zero_crossing_rate": [], "spectral_centroid_hz": [],
+                "dominant_freq_hz": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64)
+                x /= 32767.0
+                n = len(x)
+                if n == 0:
+                    feats = (0, 0.0, 0.0, 0.0, 0.0)
+                else:
+                    rms = float(np.sqrt(np.mean(x * x)))
+                    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    spec = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    power = spec * spec
+                    total = power.sum()
+                    centroid = float((freqs * power).sum() / total) if total > 0 else 0.0
+                    dominant = float(freqs[int(np.argmax(spec))])
+                    feats = (n, rms, zcr, centroid, dominant)
+                out["media_id"].append(mid)
+                out["n_samples"].append(feats[0])
+                out["rms"].append(feats[1])
+                out["zero_crossing_rate"].append(feats[2])
+                out["spectral_centroid_hz"].append(feats[3])
+                out["dominant_freq_hz"].append(feats[4])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
 EMBED_SCHEMA = "media_id bigint, embedding array<float>"
 
 

@@ -79,3 +79,32 @@ def test_embed_media_normalized(media_df):
     # deterministic across runs
     again = {r["media_id"]: r["embedding"] for r in embed_media(media_df).collect()}
     assert vecs == again
+
+
+def test_audio_features_real_dsp(spark):
+    """Raw-PCM decode + FFT features are REAL (numpy DSP, no codec stub):
+    a 440 Hz sine must report dominant frequency within one FFT bin,
+    RMS ~= amplitude/sqrt(2), and ZCR ~= 2*f/rate; a 1760 Hz tone must
+    rank higher on every spectral measure."""
+    from food_panda_etl_spark.functions.multimodal import (
+        audio_features,
+        synth_audio_payload,
+    )
+
+    rate, n = 16_000, 4096
+    rows = [
+        (1, synth_audio_payload(440.0, n, rate=rate, amplitude=0.5, seed=1)),
+        (2, synth_audio_payload(1760.0, n, rate=rate, amplitude=0.5, seed=2)),
+        (3, b""),  # empty payload must not kill the job
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_features(df, rate=rate).collect()}
+
+    bin_hz = rate / n
+    a, b = got[1], got[2]
+    assert abs(a["dominant_freq_hz"] - 440.0) <= bin_hz
+    assert abs(b["dominant_freq_hz"] - 1760.0) <= bin_hz
+    assert abs(a["rms"] - 0.5 / 2**0.5) < 0.01
+    assert abs(a["zero_crossing_rate"] - 2 * 440.0 / rate) < 0.01
+    assert b["spectral_centroid_hz"] > a["spectral_centroid_hz"]
+    assert got[3]["n_samples"] == 0 and got[3]["rms"] == 0.0
