@@ -150,8 +150,6 @@ def lsh_bucket_topk(
         mask = (1 << r) - 1
         return df.select(
             F.col(idcol).alias(out_id),
-            F.col(vcol).alias(f"{out_id}_vec"),
-            F.sqrt(l2_norm_sq(F.col(vcol))).alias(f"{out_id}_norm"),
             F.explode(
                 F.array(
                     *[
@@ -165,19 +163,31 @@ def lsh_bucket_topk(
                     ]
                 )
             ).alias("s"),
-        ).select(out_id, f"{out_id}_vec", f"{out_id}_norm", "s.band", "s.bb")
+        ).select(out_id, "s.band", "s.bb")
 
+    # Candidate dedup carries IDS ONLY — the same shuffle discipline
+    # lsh_neardup_pairs documents (floats through a distinct multiplied
+    # shuffle bytes by 2·dim); vectors re-attach after the dedup via a
+    # narrow corpus join + the broadcast-sized query side.
     vb = banded(vectors, vec_col, id_col, "neighbor_id")
     qb = banded(queries, qvec_col, qid_col, "qid")
-    cand = (
+    cand_ids = (
         vb.join(qb, ["band", "bb"])
         .filter(F.col("neighbor_id") != F.col("qid"))
-        .select(
-            "qid", "qid_vec", "qid_norm", "neighbor_id", "neighbor_id_vec",
-            "neighbor_id_norm",
-        )
+        .select("qid", "neighbor_id")
         .distinct()
     )
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_id_vec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("neighbor_id_norm"),
+    )
+    qs = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).alias("qid_vec"),
+        F.sqrt(l2_norm_sq(F.col(qvec_col))).alias("qid_norm"),
+    )
+    cand = cand_ids.join(corpus, "neighbor_id").join(F.broadcast(qs), "qid")
     scored = cand.select(
         "qid",
         "neighbor_id",
