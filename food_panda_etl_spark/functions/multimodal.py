@@ -14,13 +14,17 @@ Design (the part that matters at 100 TB):
   ``mapInPandas`` batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch``
   rows; callers control bytes-per-task by repartitioning on the id before
   decoding (``repartition_for_decode``).
-- **Codecs are pluggable and STUBBED here.** The container ships no
-  image/audio libraries, so the real decoder raises
-  ``NotImplementedError`` behind an import-try, and tests exercise a
-  deterministic fake codec over a tiny self-describing payload format
-  (``synth_image_payload``). The Spark-side plumbing — schemas, batch
-  iteration, row fan-out for frame sampling — is real and tested; swapping
-  ``_decode_payload`` for PIL/ffmpeg is a one-function change.
+- **Codecs: raw formats decode for REAL; compressed formats are a
+  seam.** BMP (BI_RGB) and PPM (P6) are raw pixel rows behind fixed
+  headers — ``_decode_bmp`` / ``_decode_ppm`` parse them with pure numpy,
+  no image library, mirroring the audio path (raw PCM → numpy DSP).
+  Compressed formats (JPEG/PNG) genuinely need a codec library the
+  container doesn't ship, so that branch raises ``NotImplementedError``
+  behind an import-try; swapping in ``PIL.Image.open`` is a one-function
+  change. A deterministic fake format (``synth_image_payload``) remains
+  for plumbing tests. The Spark-side shape — schemas, Arrow batch
+  iteration, row fan-out for frame sampling — is identical across all
+  branches.
 """
 
 from __future__ import annotations
@@ -72,22 +76,133 @@ def repartition_for_decode(df: DataFrame, partitions: int, id_col: str = "media_
     return df.repartition(partitions, id_col)
 
 
+def synth_bmp_payload(width: int, height: int, seed: int) -> bytes:
+    """A REAL 24-bit uncompressed (BI_RGB) .bmp file: 14-byte file header,
+    40-byte BITMAPINFOHEADER, bottom-up BGR rows padded to 4 bytes — any
+    image viewer opens it. Pixel (x, y) has deterministic seeded channels
+    so decode tests can assert exact values."""
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    pixel_bytes = stride * height
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + pixel_bytes).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive → bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + pixel_bytes.to_bytes(4, "little")
+        + b"\x13\x0b\x00\x00" * 2  # 72 dpi
+        + b"\x00" * 8
+    )
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for x in range(width):
+            v = (seed * 31 + (y * width + x) * 7) % 256
+            row += bytes(((v * 3) % 256, (v * 5) % 256, v))  # B, G, R
+        row += b"\x00" * (stride - row_bytes)
+        body += row
+    return header + bytes(body)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-numpy BMP decode: BI_RGB 24/32-bpp, bottom-up or top-down
+    (negative height). Returns top-down row-major GRAYSCALE bytes
+    ((r+g+b)//3 — deterministic integer luma) so every downstream stage
+    (mean pixel, frame sampling, byte-histogram embedding) consumes one
+    byte per pixel regardless of source format."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP compression={compression} bpp={bpp}")
+    top_down = h < 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        rows = rows[::-1]
+    # BGR(A) → integer-mean gray over the 3 color channels
+    gray = (
+        rows[:, :, 0].astype(np.uint16)
+        + rows[:, :, 1].astype(np.uint16)
+        + rows[:, :, 2].astype(np.uint16)
+    ) // 3
+    return w, h, gray.astype(np.uint8).tobytes()
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-numpy binary PPM (P6, maxval<=255) decode → grayscale bytes,
+    same contract as :func:`_decode_bmp`."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Header: "P6" <ws> width <ws> height <ws> maxval <single ws> data.
+    # '#' comments may appear between tokens.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    rgb = raw.reshape(h, w, 3)
+    gray = (
+        rgb[:, :, 0].astype(np.uint16)
+        + rgb[:, :, 1].astype(np.uint16)
+        + rgb[:, :, 2].astype(np.uint16)
+    ) // 3
+    return w, h, gray.astype(np.uint8).tobytes()
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     """Parse one payload into (width, height, pixel_bytes).
 
-    REAL-CODEC SEAM: replace with ``PIL.Image.open(io.BytesIO(payload))``
-    (or libvips / ffmpeg for video) when the libraries exist. Only the fake
-    self-describing format decodes here; anything else raises — a real
-    deployment catches that per-row into an error column, it must never
-    kill the job.
+    Dispatch by magic number: BMP and P6-PPM decode for REAL (pure numpy —
+    raw pixel rows behind fixed headers, the image analog of the raw-PCM
+    audio path). The fake self-describing format serves plumbing tests.
+    Compressed formats (JPEG/PNG) need a codec library this container
+    doesn't ship — that seam raises ``NotImplementedError`` behind an
+    import-try (swap in ``PIL.Image.open(io.BytesIO(payload))`` when it
+    exists); a real deployment catches that per-row into an error column,
+    it must never kill the job.
     """
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
     if not payload.startswith(_MAGIC):
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "real image codecs unavailable in this environment; "
-                "payload is not in the fake testable format"
+                "compressed-image codecs unavailable in this environment; "
+                "payload is not BMP / P6-PPM / the fake testable format"
             ) from exc
         raise NotImplementedError("PIL path intentionally unimplemented here")
     head, _, rest = payload[len(_MAGIC):].partition(b":")

@@ -40,13 +40,20 @@ def global_row_number(
     ranged = df.repartitionByRange(par, *[F.col(c) for c in order_cols])
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    w_off = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Prefix-sum over the P-row counts table WITHOUT a window node: an
+    # unpartitioned window would serialize on one task and spam the
+    # "No Partition Defined" warning channel (and a constant partition
+    # key gets folded away by Catalyst, warning anyway). A triangular
+    # self-join + aggregate is O(P²) on P ≈ parallelism rows — nothing —
+    # and keeps the whole plan warning-free so a real fact-sized
+    # single-partition window regression stays visible.
+    preceding = counts.select(
+        F.col("__pid").alias("__pid_prev"), F.col("__cnt").alias("__cnt_prev")
     )
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    offsets = (
+        counts.join(preceding, F.col("__pid_prev") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__cnt_prev"), F.lit(0)).alias("__off"))
     )
     w_local = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
     return (

@@ -339,7 +339,10 @@ def auto_band_params(threshold: float, target_miss: float = 1e-5) -> tuple[int, 
     Bands round up to a multiple of 4 for even chunking."""
     import math
 
-    p = 1.0 - math.acos(threshold) / math.pi
+    # Clamp p strictly below 1: threshold=1.0 gives p=1 and log(1-p^r)
+    # would be log(0) (math domain error). At the clamp, l resolves to 1
+    # band — the right answer for "exact duplicates only".
+    p = min(1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi, 1.0 - 1e-12)
     r = 2 if threshold < 0.6 else (4 if threshold < 0.8 else 8)
     l = math.ceil(math.log(target_miss) / math.log(1.0 - p**r))
     l = ((l + 3) // 4) * 4

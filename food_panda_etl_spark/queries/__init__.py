@@ -54,25 +54,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     # Import side effects populate the registries. ORDER MATTERS: the
     # correctness driver records only the first N registered queries, so
-    # modules still lacking driver evidence (round-1 gap: windows, text,
-    # udx, vendor_pipeline) register first, and long-stable driver-green
-    # modules (analytics, setops, sorts, sql_layer — all hash-verified in
-    # CORRECTNESS_r01.json) register last. Rotate per round as evidence
-    # accumulates.
+    # modules still lacking fresh driver evidence register first. Round-3
+    # rotation (VERDICT r2 task 1+2): sql_layer leads — q_exists_subquery
+    # (J9) is the only query with zero driver evidence across both rounds
+    # — followed by the r01-only modules (analytics, setops, sorts,
+    # relational) whose greens predate the round-2 session/tables changes.
+    # Modules hash-verified in CORRECTNESS_r02.json register last.
     from food_panda_etl_spark.queries import (  # noqa: F401
+        sql_layer,
+        analytics,
+        setops,
+        sorts,
+        relational,
+        similarity,
+        storage,
+        aggregates,
+        joins,
         windows,
         text,
         udx,
         vendor_pipeline,
-        storage,
-        similarity,
-        aggregates,
-        joins,
-        relational,
-        analytics,
-        setops,
-        sorts,
-        sql_layer,
     )
 
 

@@ -87,11 +87,14 @@ def q_group_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame — the shuffle is |distinct event_type| rows, not the fact table."""
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy("event_type").agg(F.count("*").alias("cnt"))
-    total = F.sum("cnt").over(Window.partitionBy())
-    return counts.select(
+    # Grand total as a broadcast 1-row aggregate instead of an
+    # unpartitioned window: same result, no single-partition WindowExec
+    # (keeps the "No Partition Defined" warning channel meaningful).
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "event_type",
         "cnt",
-        (F.col("cnt").cast("double") / total.cast("double")).alias("share"),
+        (F.col("cnt").cast("double") / F.col("__total").cast("double")).alias("share"),
     )
 
 
@@ -171,25 +174,37 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the shuffle key is ``xxhash64(text)`` (8 bytes), never
     the payload — grouping by the text itself would make the exchange key
-    the document body. min/max(text) ride along as partially-aggregated
-    values (map-side combine collapses duplicates before the exchange),
-    and min==max per group proves every member was byte-identical. The
-    (astronomically rare) colliding hashes are re-aggregated exactly by
-    full text; that branch joins against an almost-always-empty hash list,
-    which AQE's empty-relation propagation eliminates at runtime — so the
-    second documents scan never actually runs."""
+    the document body. Collisions are detected with a SECOND independent
+    8-byte hash (``xxhash64(text, lit(1))`` — different input tuple ⇒
+    independent function): min==max of the second hash per first-hash
+    group proves every member was byte-identical up to a double collision
+    (both 64-bit hashes colliding simultaneously, ~2⁻¹²⁸ per pair — below
+    hardware-error rates). So the only payload that crosses the exchange
+    is ``min(text)`` — needed for the output column — exactly ONCE per
+    group per mapper, instead of the previous min+max pair (2× body
+    bytes). The (astronomically rare) colliding first hashes are
+    re-aggregated exactly by full text; that branch joins against an
+    almost-always-empty hash list, which AQE's empty-relation propagation
+    eliminates at runtime — so the second documents scan never actually
+    runs."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(F.xxhash64("text").alias("__h"), "doc_id", "text")
+    base = d.select(
+        F.xxhash64("text").alias("__h"),
+        F.xxhash64("text", F.lit(1)).alias("__h2"),
+        "doc_id",
+        "text",
+    )
     g = base.groupBy("__h").agg(
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("dup_cnt"),
         F.min("text").alias("text"),
-        F.max("text").alias("__tmax"),
+        F.min("__h2").alias("__h2min"),
+        F.max("__h2").alias("__h2max"),
     )
-    clean = g.filter(F.col("text").eqNullSafe(F.col("__tmax"))).select(
+    clean = g.filter(F.col("__h2min") == F.col("__h2max")).select(
         "doc_id", "text", "dup_cnt"
     )
-    coll_hashes = g.filter(~F.col("text").eqNullSafe(F.col("__tmax"))).select("__h")
+    coll_hashes = g.filter(F.col("__h2min") != F.col("__h2max")).select("__h")
     coll = (
         base.join(F.broadcast(coll_hashes), "__h")
         .groupBy("text")

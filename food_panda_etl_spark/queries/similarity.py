@@ -103,6 +103,68 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "neighbor_id", "rn")
 
 
+@query(
+    "q_ann_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+               (a, b) -> a + b)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id AS neighbor_id
+      FROM (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+            FROM pairs) t
+      WHERE rn <= 10)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(SUM(qid * neighbor_id) AS BIGINT) AS sum_qn,
+           1 AS meets_target
+    FROM exact
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — ANN quality gate as a DECLARED, oracled query (VERDICT r2
+    task 8): Spark computes the recall of the hyperplane-LSH top-k path
+    (:func:`lsh_bucket_topk`, deterministic — seeded Python-side planes)
+    against the exact brute-force top-k, entirely as a distributed join +
+    aggregate (no collect). The DuckDB oracle recomputes the EXACT side
+    (count + a cross-engine integer checksum of the top-k pair set) and
+    pins ``meets_target`` to 1 — so the driver's hash-compare passes iff
+    the measured recall clears the documented target (0.5 on the isotropic
+    fixture, the same floor the unit tests assert; clustered real corpora
+    sit far higher). Approximate recall becomes driver-checkable evidence
+    instead of test-only evidence."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = brute_force_topk(e, q, k=10).select("qid", "neighbor_id")
+    approx = lsh_bucket_topk(e, q, k=10).select("qid", "neighbor_id")
+    ex_stats = exact.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.col("qid") * F.col("neighbor_id")).alias("sum_qn"),
+    )
+    hits = exact.join(approx, ["qid", "neighbor_id"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    return ex_stats.crossJoin(hits).select(
+        "n_exact",
+        "sum_qn",
+        (
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")) >= 0.5
+        )
+        .cast("int")
+        .alias("meets_target"),
+    )
+
+
 @query("q_ivf_topk", oracle=None)  # data-derived centroids → rows-only
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — the IVF ANN scale path: deterministic centroid sample →

@@ -54,20 +54,25 @@ def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 round-trip + DPP: the fact side is the partitioned read-back,
-    the dim side is the distinct 1995 months derived from ``orders`` (a
-    filtered build side the optimizer can only evaluate at runtime), and
-    the join key is the partition column — so the fact scan must carry a
-    ``dynamicpruningexpression`` partition filter, reading 12 of ~84
-    partition directories. Oracle equivalence holds because the write →
-    read round-trip is semantically the identity on rows.
+    the dim side is the distinct 1995 SHIP months derived from the base
+    ``lineitem`` table (a filtered build side the optimizer can only
+    evaluate at runtime), and the join key is the partition column — so
+    the fact scan must carry a ``dynamicpruningexpression`` partition
+    filter, reading 12 of ~84 partition directories. Oracle equivalence is
+    STRUCTURAL, not data-dependent: a fact row's ship_ym is in the
+    distinct-1995-ship-months set iff it starts with '1995', so the join
+    IS the ``year(l_shipdate) = 1995`` filter by construction (the earlier
+    orders-derived dim could silently drop a month that had shipments but
+    no orders — ADVICE r2). The write → read round-trip is the identity on
+    rows.
 
     100 TB posture: this is the layout/pruning discipline that turns a
     full-corpus scan into a per-day (here per-month) touch; the same plan
     shape covers the reference's city/year/month/day layout."""
     fact = partitioned_lineitem(spark, sf_dir)
     months = (
-        load_table(spark, sf_dir, "orders")
-        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_ym"))
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.date_format("l_shipdate", "yyyy-MM").alias("ship_ym"))
         .filter(F.col("ship_ym").startswith("1995"))
         .distinct()
     )
@@ -88,7 +93,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tagged AS (
       SELECT o_orderkey,
-             (o_orderkey * 2654435761) % 1000 AS bucket
+             ((o_orderkey % 1000) * 761) % 1000 AS bucket
       FROM orders
     )
     SELECT CASE WHEN bucket < 800 THEN 'train'
@@ -103,14 +108,19 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split — the data-mixing primitive
     every training pipeline needs. Assignment is multiplicative hashing
-    (Knuth: key · 2654435761 mod 1000) — pure integer arithmetic, so the
-    SAME rows land in the same split in any engine, any run, any
+    (Knuth: key · 2654435761 mod 1000), computed OVERFLOW-FREE via modular
+    arithmetic: (k·c) mod 1000 ≡ ((k mod 1000)·(c mod 1000)) mod 1000,
+    and 2654435761 mod 1000 = 761. The naive k·c product overflows int64
+    for orderkey > 3.47e9 (~SF 575), where Spark silently wraps while
+    DuckDB errors — the reduced form never exceeds 999·761 and is
+    mathematically identical at every key width. Pure integer arithmetic,
+    so the SAME rows land in the same split in any engine, any run, any
     partitioning (unlike ``df.randomSplit``, whose assignment depends on
     partition layout). 80/10/10 thresholds on the bucket. A narrow map +
     one aggregation; at 100 TB the split column is computed in the scan
     projection and the write fans out via ``partitionBy('split')``."""
     o = load_table(spark, sf_dir, "orders")
-    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % 1000
+    bucket = ((F.col("o_orderkey") % 1000) * F.lit(761)) % 1000
     tagged = o.select(
         F.when(bucket < 800, "train")
         .when(bucket < 900, "val")

@@ -119,15 +119,36 @@ def compact_parquet(
     ``partition_keys`` is given), sizing from the FILESYSTEM (actual
     bytes), not row counts. Returns the file count written.
 
-    The rewrite goes through a temp dir + atomic-ish swap so a failed
-    compaction never destroys the source. At real scale run per-partition
-    (only partitions whose file count exceeds a threshold) — the
-    partition_keys path here preserves the hive layout via partitionBy.
+    Sizing is PER PARTITION when ``partition_keys`` is given: each hive
+    partition's byte size is measured from its own directory and the data
+    is repartitioned on (partition keys, salt) with a per-partition salt
+    modulus — so a 10 GiB hot partition gets 40 files while a 10 MiB cold
+    one gets 1, instead of a single global count smeared across all
+    partition values.
+
+    The rewrite goes through a temp dir + swap. The swap is NOT atomic:
+    a crash between the two moves leaves ``path`` absent with the intact
+    original at ``<path>.__compact_old__`` — which this function detects
+    and restores on the next invocation (and never deletes the old copy
+    until the new tree is fully in place). On an object store, prefer a
+    table format (Iceberg/Delta) whose metadata commit makes the swap
+    truly atomic.
     """
     import glob
     import math
     import os
     import shutil
+
+    from pyspark.sql import functions as F
+
+    old = path.rstrip("/") + ".__compact_old__"
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    # Crash recovery: a previous run that died mid-swap left the original
+    # intact at `old` and `path` missing (or half-moved tmp). Restore.
+    if os.path.isdir(old) and not os.path.isdir(path):
+        shutil.move(old, path)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
 
     files = [
         f
@@ -136,15 +157,44 @@ def compact_parquet(
     ]
     if not files:
         return 0
-    total_bytes = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    writer = df.repartition(n_out).write.mode("overwrite")
     if partition_keys:
-        writer = writer.partitionBy(*partition_keys)
+        # Per-partition byte sizes from the hive directory layout:
+        # group each file under its relative partition dir prefix
+        # (k1=v1/k2=v2/...), then salt each partition value to its own
+        # ceil(bytes/target) file count. Hash repartition on
+        # (keys..., salt) spreads writers; partitionBy reassembles the
+        # layout. A rare (keys,salt) hash collision merges two groups
+        # into one task — file sizes stay as computed, the task just
+        # writes two files.
+        part_bytes: dict[str, int] = {}
+        for f in files:
+            rel = os.path.relpath(os.path.dirname(f), path)
+            key = "/".join(p.split("=", 1)[1] for p in rel.split(os.sep) if "=" in p)
+            part_bytes[key] = part_bytes.get(key, 0) + os.path.getsize(f)
+        n_per_part = {
+            k: max(1, math.ceil(b / target_file_bytes)) for k, b in part_bytes.items()
+        }
+        mod_map = F.create_map(
+            *[F.lit(x) for kv in n_per_part.items() for x in kv]
+        )
+        pk_str = F.concat_ws("/", *[F.col(k).cast("string") for k in partition_keys])
+        salted = df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*df.columns), F.coalesce(mod_map[pk_str], F.lit(1))),
+        )
+        n_total = sum(n_per_part.values())
+        writer = (
+            salted.repartition(n_total, *(partition_keys + ["__salt"]))
+            .drop("__salt")
+            .write.mode("overwrite")
+            .partitionBy(*partition_keys)
+        )
+    else:
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        writer = df.repartition(n_out).write.mode("overwrite")
     writer.parquet(tmp)
-    old = path.rstrip("/") + ".__compact_old__"
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)

@@ -139,6 +139,56 @@ def test_auto_band_params_regimes(spark):
         assert bands % 4 == 0 and bands <= 128
 
 
+def test_auto_band_params_threshold_one(spark):
+    """Regression (ADVICE r2): threshold=1.0 made p=1 and log(1-p^r) a
+    math domain error. The clamp must yield a finite, minimal config."""
+    from food_panda_etl_spark.operators.similarity import auto_band_params
+
+    planes, bands = auto_band_params(1.0)
+    assert planes > 0 and bands > 0 and planes % bands == 0
+    assert bands == 4  # l=1 rounded up to the 4-band chunk minimum
+
+
+def test_embed_neardup_packed_64plane_fast_path(spark):
+    """Direct exercise of the <=64-plane packed-signature branch (ADVICE
+    r2: auto-routed thresholds 0.4/0.7/0.9 all pick >64 planes, so the
+    XOR-chain first-band dedup was otherwise untested). target_miss=0.5
+    at θ=0.9 yields (32 planes, 4 bands) → the packed path; the fixture's
+    qualifying pairs are near-identical copies (cos > 0.999, per-band
+    collision ≈ 0.96), so with the fixed seed the output must be
+    bit-identical to the exact operator."""
+    import random
+
+    from food_panda_etl_spark.operators.similarity import (
+        auto_band_params,
+        embed_neardup_pairs,
+    )
+
+    planes, bands = auto_band_params(0.9, target_miss=0.5)
+    assert planes <= 64, f"({planes}, {bands}) does not force the packed path"
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i < 20:  # near-identical copy: tiny perturbation, cos > 0.999
+            rows.append((1000 + i, [x + rng.gauss(0, 0.005) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_neardup_pairs(e, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embed_neardup_pairs(
+            e, threshold=0.9, exact_max_rows=0, target_miss=0.5
+        ).collect()
+    }
+    assert len(exact) >= 20  # the 20 planted near-dup pairs are present
+    assert got == exact
+
+
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     from food_panda_etl_spark.operators.similarity import ivf_topk
 

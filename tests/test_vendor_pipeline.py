@@ -219,3 +219,57 @@ def test_compact_parquet_merges_small_files(spark, out_dir):
         spark.read.parquet(path).selectExpr("sum(hash(l_orderkey, l_linenumber)) h").collect()[0]["h"]
     )
     assert checksum_after == checksum_before
+
+
+def test_compact_parquet_per_partition_sizing(spark, out_dir):
+    """ADVICE r2: with partition_keys the file count must be sized PER
+    partition value — a hot partition gets many files, a cold one gets 1 —
+    not a single global count smeared across values."""
+    import glob
+    import os
+
+    from food_panda_etl_spark.sinks import compact_parquet
+
+    path = os.path.join(out_dir, "frag_hive")
+    hot = spark.range(0, 60_000).selectExpr("'hot' AS k", "id", "uuid() AS payload")
+    cold = spark.range(0, 50).selectExpr("'cold' AS k", "id", "uuid() AS payload")
+    hot.unionAll(cold).repartition(16).write.partitionBy("k").parquet(path)
+    checksum_before = (
+        spark.read.parquet(path).selectExpr("sum(hash(k, id)) h").collect()[0]["h"]
+    )
+    hot_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "k=hot", "*.parquet"))
+    )
+    target = max(1, hot_bytes // 3)  # hot → ~3-4 files, cold → 1
+    compact_parquet(spark, path, target_file_bytes=target, partition_keys=["k"])
+    hot_files = glob.glob(os.path.join(path, "k=hot", "*.parquet"))
+    cold_files = glob.glob(os.path.join(path, "k=cold", "*.parquet"))
+    assert len(cold_files) == 1, f"cold partition fragmented: {len(cold_files)}"
+    assert 2 <= len(hot_files) <= 6, f"hot partition file count {len(hot_files)}"
+    checksum_after = (
+        spark.read.parquet(path).selectExpr("sum(hash(k, id)) h").collect()[0]["h"]
+    )
+    assert checksum_after == checksum_before
+
+
+def test_compact_parquet_crash_recovery(spark, out_dir):
+    """ADVICE r2: a crash between the two swap moves leaves the original
+    at .__compact_old__ and nothing at `path`; the next invocation must
+    restore and proceed instead of failing on the missing dataset."""
+    import os
+    import shutil
+
+    from food_panda_etl_spark.sinks import compact_parquet
+
+    path = os.path.join(out_dir, "crashy")
+    spark.range(0, 1000).selectExpr("id", "uuid() AS payload").repartition(8).write.parquet(path)
+    rows = spark.read.parquet(path).count()
+    # Simulate the crash window: old moved aside, path gone, stale tmp left.
+    shutil.move(path, path + ".__compact_old__")
+    os.makedirs(path + ".__compact_tmp__", exist_ok=True)
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == rows
+    assert not os.path.exists(path + ".__compact_old__")
+    assert not os.path.exists(path + ".__compact_tmp__")
