@@ -13,6 +13,8 @@ classic approximate-NN trade.
 
 from __future__ import annotations
 
+import pandas as pd  # module level: pandas_udf type hints resolve via globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -349,40 +351,37 @@ def auto_band_params(threshold: float, target_miss: float = 1e-5) -> tuple[int, 
     return r * l, l
 
 
-def _band_structs(vec_col, planes: list[list[float]], bands: int):
-    """Exploded-ready array of (band, bb) structs with PER-BAND bit packing
-    — unlike :func:`rhp_signature` there is no 64-plane ceiling, so wide
-    high-threshold configurations (e.g. 8 bits x 48 bands) work."""
+def _band_values_arrow(planes: list[list[float]], bands: int):
+    """Per-band packed sign-LSH values as ONE Arrow ``pandas_udf`` doing a
+    numpy matmul — ``(batch × dim) @ (dim × planes)`` → sign bits →
+    ``(batch × bands)`` packed longs.
+
+    Replaces the earlier per-plane ``zip_with`` fold expressions: those
+    unroll to planes·dim multiply-adds of whole-stage codegen PER ROW,
+    which collapses at high thresholds (θ=0.8 ⇒ 544 planes × 64 dims ⇒
+    ~35k expression nodes — measured 25 s for N=2 000 where the matmul
+    takes milliseconds; same lesson as the SimHash Arrow rewrite, commit
+    d0e9228). Sign boundaries may round differently than a sequential
+    fold for near-zero dots — irrelevant to the contract: signatures only
+    GENERATE candidates, the verify step rescores exactly, and band
+    sizing already budgets per-pair miss probability."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(planes, dtype=np.float64)  # (planes, dim)
     r = len(planes) // bands
+    weights = (1 << np.arange(r, dtype=np.int64))
 
-    def band_value(bi: int):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(float(x)) for x in planes[bi * r + j]]),
-                        lambda a, b: a.cast("double") * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.shiftleft(F.lit(1).cast("long"), j),
-            ).otherwise(F.lit(0).cast("long"))
-            for j in range(r)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out.bitwiseOR(b)
-        return out
+    @pandas_udf("array<long>")
+    def band_values(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.asarray(v.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (x @ mat.T) > 0  # (n, planes); plane p = band p//r, bit p%r
+        packed = bits.reshape(len(x), bands, r).astype(np.int64) @ weights
+        return pd.Series(list(packed))
 
-    return F.array(
-        *[
-            F.struct(F.lit(bi).alias("band"), band_value(bi).alias("bb"))
-            for bi in range(bands)
-        ]
-    )
+    return band_values
 
 
 def triangle_neardup_pairs(
@@ -509,12 +508,33 @@ def embed_neardup_pairs(
     emitted pair carries identical score bits and the outputs are
     hash-identical wherever recall is total. No O(N^2) JOIN NODE in any
     branch: candidates come from equi-joins (band bits / block pairs)."""
-    import random
-
     if vectors.count() <= exact_max_rows:
         return cosine_neardup_pairs(vectors, threshold, id_col, vec_col)
     if threshold < 0.6:
         return triangle_neardup_pairs(vectors, threshold, id_col, vec_col)
+    return banded_neardup_pairs(
+        vectors, threshold, dim, id_col, vec_col, target_miss, seed
+    )
+
+
+def banded_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_miss: float = 1e-5,
+    seed: int = 42,
+) -> DataFrame:
+    """The banded sign-LSH + exact-verify branch of
+    :func:`embed_neardup_pairs`, callable at ANY threshold so the
+    θ-crossover against :func:`triangle_neardup_pairs` is measurable
+    (SCALE.md records it). Below θ≈0.6 this is deliberately NOT the
+    routed path: band economics degrade (2-bit bands, random pairs
+    collide per band at 0.25) and the candidate multiset approaches or
+    exceeds all-pairs."""
+    import random
+
     if dim is None:
         dim = _infer_dim(vectors, vec_col)
     num_planes, bands = auto_band_params(threshold, target_miss)
@@ -536,23 +556,20 @@ def embed_neardup_pairs(
         # low thresholds (bands of 2 bits, ~every pair colliding
         # somewhere) the distinct was the single costliest stage.
         mask = (1 << r) - 1
-        # Each plane fold is evaluated exactly ONCE: band values come from
-        # _band_structs (r folds per band), and the packed signature is
-        # derived from the band VALUES by shifting — embedding the packed
-        # signature expression inside every band struct instead would
-        # re-inline all num_planes folds per band (bands x num_planes
-        # folds per row) and blow up whole-stage codegen.
+        # Band values come from ONE Arrow matmul (_band_values_arrow);
+        # the packed signature derives from the band VALUES by shifting —
+        # JVM-side, `bands` ops per row, not planes·dim folds.
         with_bands = src.select(
-            "id", _band_structs(F.col("vec"), planes, bands).alias("bs")
+            "id", _band_values_arrow(planes, bands)(F.col("vec")).alias("bv")
         )
         sig = F.lit(0).cast("long")
         for bi in range(bands):
             sig = sig.bitwiseOR(
-                F.shiftleft(F.col("bs")[bi]["bb"], bi * r)
+                F.shiftleft(F.col("bv")[bi], bi * r)
             )
         banded = with_bands.select(
-            "id", sig.alias("sig"), F.explode("bs").alias("s")
-        ).select("id", "sig", "s.band", "s.bb")
+            "id", sig.alias("sig"), F.posexplode("bv").alias("band", "bb")
+        )
         a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bb")
         b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bb")
         x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
@@ -574,8 +591,11 @@ def embed_neardup_pairs(
         # Wide high-threshold configs (r=8, many bands) exceed one long:
         # per-band packed values + ids-only distinct.
         banded = src.select(
-            "id", F.explode(_band_structs(F.col("vec"), planes, bands)).alias("s")
-        ).select("id", "s.band", "s.bb")
+            "id",
+            F.posexplode(
+                _band_values_arrow(planes, bands)(F.col("vec"))
+            ).alias("band", "bb"),
+        )
         a = banded.select(F.col("id").alias("id_a"), "band", "bb")
         b = banded.select(F.col("id").alias("id_b"), "band", "bb")
         cand = (

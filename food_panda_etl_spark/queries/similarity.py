@@ -165,6 +165,65 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_image_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 64),
+    gray AS (
+      SELECT doc_id, w, h,
+             list_transform(
+               generate_series(0, w * h - 1),
+               i -> (  ((doc_id * 31 + i * 7) % 256)
+                     + ((doc_id * 31 + i * 7) % 256) * 5 % 256
+                     + ((doc_id * 31 + i * 7) % 256) * 3 % 256) // 3) AS g
+      FROM px)
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(list_sum(g) AS DOUBLE) / (w * h) AS mean_pixel
+    FROM gray
+    """,
+)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal — REAL image decode, driver-checked end-to-end:
+    each doc_id materializes an actual 24-bit BI_RGB .bmp file
+    (``synth_bmp_payload`` — header, bottom-up BGR rows, stride padding)
+    inside a distributed Arrow stage, flows through ``attach_payload_meta``
+    → ``decode_images`` (pure-numpy BMP parser, ``functions/multimodal``),
+    and the DuckDB oracle recomputes width/height/mean gray from the
+    closed-form pixel formula — so a header-layout, stride, row-order, or
+    channel-order bug in the decoder is a driver hash mismatch, not just
+    a unit-test failure. Payload bytes never cross a shuffle: generate →
+    meta → decode happen in one narrow pipeline; only the typed features
+    leave the stage."""
+    from food_panda_etl_spark.functions.multimodal import (
+        attach_payload_meta,
+        decode_images,
+        synth_bmp_payload,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synth_bmp_payload(8 + int(i) % 9, 6 + int(i) % 5, seed=int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = d.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+    out = decode_images(attach_payload_meta(media, fmt="bmp"))
+    return out.select("media_id", "width", "height", "mean_pixel")
+
+
 @query("q_ivf_topk", oracle=None)  # data-derived centroids → rows-only
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — the IVF ANN scale path: deterministic centroid sample →

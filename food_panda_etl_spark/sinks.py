@@ -86,6 +86,17 @@ def s3a_conf(
     Apply via ``spark.conf`` prefixed ``spark.hadoop.`` or on the builder;
     then ``df.write.parquet("s3a://bucket/key")`` — the committer handles
     create/upload-part/complete (``src/storage/minio.rs:150-242``) itself.
+
+    CLASSPATH REQUIREMENT (probed and pinned by tests/test_s3a_probe.py):
+    the S3A connector is NOT part of the Spark distribution — the
+    deployment must ship ``hadoop-aws-<hadoop.version>.jar`` + the AWS
+    SDK ``bundle`` jar (and ``spark-hadoop-cloud`` for the committer
+    protocol classes). This container's pyspark 4.1.2 bundles
+    ``hadoop-client-api/runtime`` only, so an ``s3a://`` write here fails
+    with ``ClassNotFoundException: org.apache.hadoop.fs.s3a.S3AFileSystem``
+    — the probe test asserts that EXACT failure (config is correct, the
+    jar is the only gap) and auto-upgrades to a live loopback-S3
+    write-through when the jars are present.
     """
     return {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
