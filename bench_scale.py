@@ -13,10 +13,17 @@ isotropic vectors / 50-token documents over a 5 000-word vocabulary) so
 growth adds independent rows, not duplicate explosion: the timing then
 tracks the candidate/verify machinery, not an output blow-up.
 
+Sizes deliberately reach 32k vectors: below ~10k rows every path is
+dominated by fixed overhead (plan compile, Python worker spin-up,
+stage scheduling ≈ 1-2 s) and fitted exponents are meaningless — the
+first run of this script measured a "0.5 exponent" for the exact
+quadratic triangle join at 4k→8k precisely because of that floor. The
+crossover runs at N=16k for the same reason.
+
 Scaling exponent between consecutive sizes: log(t2/t1)/log(n2/n1).
 Prints one JSON line; SCALE.md records the fitted exponents.
 
-Usage: python bench_scale.py [--quick]  (quick skips the largest sizes)
+Usage: python bench_scale.py [--quick]  (quick stops at 8k/20k sizes)
 """
 
 from __future__ import annotations
@@ -120,9 +127,9 @@ def main() -> None:
 
     out: dict = {"cpus": cpus, "curves": {}, "crossover": {}}
 
-    emb_sizes = [500, 2000, 4000] + ([] if quick else [8000])
-    lsh_sizes = emb_sizes + ([] if quick else [16000])
-    doc_sizes = [500, 5000, 10000] + ([] if quick else [20000])
+    emb_sizes = [500, 2000, 4000, 8000] + ([] if quick else [16000, 32000])
+    lsh_sizes = [500, 2000, 4000, 8000, 16000] + ([] if quick else [32000])
+    doc_sizes = [500, 5000, 10000, 20000] + ([] if quick else [40000, 80000])
 
     curves: dict[str, dict[int, float]] = {
         "triangle_t04": {},
@@ -166,12 +173,18 @@ def main() -> None:
                 math.log(pts[n2] / pts[n1]) / math.log(n2 / n1), 2
             )
 
-    # θ-crossover at fixed N=2000 (real corpus): banded vs triangle
-    e = emb_base.cache()
+    # θ-crossover at fixed N (16k full / 2k quick): banded vs triangle.
+    # Triangle cost is θ-independent (the threshold only filters the
+    # scored output), so it is measured once and compared against banded
+    # at each θ; banded's cost falls as θ rises (wider bands prune more).
+    n_cross = 2000 if quick else 16000
+    e = synth_embeddings(spark, n_cross, emb_base).cache()
     e.count()
-    for theta in (0.4, 0.5, 0.6, 0.7, 0.8):
+    tri = timed(lambda: triangle_neardup_pairs(e, 0.6).count())
+    for theta in (0.5, 0.6, 0.7, 0.8):
         out["crossover"][str(theta)] = {
-            "triangle": timed(lambda: triangle_neardup_pairs(e, theta).count()),
+            "n": n_cross,
+            "triangle": tri,
             "banded": timed(lambda: banded_neardup_pairs(e, theta).count()),
         }
     e.unpersist()

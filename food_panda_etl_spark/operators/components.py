@@ -1,0 +1,124 @@
+"""Connected components over a near-duplicate pair graph.
+
+Pair-level dedup (MinHash/SimHash/embedding near-dup) emits EDGES; what a
+training-data pipeline actually deletes is decided per CLUSTER — the
+transitive closure of those edges (doc A ~ B, B ~ C ⇒ {A,B,C} is one
+group even when A and C never collide directly). This module turns the
+pair stream into a per-node component label so "keep one representative
+per cluster" is a one-line groupBy downstream.
+
+Algorithm: iterative min-label propagation — every node starts labeled
+with its own id; each round every node takes the min of its own label
+and its neighbors' labels; fixpoint = every node carries the minimum id
+reachable in its component. This is exactly GraphX's
+``ConnectedComponents`` Pregel program re-expressed on DataFrames
+(public Spark source: graphx/lib/ConnectedComponents.scala), so the
+semantics are the established ones while execution stays in
+Catalyst/Tungsten instead of RDDs.
+
+Scale shape (100 TB posture):
+- Each round is ONE shuffle of the (src, dst) edge list joined against
+  the (id, comp) label table — both narrow two/three-column frames; the
+  document payload never enters the loop.
+- Rounds needed = graph diameter. Near-dup graphs are dense clusters of
+  copies (diameter 1-3), so the loop converges in a handful of rounds;
+  the alternating large-star/small-star scheme (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) drops that to
+  O(log²) for adversarial chain graphs at the cost of edge rewriting —
+  documented as the swap-in if a profile ever shows deep components.
+- ``localCheckpoint`` after every round truncates lineage; otherwise the
+  plan doubles per iteration and Catalyst analysis time explodes.
+- Convergence is detected by the monotone invariant sum(comp): labels
+  only ever decrease, so an unchanged checksum is a fixpoint proof that
+  costs one tiny aggregate, not an old-vs-new join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with min(id) of its connected component.
+
+    ``nodes``: one column ``id_col`` (singletons allowed — they come out
+    labeled with their own id). ``edges``: undirected pairs, any
+    orientation, duplicates fine. Returns (``id_col``, ``component``).
+
+    Deterministic by construction: the fixpoint is unique (min reachable
+    id), independent of partitioning, iteration count past convergence,
+    or edge order — so the result is oracle-checkable against a
+    recursive-CTE transitive closure.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionAll(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+    )
+    # The edge list is loop-invariant: keep it materialized once.
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds the cap; raise max_iter or switch "
+            "to the large-star/small-star variant"
+        )
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def dedup_keep_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """The end-to-end near-dup DELETE: cluster the pair graph, keep only
+    the min-id representative of every cluster (singletons keep
+    themselves). Returns ``docs`` filtered to representatives, with the
+    cluster size attached as ``cluster_size`` — the audit column a data
+    pipeline wants when reporting how much it dropped."""
+    comp = connected_components(
+        docs.select(id_col),
+        pairs.select(pair_a, pair_b),
+        id_col=id_col,
+        src_col=pair_a,
+        dst_col=pair_b,
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    reps = comp.filter(F.col(id_col) == F.col("component")).join(sizes, "component")
+    return docs.join(
+        reps.select(id_col, "cluster_size"), id_col
+    )

@@ -273,6 +273,88 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_PAIR_CTES = """
+    sh AS (
+      SELECT DISTINCT doc_id AS doc, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+                      string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
+                      string_split(text,' ')[i+4])) AS shingle
+        FROM documents) WHERE shingle <> ''),
+    shsizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN shsizes sa ON doc_a = sa.doc
+      JOIN shsizes sb ON doc_b = sb.doc
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+"""
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES}
+    SELECT doc_id, component FROM comp
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — near-dup CLUSTERS: transitive closure of the exact 5-gram
+    Jaccard pair graph (θ=0.8), every doc labeled with min reachable id.
+    Spark side is iterative min-label propagation
+    (operators/components.py — GraphX ConnectedComponents semantics on
+    DataFrames, one narrow edge⋈label shuffle per round, lineage
+    truncated per round); the DuckDB oracle computes the same fixpoint as
+    a recursive-CTE transitive closure. The fixpoint is unique, so the
+    two engines agree bit-for-bit despite wholly different execution —
+    this is the repo's declared-iterative-algorithm evidence."""
+    from food_panda_etl_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.8)
+    return connected_components(
+        d.select("doc_id"),
+        pairs.select("doc_a", "doc_b"),
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+
+
+@query(
+    "q_dedup_keep_rep",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT c.doc_id, s.cluster_size
+    FROM comp c JOIN csize s USING (component)
+    WHERE c.doc_id = c.component
+    """,
+)
+def q_dedup_keep_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the end-to-end near-dup DELETE: keep exactly one
+    representative (min doc_id) per Jaccard-0.8 cluster, with the cluster
+    size as the audit column. Composition of
+    ``exact_jaccard_pairs`` → ``connected_components`` →
+    ``dedup_keep_representative`` (operators/components.py)."""
+    from food_panda_etl_spark.operators.components import dedup_keep_representative
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.8)
+    return dedup_keep_representative(d, pairs).select("doc_id", "cluster_size")
+
+
 @query("q_minhash_neardup", oracle=None)  # xxhash64-seeded → rows-only
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — MinHash+LSH near-dup candidates (operators/dedup.py):
