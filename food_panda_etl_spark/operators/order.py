@@ -67,3 +67,50 @@ def batch_number(rn: Column, page_size: int = 48) -> Column:
     """ceil(rn / page_size) — the reference's page stamp arithmetic
     (/root/reference/src/main.rs:120-123)."""
     return F.ceil(rn.cast("double") / float(page_size)).cast("int")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global prefix sum of ``value_col`` by ``order_cols`` without a
+    single-partition window — same two-phase scheme as
+    :func:`global_row_number`: range-partition on the keys, cumulative
+    sum locally (window partitioned by ``spark_partition_id()``), then
+    add per-partition value totals prefix-summed over the tiny P-row
+    side table (triangular join, no window node) back to every row.
+
+    Exact for integer/decimal values (sum re-association is lossless);
+    for doubles the result can differ from the naive global window by
+    addend order, so callers needing bit-stability pass integers or
+    decimals — the packing use case (token counts) is integral.
+
+    This is the scalable substrate for sequence PACKING: a global token
+    prefix-sum turns "concatenate the corpus and cut every B tokens"
+    into pure arithmetic per row (see queries/storage.py::q_pack_chunks).
+    """
+    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(par, *[F.col(c) for c in order_cols])
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    totals = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    preceding = totals.select(
+        F.col("__pid").alias("__pid_prev"), F.col("__tot").alias("__tot_prev")
+    )
+    offsets = (
+        totals.join(preceding, F.col("__pid_prev") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__tot_prev"), F.lit(0)).alias("__off"))
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.sum(value_col).over(w_local) + F.col("__off"))
+        .drop("__pid", "__off")
+    )

@@ -133,3 +133,94 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN ((doc_id % 997) * 631) % 997
+                  < (CASE WHEN lang = 'en' THEN 299 ELSE 997 END)
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_kept
+    FROM tagged GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — language rebalancing, the data
+    mixing step every multilingual training pipeline runs (downsample the
+    dominant language: en keeps ~30%, everything else 100%). Assignment
+    is the same overflow-free multiplicative-hash-bucket trick as
+    ``q_train_split`` with INDEPENDENT constants (mod 997, multiplier
+    631), so sample membership is uncorrelated with split membership and
+    identical in any engine / any partitioning — unlike
+    ``DataFrame.sampleBy``, whose kept set depends on partition layout.
+    A narrow map + one aggregation; at 100 TB the keep predicate sits in
+    the scan projection and rows drop before any shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    rate_bucket = F.when(F.col("lang") == "en", 299).otherwise(997)
+    keep = (
+        ((F.col("doc_id") % 997) * F.lit(631)) % 997 < rate_bucket
+    ).cast("int")
+    return (
+        d.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "q_pack_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_start,
+           CAST((cum - 1) // 2048 AS BIGINT) AS chunk_end
+    FROM c
+    """,
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING layout — "concatenate the corpus in doc_id order
+    and cut a training chunk every 2048 tokens": each document's token
+    span is [prefix_sum - n_tokens, prefix_sum), so its first/last chunk
+    ids are pure integer arithmetic on the global token prefix-sum. The
+    prefix-sum comes from ``operators/order.py::global_running_sum`` —
+    range partition + local cumsum + broadcast per-partition offsets —
+    NOT a single-partition window, so the layout computation scales with
+    the cluster while remaining bit-identical to the naive
+    ``SUM() OVER (ORDER BY ...)`` (integer addition re-associates
+    losslessly; asserted in tests). Downstream, grouping by chunk id
+    materializes the actual training batches."""
+    from food_panda_etl_spark.operators.order import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    cum = global_running_sum(toks, ["doc_id"], "n_tokens", "cum")
+    start = F.col("cum") - F.col("n_tokens")
+    last = F.col("cum") - 1
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        ((start - F.pmod(start, F.lit(2048))) / 2048).cast("long").alias("chunk_start"),
+        ((last - F.pmod(last, F.lit(2048))) / 2048).cast("long").alias("chunk_end"),
+    )

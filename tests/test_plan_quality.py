@@ -115,6 +115,34 @@ def test_global_row_number_matches_naive_window(spark):
     assert fast == naive
 
 
+def test_global_running_sum_matches_naive_window(spark):
+    """Two-phase prefix sum == the naive global running-sum window,
+    bit-exact on integer values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from food_panda_etl_spark.operators.order import global_running_sum
+
+    df = spark.range(0, 10_000, 1, 8).select(
+        (F.col("id") * 7919 % 10_000).alias("k"),
+        (F.col("id") % 97 + 1).alias("v"),
+    )
+    naive = {
+        r["k"]: r["s"]
+        for r in df.select(
+            "k",
+            F.sum("v")
+            .over(W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("s"),
+        ).collect()
+    }
+    fast = {
+        r["k"]: r["rs"]
+        for r in global_running_sum(df, ["k"], "v", "rs").collect()
+    }
+    assert fast == naive
+
+
 def test_partition_prune_is_dynamic(spark, sf_dir):
     """The S9 round-trip query must prune partitions dynamically: the
     fact scan carries a dynamicpruningexpression PartitionFilter fed by
