@@ -63,6 +63,16 @@ HEADLINE = [
     "q_batch_number",
     "q_tfidf",
     "q_repetition",
+    # round-3 additions: the new LLM-pipeline operators (clustered dedup,
+    # packing, mixing, CDC, class centroids) + the 6-table TPC-H Q5 join
+    "q_tpch_q5",
+    "q_dedup_components",
+    "q_pack_chunks",
+    "q_stratified_sample",
+    "q_train_split",
+    "q_snapshot_diff",
+    "q_embed_centroid",
+    "q_ann_recall",
 ]
 
 

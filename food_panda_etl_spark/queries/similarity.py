@@ -417,3 +417,42 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(e, threshold=0.4)
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             embedding
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(i - 1 AS INT) AS dim,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS centroid
+    FROM ex
+    GROUP BY label, i
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — per-label embedding centroid (class prototypes: the
+    reduction behind k-means init, nearest-class-mean classification, and
+    embedding-drift monitoring). Shape: ``posexplode`` to (label, dim,
+    value) then ONE hash aggregation — partial aggregation collapses each
+    mapper's contribution to |labels|·dim rows before the shuffle, so the
+    exchange is KB-sized regardless of corpus size; the vectors
+    themselves never shuffle. Addends quantize to DECIMAL(18,9) before
+    summing (exact, order-independent); a binary double can never land
+    exactly on a 1e-9 rounding tie (0.5e-9 is not dyadic), so the
+    quantization itself is engine-agnostic — the repo's standard
+    cross-engine float-sum convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("centroid")
+    )

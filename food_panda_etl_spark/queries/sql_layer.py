@@ -148,3 +148,50 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_totalprice < 50000)
         """
     )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) — the 6-table join-ORDERING
+    benchmark shape: two fact-sized joins (orders⋈lineitem⋈supplier)
+    against three dims (customer, nation, region) plus the
+    c_nationkey = s_nationkey correlation that defeats naive left-deep
+    planning. Declared through ``spark.sql`` so Catalyst + AQE own the
+    join order and strategies: region/nation broadcast, the date filter
+    pushes into the orders scan, and the correlation edge is applied as a
+    post-join filter on already-joined narrow columns. Revenue summed in
+    decimal then cast (exact, engine-agnostic); n_name tie-break pins the
+    sort."""
+    _views(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )

@@ -224,3 +224,51 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((start - F.pmod(start, F.lit(2048))) / 2048).cast("long").alias("chunk_start"),
         ((last - F.pmod(last, F.lit(2048))) / 2048).cast("long").alias("chunk_end"),
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DOUBLE) + 1.0
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshot versions
+    (``operators/diff.py::snapshot_diff`` — one co-partitioned full-outer
+    join, null-safe column compares in codegen). The two snapshots are
+    deterministic derivations of ``orders``: the old one is missing every
+    97th key (→ 'added'), the new one is missing every 89th (→ 'removed')
+    and bumps o_totalprice on every 7th (→ 'changed'); unchanged keys
+    must NOT appear. The +1.0 price bump is exact in doubles (prices ≪
+    2^52), so both engines see the identical changed set."""
+    from food_panda_etl_spark.operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])
