@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from food_panda_etl_spark.plans import lint_plan, plan_summary
+from food_panda_etl_spark.plans import explain_formatted, lint_plan, plan_summary
 from food_panda_etl_spark.queries import QUERIES
 
 # Every declared query must be cartesian-free (brute-force similarity
@@ -191,3 +191,81 @@ def test_embed_neardup_has_no_quadratic_join(spark, sf_dir):
     s = plan_summary(QUERIES["q_embed_neardup"](spark, sf_dir))
     assert s.nested_loop_joins == 0, "BNLJ in declared near-dup plan"
     assert s.cartesian_products == 0
+
+
+def test_tpch_q5_dims_broadcast_facts_pushed(spark, sf_dir):
+    """Q5's three dims (region, nation, customer) must broadcast and the
+    date bound must reach the orders scan; the 6-table comma join must
+    never degrade to a cartesian/BNLJ node."""
+    s = plan_summary(QUERIES["q_tpch_q5"](spark, sf_dir))
+    assert s.cartesian_products == 0 and s.nested_loop_joins == 0
+    assert s.broadcast_joins >= 3
+    assert s.scans_with_pushed_filters >= 2  # orders date + region name
+
+
+def test_snapshot_diff_is_one_equi_join(spark, sf_dir):
+    """CDC diff = exactly one co-partitioned full-outer equi-join; the
+    null-safe compares must stay in codegen, never a nested-loop or
+    post-join python step."""
+    s = plan_summary(QUERIES["q_snapshot_diff"](spark, sf_dir))
+    assert s.cartesian_products == 0 and s.nested_loop_joins == 0
+    assert s.sort_merge_joins == 1  # full outer cannot broadcast
+
+
+def test_stratified_sample_is_narrow_map_plus_one_agg(spark, sf_dir):
+    """Deterministic sampling must cost one partial/final agg shuffle on
+    a two-column scan — the keep predicate is projection arithmetic, not
+    a join against a rates table."""
+    assert (
+        lint_plan(
+            QUERIES["q_stratified_sample"](spark, sf_dir),
+            max_exchanges=1,
+            max_scan_columns=2,
+        )
+        == []
+    )
+
+
+def test_pack_chunks_never_serializes_the_fact(spark, sf_dir):
+    """The packing prefix-sum must be range-partitioned — no
+    single-partition Exchange anywhere in the plan (the round-1 failure
+    mode for global ordering). The only BNLJ allowed is the O(P²)
+    triangular offsets join over the ~32-row per-partition totals."""
+    df = QUERIES["q_pack_chunks"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "Exchange SinglePartition" not in plan
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+
+
+def test_embed_centroid_is_single_exchange(spark, sf_dir):
+    """Per-label centroids: posexplode then ONE partial/final hash agg —
+    the exchange carries |labels|·dim partial sums, never vectors; the
+    scan reads only (label, embedding)."""
+    assert (
+        lint_plan(
+            QUERIES["q_embed_centroid"](spark, sf_dir),
+            max_exchanges=1,
+            max_scan_columns=2,
+        )
+        == []
+    )
+
+
+def test_dedup_keep_rep_no_quadratic_join(spark, sf_dir):
+    """Cluster-level dedup (connected components + representative
+    filter): every join in the final plan must be an equi-join — label
+    propagation never degrades to all-pairs."""
+    s = plan_summary(QUERIES["q_dedup_keep_rep"](spark, sf_dir))
+    assert s.cartesian_products == 0 and s.nested_loop_joins == 0
+
+
+def test_ann_recall_joins_are_bounded(spark, sf_dir):
+    """The recall gate's plan: every nested-loop node must be one of the
+    bounded, deliberate ones — the 5-row broadcast query side of the two
+    brute-force scans (the labeled exactness baseline ann paths are
+    measured against) and the 1-row×1-row stats cross join. Anything
+    beyond those three means a fact-sized side slipped into a BNLJ."""
+    s = plan_summary(QUERIES["q_ann_recall"](spark, sf_dir))
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 3
