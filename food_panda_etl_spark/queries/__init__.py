@@ -54,26 +54,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     # Import side effects populate the registries. ORDER MATTERS: the
     # correctness driver records only the first N registered queries, so
-    # modules still lacking fresh driver evidence register first. Round-3
-    # rotation (VERDICT r2 task 1+2): sql_layer leads — q_exists_subquery
-    # (J9) is the only query with zero driver evidence across both rounds
-    # — followed by the r01-only modules (analytics, setops, sorts,
-    # relational) whose greens predate the round-2 session/tables changes.
-    # Modules hash-verified in CORRECTNESS_r02.json register last.
+    # modules still lacking fresh driver evidence register first. Round-4
+    # rotation (VERDICT r3 tasks 2-6): changed/new code leads — aggregates
+    # (q_dedup second-hash rewrite, r3 green predates it), sql_layer
+    # (q_tpch_q5 window moved to 1995), setops (q_except now non-vacuous),
+    # approx_gates (NEW recall/precision gates for the rows-only
+    # approximate queries + the LSH-candidate cluster-dedup scale path),
+    # storage (new q_zorder; q_partition_prune dim now Range-generated) —
+    # then the modules whose latest greens are r2-era (joins, windows,
+    # text, udx, vendor_pipeline). Modules hash-verified in
+    # CORRECTNESS_r03.json (similarity, analytics, sorts, relational)
+    # register last.
     from food_panda_etl_spark.queries import (  # noqa: F401
-        sql_layer,
-        analytics,
-        setops,
-        sorts,
-        relational,
-        similarity,
-        storage,
         aggregates,
+        sql_layer,
+        setops,
+        approx_gates,
+        storage,
         joins,
         windows,
         text,
         udx,
         vendor_pipeline,
+        similarity,
+        analytics,
+        sorts,
+        relational,
     )
 
 

@@ -1,0 +1,364 @@
+"""Oracle-grade quality gates for the approximate operators (VERDICT r3
+task 5) + the declared SCALE path for cluster dedup (task 6).
+
+The seeded-hash approximate queries (`q_minhash_neardup`,
+`q_simhash_neardup`, `q_embed_neardup_lsh`, `q_cosine_topk_lsh`,
+`q_ivf_topk`) stay rows-only by design — DuckDB cannot replicate
+xxhash64 / seeded hyperplanes. Each gets a COMPANION gate here in the
+`q_ann_recall` shape (queries/similarity.py:132): Spark measures the
+approximate path's recall against the exact operator entirely as a
+distributed join + aggregate; the DuckDB oracle recomputes the EXACT
+side (count + an integer pair checksum) and pins ``meets_target`` to 1.
+A hash-match therefore proves (a) the exact side is right and (b) the
+measured approximate quality clears the documented floor — driver-grade
+evidence for approximate correctness, not just local tests.
+
+Targets are pinned floors measured on the deterministic fixtures (all
+the approximate paths are seeded → recall at a given sf is a constant);
+production corpora with real near-dup structure sit far higher than the
+isotropic/synthetic fixtures do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    verified_jaccard_pairs_lsh,
+)
+from food_panda_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.tables import load_table
+
+
+def _jaccard_cte(n: int, threshold: float) -> str:
+    """DuckDB CTE text for the exact word-n-gram Jaccard pair set —
+    the same construction as queries/similarity.py's 5-gram oracle,
+    parameterized by shingle width."""
+    toks = "string_split(text,' ')"
+    gram = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return f"""
+    sh AS (
+      SELECT DISTINCT doc_id AS doc, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len({toks}) - {n - 1}, 0)),
+                 i -> {gram})) AS shingle
+        FROM documents) WHERE shingle <> ''),
+    shsizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN shsizes sa ON doc_a = sa.doc
+      JOIN shsizes sb ON doc_b = sb.doc
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE)
+            >= {threshold})
+    """
+
+
+_EXACT_PAIR_STATS = """
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(SUM(doc_a * doc_b) AS BIGINT) AS sum_ab,
+           1 AS meets_target
+    FROM exact
+"""
+
+
+def _pair_recall_gate(
+    exact: DataFrame, approx: DataFrame, target: float
+) -> DataFrame:
+    """(n_exact, sum_ab, meets_target) — exact-side checksum columns the
+    oracle recomputes + the pinned recall verdict. Both aggregates are
+    1-row frames; the crossJoin is broadcast-trivial."""
+    ex = exact.select("doc_a", "doc_b")
+    ex_stats = ex.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.col("doc_a") * F.col("doc_b")).alias("sum_ab"),
+    )
+    hits = ex.join(
+        approx.select("doc_a", "doc_b").distinct(), ["doc_a", "doc_b"]
+    ).agg(F.count("*").alias("n_hit"))
+    return ex_stats.crossJoin(hits).select(
+        "n_exact",
+        "sum_ab",
+        (
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double"))
+            >= target
+        )
+        .cast("int")
+        .alias("meets_target"),
+    )
+
+
+@query(
+    "q_minhash_gate",
+    oracle=f"WITH {_jaccard_cte(3, 0.8)} {_EXACT_PAIR_STATS}",
+)
+def q_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for `q_minhash_neardup` (32 hashes, 8 bands, 3-gram,
+    est ≥ 0.7): recall of the TRUE 3-gram-Jaccard-≥0.8 pair set through
+    the banded candidate join + estimator filter. Banding math at j=0.8,
+    r=4, b=8: candidate miss ≈ 1.5%; the est≥0.7 filter adds estimator
+    noise (σ ≈ 0.07 at 32 hashes) — floor pinned at 0.80, measured 1.0 at
+    sf0.001/sf0.01 on the fixture's near-dup clusters (j ≈ 0.9+)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    approx = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, threshold=0.7
+    )
+    return _pair_recall_gate(exact, approx, target=0.80)
+
+
+@query(
+    "q_simhash_gate",
+    oracle=f"WITH {_jaccard_cte(5, 0.8)} {_EXACT_PAIR_STATS}",
+)
+def q_simhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for `q_simhash_neardup` (hamming ≤ 3 over 64-bit
+    token-hash signatures): recall of the exact 5-GRAM-Jaccard-≥0.8 pair
+    set — the fixture's deliberate near-dup copies. (Unigram Jaccard is
+    NOT usable as the exact side here: the synthetic corpus draws from a
+    small shared vocabulary, so ~9k pairs clear unigram-0.9 while sharing
+    no phrasing.) Hamming ≤ 3/64 is a cos ≈ 0.99 equivalent — strict, so
+    the floor is 0.5; measured 0.75 (sf0.001) / 0.60 (sf0.01), with the
+    misses being the pairs right at the 0.8 Jaccard boundary (hamming
+    4-5)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = exact_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.8)
+    approx = simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return _pair_recall_gate(exact, approx, target=0.50)
+
+
+_EMBED_EXACT_CTE = """
+    exact AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, len(a.embedding)),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y)
+            / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+             * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))) >= 0.4)
+"""
+
+
+@query(
+    "q_embed_lsh_gate",
+    oracle=f"WITH {_EMBED_EXACT_CTE} {_EXACT_PAIR_STATS}",
+)
+def q_embed_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for `q_embed_neardup_lsh` (hyperplane band buckets →
+    exact cosine verify at θ=0.4): recall against the exact
+    cosine-≥0.4 pair set (`cosine_neardup_pairs` / the DuckDB
+    list_reduce oracle). The LSH path's pairs are exact-verified, so
+    precision is 1 by construction — recall is the quality dimension.
+    Floor 0.60; measured 0.606 (sf0.001) / 0.661 (sf0.01) — θ=0.4 is far
+    below the banding sweet spot; real near-dup thresholds recall
+    higher."""
+    from food_panda_etl_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_neardup_pairs(e, threshold=0.4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    approx = lsh_neardup_pairs(e, threshold=0.4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return _pair_recall_gate(exact, approx, target=0.60)
+
+
+_TOPK_EXACT_CTE = """
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+               (a, b) -> a + b)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id AS neighbor_id
+      FROM (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+            FROM pairs) t
+      WHERE rn <= 10)
+"""
+
+_TOPK_EXACT_STATS = """
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(SUM(qid * neighbor_id) AS BIGINT) AS sum_qn,
+           1 AS meets_target
+    FROM exact
+"""
+
+
+def _topk_gate(
+    exact: DataFrame, approx: DataFrame, target: float, per_query_min: bool
+) -> DataFrame:
+    """(n_exact, sum_qn, meets_target) for top-k recall. With
+    ``per_query_min`` the verdict is the MINIMUM per-query recall — every
+    query individually must clear the floor, stricter than the overall
+    hit ratio `q_ann_recall` pins."""
+    ex = exact.select("qid", "neighbor_id")
+    ex_stats = ex.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.col("qid") * F.col("neighbor_id")).alias("sum_qn"),
+    )
+    marked = ex.join(
+        approx.select("qid", "neighbor_id").withColumn("__h", F.lit(1)),
+        ["qid", "neighbor_id"],
+        "left",
+    )
+    if per_query_min:
+        per_q = marked.groupBy("qid").agg(
+            (
+                F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("recall_q")
+        )
+        verdict = per_q.agg(
+            (F.min("recall_q") >= target).cast("int").alias("meets_target")
+        )
+    else:
+        verdict = marked.agg(
+            (
+                F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+                >= target
+            )
+            .cast("int")
+            .alias("meets_target")
+        )
+    return ex_stats.crossJoin(verdict).select("n_exact", "sum_qn", "meets_target")
+
+
+@query(
+    "q_cosine_lsh_gate",
+    oracle=f"WITH {_TOPK_EXACT_CTE} {_TOPK_EXACT_STATS}",
+)
+def q_cosine_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for `q_cosine_topk_lsh`, stricter than `q_ann_recall`
+    (which pins the OVERALL hit ratio ≥ 0.5): here every individual
+    query's recall@10 must clear the floor — a path that aces four
+    queries and blanks the fifth fails this gate but passes the overall
+    one. Floor 0.30; measured per-query minimum 0.6 (sf0.001) / 0.4
+    (sf0.01)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = brute_force_topk(e, q, k=10)
+    approx = lsh_bucket_topk(e, q, k=10)
+    return _topk_gate(exact, approx, target=0.30, per_query_min=True)
+
+
+@query(
+    "q_ivf_gate",
+    oracle=f"WITH {_TOPK_EXACT_CTE} {_TOPK_EXACT_STATS}",
+)
+def q_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for `q_ivf_topk` (16 cells, nprobe=4): overall
+    recall@10 of the probed-cell search vs exact brute force. Floor 0.25
+    = the nprobe/ncells fraction of the corpus actually scored; measured
+    0.30 (sf0.001) / 0.46 (sf0.01) — above random-subset on an isotropic
+    fixture, where Voronoi routing has little cluster structure to
+    exploit (real clustered embeddings recall far higher)."""
+    from food_panda_etl_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = brute_force_topk(e, q, k=10)
+    approx = ivf_topk(e, q, k=10)
+    return _topk_gate(exact, approx, target=0.25, per_query_min=False)
+
+
+# Transitive closure of the exact 5-gram Jaccard-0.8 pair graph — the
+# same fixpoint q_dedup_components oracles against. Valid for the LSH
+# path because its verified pair set EQUALS the exact pair set on the
+# fixtures (banding miss ≈ 8e-8/pair at j=0.8; asserted in tests).
+_CC_CTES = f"""
+    {_jaccard_cte(5, 0.8)},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM exact
+              UNION ALL SELECT doc_b, doc_a FROM exact),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+"""
+
+
+@query(
+    "q_dedup_components_lsh",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, component FROM comp
+    """,
+)
+def q_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cluster-dedup path, DECLARED (VERDICT r3 task 6):
+    MinHash band candidates → exact Jaccard verify on candidates only
+    (`verified_jaccard_pairs_lsh`) → `connected_components` → labels.
+    Same output contract as `q_dedup_components`, but pair generation is
+    the banded signature equi-join instead of the O(Σ df²) inverted-index
+    self-join — the component that was the declared path's scale-killer.
+    Band geometry (r=2, b=16) puts per-pair candidate miss at ≈8e-8 for
+    j≥0.8, so the verified pair set equals the exact pair set on the
+    fixtures (asserted in tests) and the exact recursive-CTE oracle
+    applies unchanged."""
+    from food_panda_etl_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_jaccard_pairs_lsh(
+        d, "doc_id", "text", n=5, threshold=0.8, num_hashes=32, bands=16
+    )
+    return connected_components(
+        d.select("doc_id"),
+        pairs.select("doc_a", "doc_b"),
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+
+
+@query(
+    "q_dedup_keep_rep_lsh",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES},
+    csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT c.doc_id, s.cluster_size
+    FROM comp c JOIN csize s USING (component)
+    WHERE c.doc_id = c.component
+    """,
+)
+def q_dedup_keep_rep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SCALE near-dup DELETE: the LSH-verified pair graph fed
+    through `connected_components` → keep the min-id representative per
+    cluster with the cluster size audit column — the same contract as
+    `q_dedup_keep_rep` on the scale pair-generation path."""
+    from food_panda_etl_spark.operators.components import (
+        dedup_keep_representative,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_jaccard_pairs_lsh(
+        d, "doc_id", "text", n=5, threshold=0.8, num_hashes=32, bands=16
+    )
+    return dedup_keep_representative(d, pairs).select("doc_id", "cluster_size")

@@ -44,11 +44,18 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey AS k FROM customer
     EXCEPT
-    SELECT o_custkey AS k FROM orders
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — aggregate + left-anti join."""
+    """EXCEPT (distinct) — aggregate + left-anti join. Subtracts only
+    customers with OPEN orders: in the fixture every custkey appears in
+    orders, so subtracting all orders yielded a vacuous 0-row pass; the
+    status filter leaves the customers-without-open-orders set non-empty."""
     c = load_table(spark, sf_dir, "customer").selectExpr("c_custkey AS k")
-    o = load_table(spark, sf_dir, "orders").selectExpr("o_custkey AS k")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where("o_orderstatus = 'O'")
+        .selectExpr("o_custkey AS k")
+    )
     return c.subtract(o)

@@ -161,7 +161,7 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       AND r_name = 'ASIA'
-      AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+      AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """,
@@ -176,7 +176,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes into the orders scan, and the correlation edge is applied as a
     post-join filter on already-joined narrow columns. Revenue summed in
     decimal then cast (exact, engine-agnostic); n_name tie-break pins the
-    sort."""
+    sort. Window is 1995 (not TPC-H's 1994) because the fixture's orders
+    start 1995-01-01 — the 1994 window matched vacuously on 0 rows."""
     _views(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
@@ -190,7 +191,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'ASIA'
-          AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+          AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
         """
