@@ -73,6 +73,12 @@ HEADLINE = [
     "q_snapshot_diff",
     "q_embed_centroid",
     "q_ann_recall",
+    # round-4 additions: the SCALE cluster-dedup path (MinHash band
+    # candidates + exact verify on candidates → connected components —
+    # the headline CC cost, replacing q_dedup_components' exact
+    # inverted-index pair generation) and the Z-order clustering key.
+    "q_dedup_components_lsh",
+    "q_zorder",
 ]
 
 

@@ -92,6 +92,39 @@ def synth_documents(spark, n: int, base=None, tokens: int = 50, vocab: int = 500
     return base.select("doc_id", "text").unionByName(extra) if base is not None else extra
 
 
+def synth_documents_boiler(
+    spark, n: int, tokens: int = 50, vocab: int = 5000, boiler_every: int = 3
+):
+    """Corpus where every ``boiler_every``-th document starts with the
+    SAME 8-token boilerplate sentence — the df² stressor for inverted-
+    index pair generation: the boilerplate shingles' document frequency
+    grows with N, so `exact_jaccard_pairs`' shingle self-join emits
+    Θ((N/boiler_every)²) intersection rows even though almost no pair
+    passes the threshold. Band-candidate generation is immune: a shared
+    prefix does not make two otherwise-random signatures collide."""
+    boiler = F.lit("terms of service apply to this document as follows")
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(tokens)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id") * tokens + i), F.lit(vocab)).cast(
+                    "string"
+                ),
+            ),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % boiler_every == 0, F.concat_ws(" ", boiler, body)
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
+
+
 def timed(fn) -> float:
     t0 = time.monotonic()
     fn()
@@ -156,6 +189,31 @@ def main() -> None:
         curves["minhash"][n] = timed(
             lambda: minhash_lsh_pairs(
                 d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, threshold=0.7
+            ).count()
+        )
+        d.unpersist()
+    # Pair-generation under boilerplate (r4): the df² stressor. Exact
+    # inverted-index pair generation must go quadratic in the shared-
+    # prefix cohort; the verified-LSH path (band candidates + exact
+    # verify on candidates) stays near-linear. This is the measured case
+    # for q_dedup_components_lsh being the 100 TB cluster-dedup path.
+    from food_panda_etl_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        verified_jaccard_pairs_lsh,
+    )
+
+    curves["cc_pairs_exact"] = {}
+    curves["cc_pairs_lsh"] = {}
+    boiler_sizes = [1000, 2000, 4000] + ([] if quick else [8000, 16000])
+    for n in boiler_sizes:
+        d = synth_documents_boiler(spark, n).cache()
+        d.count()
+        curves["cc_pairs_exact"][n] = timed(
+            lambda: exact_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.8).count()
+        )
+        curves["cc_pairs_lsh"][n] = timed(
+            lambda: verified_jaccard_pairs_lsh(
+                d, "doc_id", "text", n=5, threshold=0.8, num_hashes=32, bands=16
             ).count()
         )
         d.unpersist()

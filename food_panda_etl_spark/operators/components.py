@@ -30,7 +30,9 @@ Scale shape (100 TB posture):
   plan doubles per iteration and Catalyst analysis time explodes.
 - Convergence is detected by the monotone invariant sum(comp): labels
   only ever decrease, so an unchanged checksum is a fixpoint proof that
-  costs one tiny aggregate, not an old-vs-new join.
+  costs one tiny aggregate, not an old-vs-new join. The checkpoint is
+  lazy and the checksum aggregate is the action that materializes it, so
+  each round launches exactly ONE Spark job.
 """
 
 from __future__ import annotations
@@ -65,8 +67,13 @@ def connected_components(
     )
     # The edge list is loop-invariant: keep it materialized once.
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    # ONE Spark job per round (VERDICT r3 task 7): the checkpoint is LAZY
+    # and the convergence aggregate is the action that materializes it —
+    # checkpointed blocks land as a side effect of computing sum(comp),
+    # instead of an eager-checkpoint job followed by a separate agg job.
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
@@ -82,7 +89,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels = new_labels
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]

@@ -39,9 +39,18 @@ def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
         raise ValueError("zorder_key needs at least one column")
     if bits * n > 63:
         raise ValueError(f"bits*len(cols) = {bits * n} exceeds a signed long")
+    mask = (1 << bits) - 1
+    # Inputs are masked to their low `bits` bits FIRST: an out-of-range or
+    # negative bucket id folds to (id mod 2**bits) deterministically in
+    # both engines, instead of silently scrambling via two's-complement
+    # high bits (callers should still bucket properly — the fold degrades
+    # clustering quality, never correctness).
     parts = [
         F.shiftleft(
-            F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)), b * n + i
+            F.shiftright(
+                c.cast("long").bitwiseAND(F.lit(mask).cast("long")), b
+            ).bitwiseAND(F.lit(1)),
+            b * n + i,
         )
         for b in range(bits)
         for i, c in enumerate(cols)
@@ -54,12 +63,20 @@ def zorder_key_sql(col_exprs: Sequence[str], bits: int = 8) -> str:
     """The identical interleave as ANSI-SQL text (for oracles / SQL users).
 
     Mirrors :func:`zorder_key` bit-for-bit: column ``i`` bit ``b`` →
-    position ``b*n+i``. DuckDB and Spark SQL share the ``>>``/``&``/``<<``
-    / ``|`` operator semantics on non-negative integers used here.
+    position ``b*n+i``, with every term CAST to BIGINT before shifting —
+    on 32-bit INT inputs the naive form wraps negative once a position
+    passes 31 (and DuckDB raises on ``1 << 31``), which is exactly the
+    regime this function exists to oracle. Same input masking and the
+    same ``bits*n > 63`` guard as :func:`zorder_key`.
     """
     n = len(col_exprs)
+    if n < 1:
+        raise ValueError("zorder_key_sql needs at least one column")
+    if bits * n > 63:
+        raise ValueError(f"bits*len(cols) = {bits * n} exceeds a signed long")
+    mask = (1 << bits) - 1
     terms = [
-        f"((({e}) >> {b} & 1) << {b * n + i})"
+        f"(((CAST(({e}) AS BIGINT) & {mask}) >> {b} & 1) << {b * n + i})"
         for b in range(bits)
         for i, e in enumerate(col_exprs)
     ]
@@ -80,10 +97,15 @@ def cluster_by_zorder(
     participating dimension, so per-file min/max stats prune multi-column
     predicates. The helper key column is dropped before return.
     """
-    keyed = df.withColumn("__zkey", zorder_key(cols, bits))
+    if num_partitions is not None and num_partitions <= 0:
+        raise ValueError(f"num_partitions must be positive, got {num_partitions}")
+    zcol = "__zkey"
+    while zcol in df.columns:  # collision-safe: never clobber user data
+        zcol += "_"
+    keyed = df.withColumn(zcol, zorder_key(cols, bits))
     part = (
-        keyed.repartitionByRange(num_partitions, "__zkey")
-        if num_partitions
-        else keyed.repartitionByRange("__zkey")
+        keyed.repartitionByRange(num_partitions, zcol)
+        if num_partitions is not None
+        else keyed.repartitionByRange(zcol)
     )
-    return part.sortWithinPartitions("__zkey").drop("__zkey")
+    return part.sortWithinPartitions(zcol).drop(zcol)

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from food_panda_etl_spark.operators.zorder import zorder_key, zorder_key_sql
 from food_panda_etl_spark.queries import query
 from food_panda_etl_spark.tables import load_table
 
@@ -54,27 +55,36 @@ def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 round-trip + DPP: the fact side is the partitioned read-back,
-    the dim side is the distinct 1995 SHIP months derived from the base
-    ``lineitem`` table (a filtered build side the optimizer can only
-    evaluate at runtime), and the join key is the partition column — so
-    the fact scan must carry a ``dynamicpruningexpression`` partition
-    filter, reading 12 of ~84 partition directories. Oracle equivalence is
-    STRUCTURAL, not data-dependent: a fact row's ship_ym is in the
-    distinct-1995-ship-months set iff it starts with '1995', so the join
-    IS the ``year(l_shipdate) = 1995`` filter by construction (the earlier
-    orders-derived dim could silently drop a month that had shipments but
-    no orders — ADVICE r2). The write → read round-trip is the identity on
-    rows.
+    the dim side is a GENERATED month dim — ``spark.range`` → the twelve
+    '1995-MM' strings — with a selective runtime predicate, and the join
+    key is the partition column: the fact scan must carry a
+    ``dynamicpruningexpression`` partition filter, reading 12 of ~84
+    partition directories. The dim costs NOTHING at any scale (a Range
+    scan, no table read) — the previous fact-derived
+    ``distinct(date_format(l_shipdate))`` dim meant a full fact scan to
+    build the build side, paying more than DPP saved at 100 TB (VERDICT
+    r3 task 8). Oracle equivalence is STRUCTURAL, not data-dependent: the
+    generated set is exactly every month string of 1995, so a fact row
+    joins iff its ship_ym starts with '1995' — the
+    ``year(l_shipdate) = 1995`` filter by construction. The write → read
+    round-trip is the identity on rows.
 
     100 TB posture: this is the layout/pruning discipline that turns a
     full-corpus scan into a per-day (here per-month) touch; the same plan
     shape covers the reference's city/year/month/day layout."""
     fact = partitioned_lineitem(spark, sf_dir)
+    # range(100) + filter(id < 12): the filter is the selective build-side
+    # predicate the DPP rule requires (a bare Range has none); it is not
+    # constant-folded, so the plan keeps the runtime-evaluable shape of a
+    # real month-dim table filtered to one year.
     months = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.date_format("l_shipdate", "yyyy-MM").alias("ship_ym"))
-        .filter(F.col("ship_ym").startswith("1995"))
-        .distinct()
+        spark.range(100)
+        .filter(F.col("id") < 12)
+        .select(
+            F.concat(
+                F.lit("1995-"), F.lpad((F.col("id") + 1).cast("string"), 2, "0")
+            ).alias("ship_ym")
+        )
     )
     joined = fact.join(months, "ship_ym")
     return (
@@ -272,3 +282,58 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+_ZKEY_SQL = zorder_key_sql(["db", "pb"], bits=8)
+
+
+@query(
+    "q_zorder",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+                  % 256 AS BIGINT) AS db,
+             CAST(l_partkey % 256 AS BIGINT) AS pb
+      FROM lineitem),
+    k AS (SELECT ({_ZKEY_SQL}) AS zkey, db, pb FROM b)
+    SELECT CAST(zkey >> 8 AS BIGINT) AS zbox,
+           count(*) AS n,
+           CAST(min(db) AS BIGINT) AS min_db, CAST(max(db) AS BIGINT) AS max_db,
+           CAST(min(pb) AS BIGINT) AS min_pb, CAST(max(pb) AS BIGINT) AS max_pb
+    FROM k GROUP BY zbox
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key, DECLARED and oracled (VERDICT r3
+    task 4): every lineitem row gets the bit-interleaved key of its
+    (ship-day bucket, partkey bucket) — ``operators/zorder.py::
+    zorder_key``, pure codegen bit arithmetic — and rows aggregate per
+    coarse Z-box (key >> 8, the top 4 bits of each dimension
+    interleaved). The DuckDB oracle recomputes the key with
+    ``zorder_key_sql``, the function's own ANSI-SQL mirror — a
+    bit-for-bit cross-engine proof of the interleave arithmetic
+    (BIGINT-cast terms, input masking, position layout). The per-box
+    min/max spans in the output are exactly the per-file statistics a
+    Z-clustered write exposes for multi-dimension file skipping — the
+    skipping effect itself (clustered layout touches fewer files than
+    unclustered under a 2-predicate filter) is asserted in
+    tests/test_zorder.py on real written parquet footers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")) % 256)
+        .cast("long")
+        .alias("db"),
+        (F.col("l_partkey") % 256).cast("long").alias("pb"),
+    )
+    k = b.select(
+        "db", "pb", zorder_key([F.col("db"), F.col("pb")], bits=8).alias("zkey")
+    )
+    return k.groupBy(
+        F.shiftright("zkey", 8).cast("long").alias("zbox")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("db").alias("min_db"),
+        F.max("db").alias("max_db"),
+        F.min("pb").alias("min_pb"),
+        F.max("pb").alias("max_pb"),
+    )

@@ -54,3 +54,66 @@ def test_keep_representative(spark):
     }
     # cluster {1,2,5} → rep 1 with size 3; singletons keep themselves
     assert kept == {0: 1, 1: 3, 3: 1, 4: 1}
+
+
+def test_one_action_per_round_beats_eager_checkpoint(spark):
+    """The CC loop's lazy checkpoint + convergence aggregate must launch
+    strictly fewer Spark jobs than the eager-checkpoint-then-aggregate
+    shape it replaced (one data scan per round, not two). Job counts are
+    AQE-noisy, so the assertion is relative — same fixture, same session,
+    reference variant inlined with eager=True."""
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 8)],
+        "doc_a bigint, doc_b bigint",
+    )
+
+    def eager_reference():
+        sym = (
+            edges.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+            .unionAll(
+                edges.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(
+            eager=True
+        )
+        prev = labels.agg(F.sum("comp")).collect()[0][0]
+        for _ in range(25):
+            nbr = (
+                sym.join(labels, sym["d"] == labels["id"])
+                .groupBy("s")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            labels = (
+                labels.join(nbr, labels["id"] == nbr["s"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur = labels.agg(F.sum("comp")).collect()[0][0]
+            if cur == prev:
+                return labels
+            prev = cur
+
+    sc.setJobGroup("cc_eager_ref", "cc_eager_ref")
+    ref = {r["id"]: r["comp"] for r in eager_reference().collect()}
+    sc.setJobGroup("cc_lazy", "cc_lazy")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, src_col="doc_a", dst_col="doc_b").collect()
+    }
+    sc.setJobGroup("cc_done", "cc_done")
+    assert got == ref
+    n_eager = len(sc.statusTracker().getJobIdsForGroup("cc_eager_ref"))
+    n_lazy = len(sc.statusTracker().getJobIdsForGroup("cc_lazy"))
+    assert n_lazy < n_eager, (n_lazy, n_eager)

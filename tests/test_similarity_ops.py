@@ -291,3 +291,62 @@ def test_minhash_candidates_cover_exact_jaccard(spark, sf_dir):
     if exact:
         recall = len(exact & cand) / len(exact)
         assert recall >= 0.8, f"MinHash recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_packed_fast_path_at_default_params_theta_0996(spark):
+    """VERDICT r3 task 9: the ≤64-plane packed-signature branch at its
+    NATURAL operating point — θ=0.996 with the DEFAULT target_miss=1e-5
+    (auto_band_params resolves to r=8, 8 bands, 64 planes; the only
+    regime the default-parameter router reaches the packed path in).
+    Pair-set equality with the exact operator, scores bit-identical."""
+    import random
+
+    from food_panda_etl_spark.operators.similarity import (
+        auto_band_params,
+        banded_neardup_pairs,
+    )
+
+    planes, bands = auto_band_params(0.996)  # default target_miss
+    assert planes <= 64, f"({planes}, {bands}) does not reach the packed path"
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i < 15:  # near-identical copy: cos ≈ 0.99999 > 0.996
+            rows.append((1000 + i, [x + rng.gauss(0, 0.005) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_neardup_pairs(e, threshold=0.996).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in banded_neardup_pairs(e, threshold=0.996).collect()
+    }
+    assert len(exact) >= 15  # every planted copy qualifies
+    assert got == exact
+
+
+def test_verified_lsh_pairs_equal_exact(spark, sf_dir):
+    """The SCALE pair-generation path (MinHash band candidates + exact
+    Jaccard verify on candidates, r=2/b=16) must produce EXACTLY the
+    pair set of the inverted-index exact operator on the fixture — the
+    property that lets q_dedup_components_lsh share the exact recursive-
+    CTE oracle (per-pair candidate miss ≈ 8e-8 at j=0.8)."""
+    from food_panda_etl_spark.operators.dedup import verified_jaccard_pairs_lsh
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in exact_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in verified_jaccard_pairs_lsh(
+            d, "doc_id", "text", n=5, threshold=0.8, num_hashes=32, bands=16
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    assert lsh == exact  # jaccard values bit-identical too (same ratio of ints)
