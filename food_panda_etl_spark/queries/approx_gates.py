@@ -77,21 +77,23 @@ def _pair_recall_gate(
     exact: DataFrame, approx: DataFrame, target: float
 ) -> DataFrame:
     """(n_exact, sum_ab, meets_target) — exact-side checksum columns the
-    oracle recomputes + the pinned recall verdict. Both aggregates are
-    1-row frames; the crossJoin is broadcast-trivial."""
-    ex = exact.select("doc_a", "doc_b")
-    ex_stats = ex.agg(
+    oracle recomputes + the pinned recall verdict. ONE pass over the
+    exact side: a left join marks hits, a single aggregate produces
+    count, checksum, and the verdict together (the two-aggregate form
+    recomputed the expensive exact operator twice)."""
+    marked = exact.select("doc_a", "doc_b").join(
+        approx.select("doc_a", "doc_b").distinct().withColumn("__h", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    return marked.agg(
         F.count("*").alias("n_exact"),
         F.sum(F.col("doc_a") * F.col("doc_b")).alias("sum_ab"),
-    )
-    hits = ex.join(
-        approx.select("doc_a", "doc_b").distinct(), ["doc_a", "doc_b"]
-    ).agg(F.count("*").alias("n_hit"))
-    return ex_stats.crossJoin(hits).select(
-        "n_exact",
-        "sum_ab",
         (
-            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double"))
+            (
+                F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            )
             >= target
         )
         .cast("int")
@@ -213,38 +215,34 @@ def _topk_gate(
     """(n_exact, sum_qn, meets_target) for top-k recall. With
     ``per_query_min`` the verdict is the MINIMUM per-query recall — every
     query individually must clear the floor, stricter than the overall
-    hit ratio `q_ann_recall` pins."""
-    ex = exact.select("qid", "neighbor_id")
-    ex_stats = ex.agg(
-        F.count("*").alias("n_exact"),
-        F.sum(F.col("qid") * F.col("neighbor_id")).alias("sum_qn"),
-    )
-    marked = ex.join(
+    hit ratio `q_ann_recall` pins. ONE pass over the exact side (the
+    brute-force baseline is the expensive part — never compute it twice):
+    left-join hit marks, then a per-qid aggregate carrying count/checksum
+    partials, then a final 1-row rollup."""
+    marked = exact.select("qid", "neighbor_id").join(
         approx.select("qid", "neighbor_id").withColumn("__h", F.lit(1)),
         ["qid", "neighbor_id"],
         "left",
     )
+    per_q = marked.groupBy("qid").agg(
+        F.count("*").alias("n_q"),
+        F.sum(F.col("qid") * F.col("neighbor_id")).alias("sum_q"),
+        F.sum(F.coalesce(F.col("__h"), F.lit(0))).alias("hit_q"),
+    )
     if per_query_min:
-        per_q = marked.groupBy("qid").agg(
-            (
-                F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("double")
-                / F.count("*").cast("double")
-            ).alias("recall_q")
-        )
-        verdict = per_q.agg(
-            (F.min("recall_q") >= target).cast("int").alias("meets_target")
+        verdict = (
+            F.min(F.col("hit_q").cast("double") / F.col("n_q").cast("double"))
+            >= target
         )
     else:
-        verdict = marked.agg(
-            (
-                F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("double")
-                / F.count("*").cast("double")
-                >= target
-            )
-            .cast("int")
-            .alias("meets_target")
+        verdict = (
+            F.sum("hit_q").cast("double") / F.sum("n_q").cast("double") >= target
         )
-    return ex_stats.crossJoin(verdict).select("n_exact", "sum_qn", "meets_target")
+    return per_q.agg(
+        F.sum("n_q").alias("n_exact"),
+        F.sum("sum_q").alias("sum_qn"),
+        verdict.cast("int").alias("meets_target"),
+    )
 
 
 @query(
@@ -335,6 +333,43 @@ def q_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         src_col="doc_a",
         dst_col="doc_b",
+    )
+
+
+@query(
+    "q_approx_distinct_gate",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           1 AS meets_target
+    FROM lineitem
+    """,
+)
+def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for `q_approx_distinct` (HLL++ at rsd=0.01): both
+    sketch estimates must land within 5% of the exact distinct counts —
+    generous against the configured 1% rsd, immune to fixture
+    cardinality. The oracle recomputes the exact counts and pins the
+    verdict, so HLL quality is driver evidence; with this gate the only
+    ungated rows-only query left is `q_to_json` (output formatting).
+    Exact and approximate counts compute in ONE aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("a_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a_orders"),
+    )
+    err = lambda a, n: F.abs(a.cast("double") - n.cast("double")) / n.cast("double")  # noqa: E731
+    return agg.select(
+        "n_parts",
+        "n_orders",
+        (
+            (err(F.col("a_parts"), F.col("n_parts")) <= 0.05)
+            & (err(F.col("a_orders"), F.col("n_orders")) <= 0.05)
+        )
+        .cast("int")
+        .alias("meets_target"),
     )
 
 

@@ -269,3 +269,34 @@ def test_ann_recall_joins_are_bounded(spark, sf_dir):
     s = plan_summary(QUERIES["q_ann_recall"](spark, sf_dir))
     assert s.cartesian_products == 0
     assert s.nested_loop_joins <= 3
+
+
+# Round-4 additions: the approximate-quality gates and the LSH-verified
+# cluster-dedup path. All must be cartesian-free; the gates that embed
+# the brute-force exact baseline are allowed its CONDITIONED BNLJ (the
+# documented exactness baseline), everything else must avoid BNLJ too.
+GATES_NO_BNLJ = ["q_minhash_gate", "q_simhash_gate", "q_zorder"]
+GATES_WITH_BASELINE = ["q_embed_lsh_gate", "q_cosine_lsh_gate", "q_ivf_gate"]
+
+
+@pytest.mark.parametrize("name", GATES_NO_BNLJ)
+def test_gate_plans_no_nested_loop(spark, sf_dir, name):
+    assert lint_plan(QUERIES[name](spark, sf_dir), forbid_nested_loop=True) == []
+
+
+@pytest.mark.parametrize("name", GATES_WITH_BASELINE)
+def test_gate_plans_cartesian_free(spark, sf_dir, name):
+    assert lint_plan(QUERIES[name](spark, sf_dir)) == []
+
+
+def test_verified_lsh_cc_plan_quality(spark, sf_dir):
+    """The scale cluster-dedup path's pair generation must be equi-join
+    shaped end-to-end: no cartesian, no BNLJ anywhere in the pair plan."""
+    from food_panda_etl_spark.operators.dedup import verified_jaccard_pairs_lsh
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_jaccard_pairs_lsh(
+        d, "doc_id", "text", n=5, threshold=0.8, num_hashes=32, bands=16
+    )
+    assert lint_plan(pairs, forbid_nested_loop=True) == []
