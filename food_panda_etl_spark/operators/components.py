@@ -105,6 +105,120 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log²)-round variant for graphs whose
+    diameter makes per-hop min-label propagation
+    (:func:`connected_components`) too slow: a D-diameter path costs D
+    rounds there but only ~log D alternations here, because every round
+    re-points whole neighborhoods at their local minimum instead of
+    moving labels one hop.
+
+    Round shape (each a handful of narrow shuffles on 2-column frames):
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and re-points
+      its STRICTLY LARGER neighbors at m — (v, m) for v ∈ Γ(u), v > u.
+    - small-star: u re-points its ≤ neighbors (and itself) at the minimum
+      of that closed set — (v, m) for v ∈ N≤(u) ∪ {u}, v ≠ m.
+
+    The edge multiset is monotonically contracting toward a star forest
+    (every node → its component minimum); convergence = edge set
+    unchanged, detected by count + an order-independent xxhash64 checksum
+    in the SAME action that materializes the round (one job per round,
+    like the propagation loop). Returns (``id_col``, ``component``) —
+    identical contract and identical fixpoint, asserted against
+    :func:`connected_components` in tests."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionAll(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _stats(e: DataFrame):
+        # count + order-independent XOR fold of per-edge hashes: an
+        # overflow-free set fingerprint (sum of hashes overflows int64
+        # under ANSI mode; XOR cannot)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("s", "d")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def large_star(e: DataFrame) -> DataFrame:
+        m = (
+            e.groupBy("s")
+            .agg(F.min("d").alias("mn"))
+            .select("s", F.least("mn", "s").alias("m"))
+        )
+        return (
+            e.join(m, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        le = e.filter(F.col("d") < F.col("s"))  # N≤ without self loops
+        m = le.groupBy("s").agg(F.min("d").alias("m"))
+        repoint = (
+            le.join(m, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+        )
+        self_edge = m.select("s", F.col("m").alias("d"))
+        return (
+            repoint.unionAll(self_edge)
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    prev = _stats(sym)  # materializes sym's checkpoint in the same job
+    e = sym
+    converged = False
+    for _ in range(max_iter):
+        # one alternation = large then small, then symmetrize for the
+        # next large pass (large-star's per-u view needs both directions)
+        contracted = small_star(large_star(e))
+        e = (
+            contracted.unionAll(
+                contracted.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur = _stats(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "alternations — raise max_iter"
+        )
+    # star fixpoint: every non-root points at its component minimum
+    roots = e.filter(F.col("d") < F.col("s")).groupBy("s").agg(
+        F.min("d").alias("comp")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(roots.select(F.col("s").alias("id"), "comp"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("id")).alias("component"),
+        )
+    )
+
+
 def dedup_keep_representative(
     docs: DataFrame,
     pairs: DataFrame,

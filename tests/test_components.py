@@ -117,3 +117,69 @@ def test_one_action_per_round_beats_eager_checkpoint(spark):
     n_eager = len(sc.statusTracker().getJobIdsForGroup("cc_eager_ref"))
     n_lazy = len(sc.statusTracker().getJobIdsForGroup("cc_lazy"))
     assert n_lazy < n_eager, (n_lazy, n_eager)
+
+
+def _star(spark, n, es, **kw):
+    from food_panda_etl_spark.operators.components import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = (
+        spark.createDataFrame(es, "src bigint, dst bigint")
+        if es
+        else spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    return {
+        r["id"]: r["component"]
+        for r in connected_components_star(nodes, edges, **kw).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "n,es",
+    [
+        (10, [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 8)]),
+        (5, [(4, 3), (3, 4), (0, 4), (4, 0), (0, 4)]),  # dups + orientation
+        (8, [(7, i) for i in range(7)]),  # pre-existing star, max root
+        (6, []),  # all singletons
+    ],
+)
+def test_star_equals_propagation(spark, n, es):
+    """large-star/small-star must reach the identical fixpoint as
+    min-label propagation (same min-id component labels)."""
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = (
+        spark.createDataFrame(es, "src bigint, dst bigint")
+        if es
+        else spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert _star(spark, n, es) == prop
+
+
+def test_star_equals_propagation_random(spark):
+    import random
+
+    rng = random.Random(3)
+    n, es = 200, [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(es, "src bigint, dst bigint")
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert _star(spark, n, es) == prop
+
+
+def test_star_handles_deep_chain_beyond_propagation_budget(spark):
+    """The reason the variant exists: a 256-node path has diameter 255 —
+    min-label propagation moves the label ONE hop per round and blows its
+    25-round budget, while star contraction re-points whole neighborhoods
+    and converges in ~log D alternations within its default budget."""
+    es = [(i, i + 1) for i in range(255)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, range(256), es)  # default max_iter=25
+    got = _star(spark, 256, es)
+    assert set(got.values()) == {0} and len(got) == 256
