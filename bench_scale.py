@@ -92,17 +92,20 @@ def synth_documents(spark, n: int, base=None, tokens: int = 50, vocab: int = 500
     return base.select("doc_id", "text").unionByName(extra) if base is not None else extra
 
 
-def synth_documents_boiler(
-    spark, n: int, tokens: int = 50, vocab: int = 5000, boiler_every: int = 3
-):
-    """Corpus where every ``boiler_every``-th document starts with the
-    SAME 8-token boilerplate sentence — the df² stressor for inverted-
-    index pair generation: the boilerplate shingles' document frequency
-    grows with N, so `exact_jaccard_pairs`' shingle self-join emits
-    Θ((N/boiler_every)²) intersection rows even though almost no pair
-    passes the threshold. Band-candidate generation is immune: a shared
-    prefix does not make two otherwise-random signatures collide."""
-    boiler = F.lit("terms of service apply to this document as follows")
+def synth_documents_boiler(spark, n: int, tokens: int = 50, vocab: int = 5000):
+    """Corpus where EVERY document starts with the same 5-token
+    boilerplate sentence — i.e. every document shares exactly ONE 5-gram
+    shingle (the boundary grams mix in random body tokens and stay
+    unique). This is the df² stressor for inverted-index pair
+    generation: that one shingle's document frequency is N, so
+    `exact_jaccard_pairs`' shingle self-join materializes Θ(N²)
+    intersection rows even though every pairwise Jaccard is ≈1/100 and
+    NO pair passes the threshold. The banded path pays the linear
+    signature cost plus candidates ∝ (1-(1-j²)^bands)·N² ≈ 0.0016·N² at
+    j≈0.01 — the same asymptotic class for a constant-j clique, but a
+    ~600× smaller constant, and (unlike Σ df²) it shrinks further as the
+    shared-content fraction falls."""
+    boiler = F.lit("terms of service apply here")
     body = F.concat_ws(
         " ",
         F.transform(
@@ -117,11 +120,7 @@ def synth_documents_boiler(
     )
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
-        F.when(
-            F.col("id") % boiler_every == 0, F.concat_ws(" ", boiler, body)
-        )
-        .otherwise(body)
-        .alias("text"),
+        F.concat_ws(" ", boiler, body).alias("text"),
     )
 
 
@@ -204,7 +203,7 @@ def main() -> None:
 
     curves["cc_pairs_exact"] = {}
     curves["cc_pairs_lsh"] = {}
-    boiler_sizes = [1000, 2000, 4000] + ([] if quick else [8000, 16000])
+    boiler_sizes = [2000, 4000, 8000] + ([] if quick else [16000, 32000])
     for n in boiler_sizes:
         d = synth_documents_boiler(spark, n).cache()
         d.count()
