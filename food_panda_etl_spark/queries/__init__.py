@@ -71,6 +71,7 @@ def _load_all() -> None:
         setops,
         approx_gates,
         storage,
+        skew_queries,
         joins,
         windows,
         text,

@@ -300,3 +300,18 @@ def test_verified_lsh_cc_plan_quality(spark, sf_dir):
         d, "doc_id", "text", n=5, threshold=0.8, num_hashes=32, bands=16
     )
     assert lint_plan(pairs, forbid_nested_loop=True) == []
+
+
+def test_skew_agg_two_exchanges(spark, sf_dir):
+    """Salted aggregation is exactly two shuffles: (keys, salt) partial,
+    then the tiny keys-only re-aggregation — the documented cost of the
+    rewrite, no hidden extras."""
+    s = plan_summary(QUERIES["q_skew_agg"](spark, sf_dir))
+    assert s.exchanges == 2, s
+    assert s.cartesian_products == 0
+
+
+def test_skew_join_plan_clean(spark, sf_dir):
+    """Replicated skew join must stay an equi-join on (key, salt) — no
+    cartesian, no nested loop anywhere."""
+    assert lint_plan(QUERIES["q_skew_join"](spark, sf_dir), forbid_nested_loop=True) == []
