@@ -147,3 +147,60 @@ def test_triangle_join_enumerates_every_pair_once(spark, n, blocks, seed):
     ]
     assert len(got) == len(set(got)) == n * (n - 1) // 2
     assert all(a < b for a, b in got)
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_key_is_invertible(spark, vals):
+    """The Morton interleave must be a bijection on its bucket domain:
+    de-interleaving the key recovers the exact inputs (no two bucket
+    tuples can share a key, no bits are lost or scrambled)."""
+    from food_panda_etl_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(vals, "a int, b int")
+    got = df.select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")], bits=8).alias("k")
+    ).collect()
+    for r in got:
+        a = sum((((r["k"] >> (2 * bit)) & 1) << bit) for bit in range(8))
+        b = sum((((r["k"] >> (2 * bit + 1)) & 1) << bit) for bit in range(8))
+        assert (a, b) == (r["a"], r["b"]), (r["a"], r["b"], r["k"])
+
+
+@SET
+@given(
+    n=st.integers(min_value=2, max_value=30),
+    edge_seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_star_cc_matches_propagation_on_random_graphs(spark, n, edge_seed):
+    """large-star/small-star and min-label propagation must agree on the
+    unique min-id fixpoint for arbitrary random graphs."""
+    import random
+
+    from food_panda_etl_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(edge_seed)
+    es = [(rng.randrange(n), rng.randrange(n)) for _ in range(max(1, n))]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(es, "src bigint, dst bigint")
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert star == prop
