@@ -76,9 +76,13 @@ HEADLINE = [
     # round-4 additions: the SCALE cluster-dedup path (MinHash band
     # candidates + exact verify on candidates → connected components —
     # the headline CC cost, replacing q_dedup_components' exact
-    # inverted-index pair generation) and the Z-order clustering key.
+    # inverted-index pair generation), the Z-order clustering key, the
+    # skew-mitigation rewrites, and 3-round distributed k-means.
     "q_dedup_components_lsh",
     "q_zorder",
+    "q_skew_agg",
+    "q_skew_join",
+    "q_kmeans",
 ]
 
 

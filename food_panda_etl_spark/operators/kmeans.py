@@ -1,0 +1,143 @@
+"""Distributed k-means (Lloyd iterations) over an embedding column.
+
+The clustering workhorse behind IVF index builds (`ivf_topk`'s centroid
+refinement), clustering-based data curation, and diversity sampling.
+The reference has no equivalent (its pipeline is row-at-a-time ETL,
+`/root/reference/src/main.rs`); this is EXT surface mandated by the
+LLM-pipeline brief.
+
+Scale shape — the part worth copying:
+- Centroids are DRIVER-SIDE literals (k·dim doubles, bounded and tiny),
+  refreshed once per iteration via a k·dim-row collect. Assignment is
+  therefore a PURE PROJECTION — the distance to every centroid compiles
+  into the row expression; no join, no shuffle, no broadcast exchange.
+- The update step is the `q_embed_centroid` reduction: posexplode → one
+  hash aggregate; partial aggregation collapses each mapper to k·dim
+  partial sums before the exchange, so shuffle bytes are independent of
+  corpus size. ONE exchange per iteration total.
+- Determinism: distances are fixed-order double folds (zip_with over the
+  vector and a literal array), ties broken by cell id via lexicographic
+  struct-least; centroid means quantize addends to DECIMAL(18,9) (exact,
+  order-independent — the repo's standard cross-engine float-sum
+  convention). Every iteration is therefore bit-identical across engines
+  and any partitioning, which is what lets a DuckDB oracle replay the
+  same rounds and hash-match the result.
+- The JVM zip_with fold is interpreted (HOFs don't codegen) — the
+  deliberate price of oracle-exactness. A production variant would score
+  assignments with an Arrow matmul batch (the `_band_values_arrow`
+  pattern, ~10× faster) at the cost of summation-order float drift that
+  can flip a quantization boundary; the declared query keeps the fold
+  because bit-replayability IS the evidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist_sq(vec_col: Column, centroid: list[float]) -> Column:
+    """Fixed-order squared-L2 fold between a vector column and a literal
+    centroid — identical to DuckDB's list_reduce over the same values."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec_col, lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment as a projection: argmin over the k
+    literal distances, ties to the smaller cell id (lexicographic least
+    over (dist, cell) structs — deterministic in every engine)."""
+    best = F.least(
+        *[
+            F.struct(
+                _dist_sq(F.col(vec_col), c).alias("d"),
+                F.lit(i).cast("int").alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return vectors.withColumn(out_col, best["c"])
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """`iters` Lloyd rounds from a deterministic init (the k vectors with
+    the smallest ids — SQL-replicable, unlike a seeded sample). Returns
+    the final centroids as plain lists (k·dim, driver-sized). A cell
+    that loses all members keeps its previous centroid (cannot happen
+    with min-id init on the fixtures — asserted in tests — but guarded
+    for adversarial inputs at scale)."""
+    init = (
+        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    cents = [[float(x) for x in r[0]] for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = assign_cells(vectors, cents, vec_col)
+        rows = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast(
+                        "double"
+                    )
+                    / F.count("*").cast("double")
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
+        cents = [
+            [by_cell.get(ci, {}).get(d, cents[ci][d]) for d in range(dim)]
+            for ci in range(k)
+        ]
+    return cents
+
+
+def kmeans_centroids_df(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final centroids as a (cell, dim, centroid) frame — the declared-
+    query surface (row-shaped so the driver's hash compare applies)."""
+    cents = kmeans_fit(vectors, k, iters, id_col, vec_col)
+    spark = vectors.sparkSession
+    rows = [
+        (ci, d, float(v)) for ci, c in enumerate(cents) for d, v in enumerate(c)
+    ]
+    return spark.createDataFrame(rows, "cell INT, dim INT, centroid DOUBLE")
+
+
+def inertia(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to the nearest centroid — the quantity
+    Lloyd iterations monotonically decrease (asserted in tests)."""
+    d = F.least(*[_dist_sq(F.col(vec_col), c) for c in centroids])
+    return vectors.select(d.alias("d")).agg(F.sum("d")).collect()[0][0]

@@ -72,6 +72,7 @@ def _load_all() -> None:
         approx_gates,
         storage,
         skew_queries,
+        clustering,
         joins,
         windows,
         text,

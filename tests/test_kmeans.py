@@ -1,0 +1,77 @@
+"""Distributed k-means: Lloyd-descent invariants and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.kmeans import (
+    assign_cells,
+    inertia,
+    kmeans_fit,
+)
+from food_panda_etl_spark.tables import load_table
+
+
+def test_inertia_monotonically_decreases(spark, sf_dir):
+    """Each Lloyd round must not increase the sum of squared distances —
+    the textbook descent property, on the real fixture."""
+    e = load_table(spark, sf_dir, "embeddings")
+    prev = None
+    for iters in (0, 1, 2, 3):
+        cents = (
+            kmeans_fit(e, k=8, iters=iters)
+            if iters
+            else [[float(x) for x in r[0]] for r in
+                  e.orderBy("vec_id").limit(8).select("embedding").collect()]
+        )
+        cur = inertia(e, cents)
+        if prev is not None:
+            assert cur <= prev + 1e-9, (iters, cur, prev)
+        prev = cur
+
+
+def test_every_cell_keeps_members_on_fixture(spark, sf_dir):
+    """The min-id init must not strand an empty cluster on the fixtures
+    (the empty-cell carry branch exists for adversarial inputs; the
+    declared oracle relies on it never firing here)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=3)
+    n = assign_cells(e, cents).select("cell").distinct().count()
+    assert n == 8
+
+
+def test_fewer_than_k_vectors_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="fewer than k"):
+        kmeans_fit(df, k=8, iters=1)
+
+
+def test_one_round_is_projection_plus_single_exchange(spark, sf_dir):
+    """Scale gate: assignment compiles to a row expression (no join
+    node of any kind) and the centroid update is ONE hash-aggregate
+    exchange — the whole round's plan."""
+    from food_panda_etl_spark.plans.lint import plan_summary
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [[float(x) for x in r[0]] for r in
+             e.orderBy("vec_id").limit(8).select("embedding").collect()]
+    one_round = (
+        assign_cells(e, cents)
+        .select("cell", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("c")
+        )
+    )
+    s = plan_summary(one_round)
+    assert s.exchanges == 1, s
+    assert (
+        s.broadcast_joins == s.sort_merge_joins == s.nested_loop_joins
+        == s.cartesian_products == 0
+    )
