@@ -70,25 +70,18 @@ def assign_cells(
     return vectors.withColumn(out_col, best["c"])
 
 
-def kmeans_fit(
+def lloyd_refine(
     vectors: DataFrame,
-    k: int = 8,
-    iters: int = 3,
-    id_col: str = "vec_id",
+    init: list[list[float]],
+    iters: int,
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """`iters` Lloyd rounds from a deterministic init (the k vectors with
-    the smallest ids — SQL-replicable, unlike a seeded sample). Returns
-    the final centroids as plain lists (k·dim, driver-sized). A cell
-    that loses all members keeps its previous centroid (cannot happen
-    with min-id init on the fixtures — asserted in tests — but guarded
-    for adversarial inputs at scale)."""
-    init = (
-        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
-    )
-    if len(init) < k:
-        raise ValueError(f"corpus has fewer than k={k} vectors")
-    cents = [[float(x) for x in r[0]] for r in init]
+    """Run `iters` Lloyd rounds from the given centroids. A cell that
+    loses all members keeps its previous centroid (cannot happen with
+    min-id init on the fixtures — asserted in tests — but guarded for
+    adversarial inputs at scale). Also the opt-in refinement step for
+    `ivf_topk`'s sampled centroids."""
+    cents = [list(map(float, c)) for c in init]
     dim = len(cents[0])
     for _ in range(iters):
         assigned = assign_cells(vectors, cents, vec_col)
@@ -110,9 +103,27 @@ def kmeans_fit(
             by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
         cents = [
             [by_cell.get(ci, {}).get(d, cents[ci][d]) for d in range(dim)]
-            for ci in range(k)
+            for ci in range(len(cents))
         ]
     return cents
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """`iters` Lloyd rounds from a deterministic init (the k vectors with
+    the smallest ids — SQL-replicable, unlike a seeded sample). Returns
+    the final centroids as plain lists (k·dim, driver-sized)."""
+    init = (
+        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    return lloyd_refine(vectors, [r[0] for r in init], iters, vec_col)
 
 
 def kmeans_centroids_df(

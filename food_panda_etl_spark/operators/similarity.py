@@ -214,6 +214,7 @@ def ivf_topk(
     k: int = 10,
     ncells: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     `ncells` Voronoi cells around centroid vectors, probe only the
@@ -225,9 +226,11 @@ def ivf_topk(
 
     Centroids are a deterministic sample — the ncells corpus vectors with
     the smallest xxhash64(id) (seedless, data-derived, stable across
-    runs/parallelism). Real deployments would k-means-refine them; the
-    plumbing (assign → probe → in-cell rerank) is identical and that is
-    what this operator exercises.
+    runs/parallelism). ``refine_iters > 0`` runs that many Lloyd rounds
+    on the sample (`operators/kmeans.py::lloyd_refine` — per round one
+    projection-shaped assignment + one KB-sized aggregate exchange),
+    tightening the Voronoi cells the way a production index build would;
+    the default stays 0 so the declared `q_ivf_topk` path is unchanged.
     """
     cent_rows = (
         vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
@@ -235,9 +238,16 @@ def ivf_topk(
         .limit(ncells)
         .collect()
     )
+    cent_lists = [list(map(float, r["cvec"])) for r in cent_rows]
+    if refine_iters > 0:
+        from food_panda_etl_spark.operators.kmeans import lloyd_refine
+
+        cent_lists = lloyd_refine(
+            vectors.select(F.col(vec_col)), cent_lists, refine_iters, vec_col
+        )
     spark = vectors.sparkSession
     cent = spark.createDataFrame(
-        [(i, list(map(float, r["cvec"]))) for i, r in enumerate(cent_rows)],
+        [(i, c) for i, c in enumerate(cent_lists)],
         "cell INT, cvec ARRAY<DOUBLE>",
     ).select("cell", "cvec", F.sqrt(l2_norm_sq(F.col("cvec"))).alias("cnorm"))
 
