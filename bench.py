@@ -93,6 +93,51 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def calibration_probe(spark) -> dict[str, float]:
+    """Fixed, BYTE-FROZEN machine-speed anchor (VERDICT r4 task 2).
+
+    The per-round bench runs on VMs whose speed varies ~2x round to
+    round; without a denominator the "within 2x of baseline" gate cannot
+    distinguish a slow machine from a code regression. This probe is
+    data-independent and code-frozen from round 5 on, so
+    BENCH_rN.calibration / BENCH_rM.calibration IS the machine-speed
+    ratio between rounds, and normalized per-query comparisons follow
+    from driver artifacts alone. Two components:
+
+    - cpu_arith_sec: whole-stage-codegen integer arithmetic over
+      spark.range (no I/O, no shuffle) — JVM throughput.
+    - py_arith_sec: a fixed pure-Python loop on the driver — the Python
+      interpreter speed that dominates plan-construction overhead on
+      sub-second queries.
+
+    Medians of 5 runs; DO NOT EDIT the probe bodies (that would break
+    cross-round comparability).
+    """
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    def jvm_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 4_000_000_000).select(
+            F.sum(((F.col("id") % 1000003) * 2654435761) % 1000003).alias("s")
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    def py_once() -> float:
+        t0 = time.perf_counter()
+        acc = 7
+        for i in range(10_000_000):
+            acc = (acc * 31 + i) % 1000003
+        return time.perf_counter() - t0
+
+    jvm_once()  # codegen warmup, not measured
+    return {
+        "cpu_arith_sec": round(statistics.median(jvm_once() for _ in range(5)), 3),
+        "py_arith_sec": round(statistics.median(py_once() for _ in range(5)), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -107,6 +152,8 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = round(min(run_query(spark, name, sf_dir) for _ in range(2)), 3)
 
+    calibration = calibration_probe(spark)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -116,6 +163,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "calibration": calibration,
             }
         )
     )

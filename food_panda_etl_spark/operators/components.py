@@ -55,6 +55,16 @@ def connected_components(
     labeled with their own id). ``edges``: undirected pairs, any
     orientation, duplicates fine. Returns (``id_col``, ``component``).
 
+    PRECONDITION (ADVICE r4): every edge endpoint must appear in
+    ``nodes``. The two CC implementations disagree on malformed input —
+    here an undeclared endpoint contributes no label (its id still wins
+    min-comparisons via the edge list but it never appears in the
+    output), while :func:`connected_components_star` treats it as a real
+    intermediate vertex that can merge declared nodes. All in-repo
+    callers derive edges from the node table, satisfying this by
+    construction; external callers must semi-join edges against nodes
+    first if the invariant is not guaranteed.
+
     Deterministic by construction: the fixpoint is unique (min reachable
     id), independent of partitioning, iteration count past convergence,
     or edge order — so the result is oracle-checkable against a
@@ -134,7 +144,11 @@ def connected_components_star(
     in the SAME action that materializes the round (one job per round,
     like the propagation loop). Returns (``id_col``, ``component``) —
     identical contract and identical fixpoint, asserted against
-    :func:`connected_components` in tests."""
+    :func:`connected_components` in tests.
+
+    PRECONDITION (ADVICE r4): edge endpoints must be a subset of
+    ``nodes`` — see :func:`connected_components` for how the two
+    implementations diverge on undeclared endpoints."""
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionAll(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))

@@ -74,8 +74,18 @@ def exact_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs: shingle inverted-index
     self-join → intersection counts → |A∩B| / (|A|+|B|-|A∩B|).
     Exact but O(sum of per-shingle doc-frequency²) — the right tool when
-    shingle frequencies are bounded; MinHash+LSH when they are not."""
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    shingle frequencies are bounded; MinHash+LSH when they are not.
+
+    Shared intermediates use ``localCheckpoint(eager=False)`` instead of
+    ``cache()`` (ADVICE r4): a ``.cache()`` registers in the
+    CacheManager and lives until an explicit unpersist — but these
+    operators return LAZY frames, so there is no safe place to unpersist
+    inside the operator, and a driver run that builds many of them
+    accumulates cached shingle/signature tables. A local checkpoint
+    stores the same blocks, is materialized once by the first action,
+    and is released by the ContextCleaner when the returned frame is
+    garbage-collected — no manual cleanup, no accumulation."""
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -185,7 +195,10 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).cache()
+    # lazy localCheckpoint, not cache(): see exact_jaccard_pairs
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed
+    ).localCheckpoint(eager=False)
     cand = _band_candidates(sig, num_hashes, bands)
     sa = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
     sb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
@@ -231,7 +244,9 @@ def verified_jaccard_pairs_lsh(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    # lazy localCheckpoint, not cache(): the shingle table is the LARGE
+    # object on this declared 100 TB route — see exact_jaccard_pairs
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     # Signatures from the SAME shingle set the verify step uses (n-gram,
     # not the default 3-gram) so banding probability math applies to the
@@ -383,7 +398,8 @@ def simhash_pairs(
     any pair within hamming distance 3 must agree on ≥1 chunk (pigeonhole)
     — equi-join on (chunk_id, chunk_value), then exact hamming filter via
     bit_count(xor)."""
-    sig = simhash(df, id_col, text_col).cache()
+    # lazy localCheckpoint, not cache(): see exact_jaccard_pairs
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     chunks = sig.select(
         "doc",
         "simhash",

@@ -136,36 +136,31 @@ def lsh_bucket_topk(
     one band of random-hyperplane sign bits; exact cosine re-rank inside
     candidates. Recall grows with bands; cost with bucket size. The join is
     a plain equi-join on (band, band_bits) — shuffle-partitioned, AQE-skew
-    safe, no cross product anywhere."""
+    safe, no cross product anywhere.
+
+    Corpus signing runs through ``_band_values_arrow`` (ONE numpy matmul
+    per Arrow batch) — the r5 rework: the per-plane ``zip_with`` folds
+    were 12 interpreted dim-length folds per corpus row and dominated
+    `q_ann_recall`'s wall time (~6.4 s of the 50k-row sf0.1 corpus;
+    sub-second as a matmul). Sign-boundary rounding may differ from a
+    sequential fold for near-zero dots — irrelevant to the contract:
+    signatures only GENERATE candidates, the re-rank rescores with the
+    exact fixed-order fold (same rationale as the banded near-dup path)."""
     import random
 
     if num_planes % bands:
         raise ValueError("num_planes must be divisible by bands")
     if dim is None:
         dim = _infer_dim(vectors, vec_col)
-    r = num_planes // bands
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    band_vals = _band_values_arrow(planes, bands)
 
     def banded(df, vcol, idcol, out_id):
-        sig = rhp_signature(F.col(vcol), planes)
-        mask = (1 << r) - 1
         return df.select(
             F.col(idcol).alias(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.shiftright(sig, bi * r)
-                            .bitwiseAND(F.lit(mask).cast("long"))
-                            .alias("bb"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("s"),
-        ).select(out_id, "s.band", "s.bb")
+            F.posexplode(band_vals(F.col(vcol))).alias("band", "bb"),
+        )
 
     # Candidate dedup carries IDS ONLY — the same shuffle discipline
     # lsh_neardup_pairs documents (floats through a distinct multiplied

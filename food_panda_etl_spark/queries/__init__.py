@@ -53,28 +53,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all() -> None:
     # Import side effects populate the registries. ORDER MATTERS: the
-    # correctness driver records only the first N registered queries, so
-    # modules still lacking fresh driver evidence register first. Round-4
-    # rotation (VERDICT r3 tasks 2-6): changed/new code leads — aggregates
-    # (q_dedup second-hash rewrite, r3 green predates it), sql_layer
-    # (q_tpch_q5 window moved to 1995), setops (q_except now non-vacuous),
-    # approx_gates (NEW recall/precision gates for the rows-only
-    # approximate queries + the LSH-candidate cluster-dedup scale path),
-    # storage (new q_zorder; q_partition_prune dim now Range-generated) —
-    # then the modules whose latest greens are r2-era (joins, windows,
-    # text, udx, vendor_pipeline). Modules hash-verified in
-    # CORRECTNESS_r03.json (similarity, analytics, sorts, relational)
-    # register last.
+    # correctness driver records only the first N (~50) registered
+    # queries, so modules still lacking fresh driver evidence register
+    # first. Round-5 rotation (VERDICT r4 task 1): modules CHANGED in r5
+    # lead — llm_prep (new composite), clustering (kmeans oracle now
+    # mirrors the empty-cell carry-forward + new q_semantic_dedup),
+    # approx_gates (non-vacuous verdicts + dedup-operator checkpoint
+    # change) — then the r2-era-evidence modules (text, udx,
+    # vendor_pipeline), then the r3-era set (similarity — also changed:
+    # sampled q_ann_recall, Arrow corpus signing, q_png_decode —
+    # analytics, sorts, relational). Modules hash-verified in
+    # CORRECTNESS_r04.json with byte-unchanged code (aggregates,
+    # sql_layer, setops, storage, skew_queries, joins, windows) register
+    # last; the relational tail past position ~50 keeps its r3 green on
+    # unchanged code and rotates in r6.
     from food_panda_etl_spark.queries import (  # noqa: F401
-        aggregates,
-        sql_layer,
-        setops,
-        approx_gates,
-        storage,
-        skew_queries,
         clustering,
-        joins,
-        windows,
+        approx_gates,
         text,
         udx,
         vendor_pipeline,
@@ -82,6 +77,13 @@ def _load_all() -> None:
         analytics,
         sorts,
         relational,
+        aggregates,
+        sql_layer,
+        setops,
+        storage,
+        skew_queries,
+        joins,
+        windows,
     )
 
 

@@ -80,7 +80,13 @@ def _pair_recall_gate(
     oracle recomputes + the pinned recall verdict. ONE pass over the
     exact side: a left join marks hits, a single aggregate produces
     count, checksum, and the verdict together (the two-aggregate form
-    recomputed the expensive exact operator twice)."""
+    recomputed the expensive exact operator twice).
+
+    An EMPTY exact side makes the gate vacuous — 0/0 recall is NULL, and
+    NULL >= target would stay NULL. The verdict coalesces to 0 (ADVICE
+    r4) so a scale factor with no qualifying exact pairs FAILS the
+    pinned-1 oracle loudly as a vacuity report, instead of emitting a
+    NULL that reads like a driver plumbing bug."""
     marked = exact.select("doc_a", "doc_b").join(
         approx.select("doc_a", "doc_b").distinct().withColumn("__h", F.lit(1)),
         ["doc_a", "doc_b"],
@@ -89,15 +95,16 @@ def _pair_recall_gate(
     return marked.agg(
         F.count("*").alias("n_exact"),
         F.sum(F.col("doc_a") * F.col("doc_b")).alias("sum_ab"),
-        (
+        F.coalesce(
             (
-                F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("double")
-                / F.count("*").cast("double")
-            )
-            >= target
-        )
-        .cast("int")
-        .alias("meets_target"),
+                (
+                    F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("double")
+                    / F.count("*").cast("double")
+                )
+                >= target
+            ).cast("int"),
+            F.lit(0),
+        ).alias("meets_target"),
     )
 
 
@@ -238,10 +245,12 @@ def _topk_gate(
         verdict = (
             F.sum("hit_q").cast("double") / F.sum("n_q").cast("double") >= target
         )
+    # empty exact side → NULL verdict; coalesce to 0 so vacuity fails the
+    # pinned-1 oracle loudly (same rationale as _pair_recall_gate)
     return per_q.agg(
         F.sum("n_q").alias("n_exact"),
         F.sum("sum_q").alias("sum_qn"),
-        verdict.cast("int").alias("meets_target"),
+        F.coalesce(verdict.cast("int"), F.lit(0)).alias("meets_target"),
     )
 
 

@@ -34,7 +34,15 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     """Chained-CTE replay: init = k smallest ids; each round scores
     every (vector, centroid) pair with the same fixed-order fold, takes
     the (dist, cell)-min assignment, and rebuilds per-cell centroid
-    arrays from decimal-quantized means."""
+    arrays from decimal-quantized means.
+
+    Mirrors the Spark empty-cell guard (ADVICE r4): a cell that loses all
+    members CARRIES ITS PREVIOUS CENTROID FORWARD — each round's c{{r}}
+    left-joins the fresh means onto the full previous centroid table, so
+    an empty cell keeps competing in later assignments and appears in the
+    final output, exactly like ``lloyd_refine``. The final select unnests
+    c{{iters}} (all k cells), not the round's means (populated cells
+    only)."""
     ctes = [
         f"""init AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -69,13 +77,17 @@ def _kmeans_oracle(k: int, iters: int) -> str:
         )
         ctes.append(
             f"""c{r} AS (
-      SELECT cell, list(c ORDER BY dim) AS c FROM m{r} GROUP BY cell)"""
+      SELECT p.cell, COALESCE(n.c, p.c) AS c
+      FROM {prev} p
+      LEFT JOIN (SELECT cell, list(c ORDER BY dim) AS c FROM m{r} GROUP BY cell) n
+        USING (cell))"""
         )
         prev = f"c{r}"
     body = ",\n    ".join(ctes)
     return f"""
     WITH {body}
-    SELECT cell, dim, c AS centroid FROM m{iters}
+    SELECT cell, CAST(j - 1 AS INT) AS dim, c[j] AS centroid
+    FROM (SELECT cell, unnest(generate_series(1, len(c))) AS j, c FROM c{iters})
     """
 
 

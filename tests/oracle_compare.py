@@ -7,6 +7,7 @@ failure there too).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -17,8 +18,14 @@ from food_panda_etl_spark.tables import TABLES
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
+        # synthetic-fixture tests write only the table(s) under test;
+        # Spark-written tables are directories of part files
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con.execute(sql).fetch_df()
 

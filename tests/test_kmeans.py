@@ -41,6 +41,39 @@ def test_every_cell_keeps_members_on_fixture(spark, sf_dir):
     assert n == 8
 
 
+def test_empty_cell_carry_forward_matches_oracle(spark, out_dir):
+    """ADVICE r4: the empty-cell guard must be ORACLE-VERIFIABLE, not a
+    silently-unoracled branch. Adversarial fixture: vec 1 duplicates
+    vec 0, so init cell 1's centroid ties cell 0's everywhere and the
+    (dist, cell)-min tie-break starves cell 1 of members in round 1 —
+    the carry-forward branch fires. The DuckDB replay (which now
+    left-joins each round's means onto the previous centroid table) must
+    still hash-match bit-for-bit, carried-forward cells included."""
+    import os
+
+    from food_panda_etl_spark.operators.kmeans import kmeans_centroids_df
+    from food_panda_etl_spark.queries.clustering import _kmeans_oracle
+    from tests.oracle_compare import compare
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),  # duplicate of vec 0 → cell 1 empties in round 1
+        (2, [10.0, 0.0]),
+        (3, [0.1, 0.2]),
+        (4, [9.8, 0.3]),
+        (5, [0.2, -0.1]),
+        (6, [10.2, -0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    got = kmeans_centroids_df(df, k=3, iters=2)
+    # cell 1 must appear (carried forward), proving the guard branch ran
+    assert got.filter(F.col("cell") == 1).count() == 2  # dim 0 and 1
+    problems = compare(got, _kmeans_oracle(3, 2), out_dir)
+    assert not problems, problems
+
+
 def test_fewer_than_k_vectors_raises(spark):
     df = spark.createDataFrame(
         [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
