@@ -722,3 +722,70 @@ def lsh_neardup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def cell_neardup_pairs(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped pair generation (Abbas et al., arXiv:2303.09540):
+    assign every vector to its nearest k-means centroid (a pure
+    projection — `operators/kmeans.py::assign_cells`, no join), then
+    enumerate exact-cosine pairs WITHIN each cell only. The cell
+    equi-join bounds pair generation to O(Σ |cell|²) instead of O(N²) —
+    the embedding analog of the MinHash-banded candidate path: clusters
+    are the candidate buckets, and semantically unrelated vectors (in
+    different cells) are never scored.
+
+    Approximation contract: a pair whose endpoints land in different
+    cells is MISSED by design — that is the SemDeDup trade. The declared
+    query's oracle replays the same cells, so the approximation itself is
+    oracle-checked bit-for-bit.
+
+    Scale: choose k ≈ N / target_cell_size so each cell's quadratic
+    verify is a bounded task; a skewed cell can be sub-blocked with the
+    `triangle_neardup_pairs` scheme inside the cell. Scoring is the same
+    fixed-order fold as every exact path (norms hoisted per row, one
+    zip_with fold per pair)."""
+    from food_panda_etl_spark.operators.kmeans import assign_cells
+
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    src = assign_cells(vectors, centroids, vec_col=vec_col, out_col="cell").select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("norm"),
+        "cell",
+    )
+    # Explicit numbered repartition for the same reason as
+    # triangle_neardup_pairs: shuffle bytes are tiny but join OUTPUT is
+    # the per-cell quadratic verify — AQE must not coalesce it onto one
+    # task. With k cells at most k partitions carry work; at scale k is
+    # sized to the cluster, so this is the intended layout.
+    a = src.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+        "cell",
+    ).repartition(par, "cell")
+    b = src.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+        "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

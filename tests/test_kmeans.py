@@ -134,3 +134,35 @@ def test_ivf_refined_centroids_still_clear_recall_floor(spark, sf_dir):
     }
     assert refined != plain or len(refined) == 0  # refinement changed the cells
     assert len(exact & refined) / len(exact) >= 0.25
+
+
+def test_cell_neardup_pairs_subset_and_colocated(spark, sf_dir):
+    """SemDeDup pair semantics: (a) every within-cell pair is also an
+    exact all-pairs cosine pair at the same threshold (same scoring
+    fold), (b) both endpoints of every emitted pair share a k-means
+    cell, and (c) the within-cell set is exactly the all-pairs set
+    restricted to co-located endpoints — missed pairs are precisely the
+    cross-cell ones (the documented SemDeDup approximation)."""
+    from food_panda_etl_spark.operators.similarity import (
+        cell_neardup_pairs,
+        cosine_neardup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    within = {
+        (r["id_a"], r["id_b"])
+        for r in cell_neardup_pairs(e, cents, threshold=0.4).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(e, threshold=0.4).collect()
+    }
+    cell_of = {
+        r["vec_id"]: r["cell"] for r in assign_cells(e, cents).select("vec_id", "cell").collect()
+    }
+    assert within, "vacuous fixture: no within-cell pairs at threshold 0.4"
+    assert within <= exact
+    assert all(cell_of[a] == cell_of[b] for a, b in within)
+    colocated_exact = {(a, b) for a, b in exact if cell_of[a] == cell_of[b]}
+    assert within == colocated_exact
