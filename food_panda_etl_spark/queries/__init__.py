@@ -68,6 +68,7 @@ def _load_all() -> None:
     # last; the relational tail past position ~50 keeps its r3 green on
     # unchanged code and rotates in r6.
     from food_panda_etl_spark.queries import (  # noqa: F401
+        llm_prep,
         clustering,
         approx_gates,
         text,
