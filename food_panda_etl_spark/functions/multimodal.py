@@ -14,15 +14,17 @@ Design (the part that matters at 100 TB):
   ``mapInPandas`` batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch``
   rows; callers control bytes-per-task by repartitioning on the id before
   decoding (``repartition_for_decode``).
-- **Codecs: raw formats decode for REAL; compressed formats are a
+- **Codecs: raw formats AND PNG decode for REAL; JPEG is the only
   seam.** BMP (BI_RGB) and PPM (P6) are raw pixel rows behind fixed
   headers — ``_decode_bmp`` / ``_decode_ppm`` parse them with pure numpy,
-  no image library, mirroring the audio path (raw PCM → numpy DSP).
-  Compressed formats (JPEG/PNG) genuinely need a codec library the
-  container doesn't ship, so that branch raises ``NotImplementedError``
-  behind an import-try; swapping in ``PIL.Image.open`` is a one-function
-  change. A deterministic fake format (``synth_image_payload``) remains
-  for plumbing tests. The Spark-side shape — schemas, Arrow batch
+  no image library, mirroring the audio path (raw PCM → numpy DSP). PNG
+  decodes with the stdlib alone (``_decode_png``: chunk parse, zlib
+  inflate, all five scanline filters — 8-bit RGB/RGBA non-interlaced).
+  JPEG genuinely needs a codec library the container doesn't ship, so
+  that branch raises ``NotImplementedError`` behind an import-try;
+  swapping in ``PIL.Image.open`` is a one-function change. A
+  deterministic fake format (``synth_image_payload``) remains for
+  plumbing tests. The Spark-side shape — schemas, Arrow batch
   iteration, row fan-out for frame sampling — is identical across all
   branches.
 """
@@ -180,29 +182,185 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, gray.astype(np.uint8).tobytes()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left/
+    up/up-left is closest to a+b-c, ties resolved left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def synth_png_payload(
+    width: int, height: int, seed: int, alpha: bool = False
+) -> bytes:
+    """A REAL PNG file (RFC 2083): signature, IHDR, one zlib IDAT, IEND —
+    stdlib only. Each scanline is filtered with type ``y % 5`` so a
+    decoder must invert ALL five filters (None/Sub/Up/Average/Paeth) to
+    reconstruct the raster. Pixel ``idx`` carries channels R=v,
+    G=(v·5)%256, B=(v·3)%256 with v=(seed·31+idx·7)%256 — the same
+    channel formula as :func:`synth_bmp_payload`, so the two formats'
+    decoded grayscale is byte-identical and one closed-form oracle covers
+    both. ``alpha`` switches to color type 6 (RGBA, A=255), which the
+    grayscale decode must ignore."""
+    import zlib
+
+    ch = 4 if alpha else 3
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = (seed * 31 + (y * width + x) * 7) % 256
+            row += bytes((v, (v * 5) % 256, (v * 3) % 256))
+            if alpha:
+                row.append(255)
+        raw_rows.append(bytes(row))
+    filtered = bytearray()
+    prior = bytes(width * ch)
+    for y, raw in enumerate(raw_rows):
+        f = y % 5
+        filtered.append(f)
+        for i, b in enumerate(raw):
+            left = raw[i - ch] if i >= ch else 0
+            up = prior[i]
+            ul = prior[i - ch] if i >= ch else 0
+            if f == 0:
+                out = b
+            elif f == 1:
+                out = b - left
+            elif f == 2:
+                out = b - up
+            elif f == 3:
+                out = b - ((left + up) >> 1)
+            else:
+                out = b - _paeth(left, up, ul)
+            filtered.append(out & 0xFF)
+        prior = raw
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes((8, 6 if alpha else 2, 0, 0, 0))
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decode (VERDICT r4 task 5): critical-chunk parse +
+    zlib inflate + the five scanline filters, for 8-bit RGB (color type
+    2) and RGBA (type 6), non-interlaced. Returns grayscale bytes —
+    (r+g+b)//3, same contract as :func:`_decode_bmp`. CRCs are verified
+    (a corrupt chunk must fail loudly, not decode garbage); ancillary
+    chunks are skipped; IDAT may span multiple chunks."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        crc = int.from_bytes(payload[pos + 8 + clen : pos + 12 + clen], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} (only 8-bit RGB/RGBA non-interlaced)"
+        )
+    ch = 4 if color_type == 6 else 3
+    stride = w * ch
+    raster = zlib.decompress(bytes(idat))
+    if len(raster) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    gray = bytearray(w * h)
+    prior = bytes(stride)
+    for y in range(h):
+        f = raster[y * (stride + 1)]
+        line = bytearray(raster[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f > 4:
+            raise ValueError(f"PNG filter type {f}")
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prior[i]
+            ul = prior[i - ch] if i >= ch else 0
+            if f == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif f == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif f == 3:
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+            elif f == 4:
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        for x in range(w):
+            gray[y * w + x] = (
+                line[x * ch] + line[x * ch + 1] + line[x * ch + 2]
+            ) // 3
+        prior = bytes(line)
+    return w, h, bytes(gray)
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     """Parse one payload into (width, height, pixel_bytes).
 
     Dispatch by magic number: BMP and P6-PPM decode for REAL (pure numpy —
     raw pixel rows behind fixed headers, the image analog of the raw-PCM
-    audio path). The fake self-describing format serves plumbing tests.
-    Compressed formats (JPEG/PNG) need a codec library this container
-    doesn't ship — that seam raises ``NotImplementedError`` behind an
-    import-try (swap in ``PIL.Image.open(io.BytesIO(payload))`` when it
-    exists); a real deployment catches that per-row into an error column,
-    it must never kill the job.
+    audio path), and PNG decodes for real with the stdlib alone
+    (``_decode_png``). The fake self-describing format serves plumbing
+    tests. JPEG still needs a codec library this container doesn't ship —
+    that seam raises ``NotImplementedError`` behind an import-try (swap
+    in ``PIL.Image.open(io.BytesIO(payload))`` when it exists); a real
+    deployment catches that per-row into an error column, it must never
+    kill the job.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     if not payload.startswith(_MAGIC):
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "compressed-image codecs unavailable in this environment; "
-                "payload is not BMP / P6-PPM / the fake testable format"
+                "JPEG (or other compressed) codecs unavailable in this "
+                "environment; payload is not BMP / P6-PPM / PNG / the fake "
+                "testable format"
             ) from exc
         raise NotImplementedError("PIL path intentionally unimplemented here")
     head, _, rest = payload[len(_MAGIC):].partition(b":")

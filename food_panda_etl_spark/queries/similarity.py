@@ -253,6 +253,71 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "width", "height", "mean_pixel")
 
 
+@query(
+    "q_png_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, 7 + doc_id % 8 AS w, 5 + doc_id % 6 AS h
+      FROM documents WHERE doc_id < 64),
+    gray AS (
+      SELECT doc_id, w, h,
+             list_transform(
+               generate_series(0, w * h - 1),
+               i -> (  ((doc_id * 31 + i * 7) % 256)
+                     + ((doc_id * 31 + i * 7) % 256) * 5 % 256
+                     + ((doc_id * 31 + i * 7) % 256) * 3 % 256) // 3) AS g
+      FROM px)
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(list_sum(g) AS DOUBLE) / (w * h) AS mean_pixel
+    FROM gray
+    """,
+)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal — COMPRESSED-image decode, driver-checked end to
+    end (VERDICT r4 task 5): each doc_id materializes a real PNG file
+    (``synth_png_payload`` — zlib IDAT, scanlines filtered with cycling
+    types 0-4, odd ids RGBA) inside a distributed Arrow stage and flows
+    through the same ``attach_payload_meta`` → ``decode_images`` pipeline
+    as BMP; ``_decode_png`` (stdlib-only: chunk parse + CRC verify +
+    inflate + all five filter inversions) reconstructs the raster. The
+    DuckDB oracle recomputes width/height/mean gray from the closed-form
+    pixel formula, so a chunk-layout, filter-reconstruction, stride, or
+    channel-order bug — in EITHER the encoder or the decoder — is a
+    driver hash mismatch. With this the compressed-codec seam narrows to
+    JPEG only."""
+    from food_panda_etl_spark.functions.multimodal import (
+        attach_payload_meta,
+        decode_images,
+        synth_png_payload,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synth_png_payload(
+                            7 + int(i) % 8,
+                            5 + int(i) % 6,
+                            seed=int(i),
+                            alpha=bool(int(i) % 2),
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = d.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+    out = decode_images(attach_payload_meta(media, fmt="png"))
+    return out.select("media_id", "width", "height", "mean_pixel")
+
+
 @query("q_ivf_topk", oracle=None)  # data-derived centroids → rows-only
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — the IVF ANN scale path: deterministic centroid sample →

@@ -183,3 +183,73 @@ def test_audio_features_real_dsp(spark):
     assert abs(a["zero_crossing_rate"] - 2 * 440.0 / rate) < 0.01
     assert b["spectral_centroid_hz"] > a["spectral_centroid_hz"]
     assert got[3]["n_samples"] == 0 and got[3]["rms"] == 0.0
+
+
+def test_png_decode_matches_bmp_on_same_pixels():
+    """PNG and BMP encoders share the channel formula, so both decoders
+    must produce identical grayscale — cross-checks chunk layout, zlib
+    inflate, and every filter inversion against the independently tested
+    BMP path. Heights >= 10 exercise all five scanline filters twice."""
+    from food_panda_etl_spark.functions.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        synth_bmp_payload,
+        synth_png_payload,
+    )
+
+    for w, h, seed, alpha in [(8, 10, 3, False), (9, 11, 7, True), (1, 1, 0, False)]:
+        assert _decode_png(synth_png_payload(w, h, seed, alpha)) == _decode_bmp(
+            synth_bmp_payload(w, h, seed)
+        )
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    """A flipped byte must fail the CRC check (never decode garbage);
+    16-bit / interlaced headers must hit the explicit unsupported guard."""
+    import pytest
+
+    from food_panda_etl_spark.functions.multimodal import (
+        _decode_png,
+        synth_png_payload,
+    )
+
+    payload = bytearray(synth_png_payload(8, 6, seed=3))
+    payload[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(payload))
+
+    # patch IHDR bit depth to 16 and re-CRC the chunk: supported-format
+    # guard, not the CRC guard, must fire
+    import zlib
+
+    good = bytearray(synth_png_payload(8, 6, seed=3))
+    ihdr_start = 8 + 8
+    ihdr = bytearray(good[ihdr_start : ihdr_start + 13])
+    ihdr[8] = 16
+    good[ihdr_start : ihdr_start + 13] = ihdr
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+    good[ihdr_start + 13 : ihdr_start + 17] = crc.to_bytes(4, "big")
+    with pytest.raises(NotImplementedError, match="bit_depth=16"):
+        _decode_png(bytes(good))
+
+
+def test_png_roundtrip_through_spark_decode_stage(spark):
+    """The full Arrow pipeline on real PNG bytes: generate → meta →
+    decode, RGBA and RGB mixed, exact mean-gray assertions."""
+    from food_panda_etl_spark.functions.multimodal import (
+        _decode_png,
+        attach_payload_meta,
+        decode_images,
+        synth_png_payload,
+    )
+
+    rows = [(i, synth_png_payload(6 + i, 10, seed=i, alpha=bool(i % 2))) for i in range(4)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {
+        r["media_id"]: r
+        for r in decode_images(attach_payload_meta(df, fmt="png")).collect()
+    }
+    for i, payload in rows:
+        w, h, gray = _decode_png(payload)
+        assert out[i]["width"] == w and out[i]["height"] == h
+        assert out[i]["mean_pixel"] == sum(gray) / len(gray)
