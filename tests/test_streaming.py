@@ -236,3 +236,83 @@ def test_checkpoint_recovery_preserves_dedup_state(spark, out_dir):
 
     final = spark.read.parquet(sink)
     assert sorted(r["event_id"] for r in final.collect()) == [1, 2, 3]
+
+
+def test_interval_join_streaming_equals_batch(spark, out_dir):
+    """Differential evidence for the stream-stream join (VERDICT r4 task
+    8): on a 48-event deterministic fixture the streaming interval_join
+    (micro-batched, watermarked, state-evicting) must produce EXACTLY the
+    batch interval_join's row set — same operator function, isStreaming
+    branches only. Timestamps are monotone across batches so no event is
+    watermark-late; every divergence would be join-state mishandling."""
+    from food_panda_etl_spark.streaming.ops import interval_join
+
+    def mk(i):
+        return _event(
+            i,
+            f"2024-01-01 {10 + i // 60:02d}:{i % 60:02d}:00",
+            user=i % 5 + 1,  # coprime with the type cycle: every user clicks AND buys
+            etype="click" if i % 3 == 0 else "purchase",
+            value=1.0,
+        )
+
+    rows = [mk(i) for i in range(48)]
+    batches = [rows[:16], rows[16:32], rows[32:]]
+    src = _write_files(out_dir, batches)
+
+    stream = read_events_stream(spark, src)
+    s_out = run_available_now(
+        interval_join(
+            stream.filter("event_type = 'click'"),
+            stream.filter("event_type = 'purchase'"),
+            within="7 minutes",
+        ),
+        output_mode="append",
+    )
+    streaming_pairs = {(r["l_id"], r["r_id"]) for r in s_out.collect()}
+
+    batch_df = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b_out = interval_join(
+        batch_df.filter("event_type = 'click'"),
+        batch_df.filter("event_type = 'purchase'"),
+        within="7 minutes",
+    )
+    batch_pairs = {(r["l_id"], r["r_id"]) for r in b_out.collect()}
+
+    assert streaming_pairs, "vacuous fixture: no pairs joined"
+    assert streaming_pairs == batch_pairs
+
+
+def test_running_user_totals_equals_batch_groupby(spark, out_dir):
+    """Differential evidence for the custom stateful operator: the FINAL
+    per-user state after all micro-batches must equal a plain batch
+    groupBy(count, sum) over the same rows. Values are exact binary
+    fractions (k/4) so both summation orders are exact — equality is
+    bitwise, not approximate."""
+    rows = [
+        _event(i, f"2024-01-01 10:{i % 60:02d}:00", user=i % 5 + 1, value=(i % 8) * 0.25)
+        for i in range(40)
+    ]
+    src = _write_files(out_dir, [rows[:13], rows[13:27], rows[27:]])
+    stream = read_events_stream(spark, src)
+    out = run_available_now(running_user_totals(stream), output_mode="update")
+    # update mode emits one row per (user, micro-batch); the final state
+    # is the row with the largest n_events per user
+    final = {}
+    for r in out.collect():
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch_df = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    )
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert len(batch) == 5
+    assert final == batch
