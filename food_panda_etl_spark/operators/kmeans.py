@@ -23,14 +23,17 @@ Scale shape — the part worth copying:
   and any partitioning, which is what lets a DuckDB oracle replay the
   same rounds and hash-match the result.
 - The JVM zip_with fold is interpreted (HOFs don't codegen) — the
-  deliberate price of oracle-exactness. A production variant would score
-  assignments with an Arrow matmul batch (the `_band_values_arrow`
-  pattern, ~10× faster) at the cost of summation-order float drift that
-  can flip a quantization boundary; the declared query keeps the fold
-  because bit-replayability IS the evidence.
+  deliberate price of oracle-exactness. The production variant IS
+  implemented: `assign_cells_arrow` scores each Arrow batch with one
+  numpy matmul (~10× the fold at small k, asymptotically required at
+  SemDeDup-scale k) at the cost of summation-order float drift that
+  can flip a distance tie; the declared queries keep the fold because
+  bit-replayability IS the evidence.
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module level: pandas_udf type hints resolve via globals
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -68,6 +71,42 @@ def assign_cells(
         ]
     )
     return vectors.withColumn(out_col, best["c"])
+
+
+def assign_cells_arrow(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Production-scale nearest-centroid assignment: ONE numpy matmul per
+    Arrow batch against the k×d centroid matrix (argmin of ‖c‖² − 2x·c —
+    ‖x‖² is row-constant and drops out). This is the variant the module
+    docstring promises for large k: the literal-fold projection of
+    :func:`assign_cells` compiles k separate interpreted HOF folds into
+    the row expression — fine for oracle-exact small k, but at k in the
+    hundreds (SemDeDup cells sized ∝ N / target_cell_size) expression
+    size and interpreted cost explode, while the matmul is O(b·k·d)
+    vectorized flops per batch.
+
+    numpy's summation order differs from the fixed-order fold, so a
+    distance TIE at float precision could assign differently — exact
+    ties are measure-zero on real-valued data (asserted equal to
+    `assign_cells` on the fixtures); argmin's first-min rule matches the
+    fold's smaller-cell-id tie-break."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cnorm = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell_udf(s: pd.Series) -> pd.Series:
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        return pd.Series(
+            np.argmin(cnorm[None, :] - 2.0 * (X @ C.T), axis=1).astype("int32")
+        )
+
+    return vectors.withColumn(out_col, cell_udf(F.col(vec_col)))
 
 
 def lloyd_refine(

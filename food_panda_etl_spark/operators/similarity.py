@@ -730,6 +730,7 @@ def cell_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_assignment: bool = False,
 ) -> DataFrame:
     """SemDeDup-shaped pair generation (Abbas et al., arXiv:2303.09540):
     assign every vector to its nearest k-means centroid (a pure
@@ -747,13 +748,21 @@ def cell_neardup_pairs(
 
     Scale: choose k ≈ N / target_cell_size so each cell's quadratic
     verify is a bounded task; a skewed cell can be sub-blocked with the
-    `triangle_neardup_pairs` scheme inside the cell. Scoring is the same
-    fixed-order fold as every exact path (norms hoisted per row, one
-    zip_with fold per pair)."""
-    from food_panda_etl_spark.operators.kmeans import assign_cells
+    `triangle_neardup_pairs` scheme inside the cell. At that k the
+    literal-fold assignment's expression size explodes — pass
+    ``arrow_assignment=True`` to score cells with the numpy-matmul
+    variant (`assign_cells_arrow`; declared oracled queries keep the
+    fold, which is bit-replayable). Scoring is the same fixed-order fold
+    as every exact path (norms hoisted per row, one zip_with fold per
+    pair)."""
+    from food_panda_etl_spark.operators.kmeans import (
+        assign_cells,
+        assign_cells_arrow,
+    )
 
+    assign = assign_cells_arrow if arrow_assignment else assign_cells
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    src = assign_cells(vectors, centroids, vec_col=vec_col, out_col="cell").select(
+    src = assign(vectors, centroids, vec_col=vec_col, out_col="cell").select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.sqrt(l2_norm_sq(F.col(vec_col))).alias("norm"),

@@ -205,9 +205,15 @@ def q_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("keep_id")
         )
     )
+    # The survivor frame feeds three consumers (shingle/signature tables,
+    # the keep-rep docs side, and — through reps — the packing prefix
+    # sum), and CC + global_running_sum each run multiple jobs: without a
+    # checkpoint the regex-clean + langid + dedup lineage re-executes per
+    # job. Lazy localCheckpoint materializes it once, on the first
+    # action (same pattern as connected_components' edge table).
     survivors = quality.join(
         keep_ids.withColumnRenamed("keep_id", "doc_id"), "doc_id", "semi"
-    )
+    ).localCheckpoint(eager=False)
 
     # Stage 5 — near-dup delete: banded-MinHash candidates → true-Jaccard
     # verify (the declared 100 TB pair path) → CC keep-rep with the

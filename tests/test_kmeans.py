@@ -166,3 +166,22 @@ def test_cell_neardup_pairs_subset_and_colocated(spark, sf_dir):
     assert all(cell_of[a] == cell_of[b] for a, b in within)
     colocated_exact = {(a, b) for a, b in exact if cell_of[a] == cell_of[b]}
     assert within == colocated_exact
+
+
+def test_arrow_assignment_matches_fold(spark, sf_dir):
+    """The production matmul assignment must agree with the oracle-exact
+    literal-fold projection on the fixture (no distance ties on
+    real-valued data), at both small and SemDeDup-scale k."""
+    from food_panda_etl_spark.operators.kmeans import assign_cells_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    for k in (8, 64):
+        cents = [
+            [float(x) for x in r[0]]
+            for r in e.orderBy("vec_id").limit(k).select("embedding").collect()
+        ]
+        fold = {r["vec_id"]: r["cell"] for r in assign_cells(e, cents).collect()}
+        arrow = {
+            r["vec_id"]: r["cell"] for r in assign_cells_arrow(e, cents).collect()
+        }
+        assert fold == arrow

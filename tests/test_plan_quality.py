@@ -315,3 +315,31 @@ def test_skew_join_plan_clean(spark, sf_dir):
     """Replicated skew join must stay an equi-join on (key, salt) — no
     cartesian, no nested loop anywhere."""
     assert lint_plan(QUERIES["q_skew_join"](spark, sf_dir), forbid_nested_loop=True) == []
+
+
+def test_semantic_dedup_pairs_are_cell_equi_join(spark, sf_dir):
+    """SemDeDup pair generation must be an equi-join on the cell id —
+    never a cartesian or nested-loop pairing. The quadratic work lives
+    INSIDE cells (the join's output), bounded by k sized ∝ N."""
+    from food_panda_etl_spark.operators.kmeans import kmeans_fit
+    from food_panda_etl_spark.operators.similarity import cell_neardup_pairs
+    from food_panda_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    pairs = cell_neardup_pairs(e, cents, threshold=0.4)
+    assert lint_plan(pairs, forbid_nested_loop=True) == []
+    s = plan_summary(pairs)
+    assert s.sort_merge_joins + s.broadcast_joins >= 1, s
+
+
+def test_llm_prep_composite_plan_clean(spark, sf_dir):
+    """The 7-stage composite must stay cartesian-free end to end, and its
+    exact-dedup stage must shuffle the 8-byte hash, not the payload
+    (same discipline q_dedup plan-gates)."""
+    df = QUERIES["q_llm_prep"](spark, sf_dir)
+    assert lint_plan(df) == []
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    plan = explain_formatted(df)
+    assert "hashpartitioning(__h" in plan, "dedup stage must exchange on the hash"
