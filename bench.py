@@ -83,6 +83,12 @@ HEADLINE = [
     "q_skew_agg",
     "q_skew_join",
     "q_kmeans",
+    # round-5 additions: the LLM-prep composite (the full clean→langid→
+    # filter→dedup→near-dup→split→pack lineage), SemDeDup via k-means
+    # cells, and the stdlib PNG decode through the Arrow media stage.
+    "q_llm_prep",
+    "q_semantic_dedup",
+    "q_png_decode",
 ]
 
 

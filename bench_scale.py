@@ -1,10 +1,15 @@
-"""Empirical scale curves for the near-dup family (VERDICT r2 task 4).
+"""Empirical scale curves for the near-dup family (VERDICT r2 task 4)
+plus the r5 operator set (VERDICT r4 tasks 4 & 7).
 
 Measures wall time vs corpus size N for:
 - ``triangle``: exact all-pairs triangle block equi-join (θ=0.4)
 - ``banded``:   banded sign-LSH + exact verify (θ per run)
 - ``hyperplane``: fixed-width hyperplane LSH + verify (θ=0.4)
 - ``minhash``:  MinHash+LSH over documents
+- ``semdedup_pairs``: k-means-cell-bounded pairs, k ∝ N (vs triangle)
+- ``kmeans_round``: one Lloyd round (assignment + centroid update)
+- ``zorder``: Morton-key range exchange + local sort, noop sink
+- ``skew_agg_plain`` / ``skew_agg_salted``: hot-key aggregation
 
 and the θ-crossover where banded LSH beats the exact triangle join at
 fixed N. Corpora: the real sf0.01/sf0.1 fixtures, extended past their
@@ -92,6 +97,43 @@ def synth_documents(spark, n: int, base=None, tokens: int = 50, vocab: int = 500
     return base.select("doc_id", "text").unionByName(extra) if base is not None else extra
 
 
+def synth_clustered_embeddings(spark, n: int, cell_size: int = 250, dim: int = 64):
+    """A corpus with GROUND-TRUTH cluster structure — the regime SemDeDup
+    targets (real embedding corpora cluster; isotropic data is the
+    adversarial case where Voronoi cells cannot bound anything). C =
+    n/cell_size centers, each vector = its center + 10% seeded noise.
+    Returns (df, centers) with centers computed by the same expression so
+    the curve isolates PAIR-GENERATION scaling from fit quality."""
+    c = max(8, n // cell_size)
+
+    def center_expr(cid_col):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                F.pmod(F.xxhash64(cid_col * dim + j), F.lit(20001)) - 10000
+            ).cast("double")
+            / 10000.0,
+        )
+
+    centers_df = spark.range(c).select(center_expr(F.col("id")).alias("c"))
+    centers = [list(map(float, r["c"])) for r in centers_df.collect()]
+    noise = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("id") * dim + j + 7_777_777), F.lit(20001))
+            - 10000
+        ).cast("double")
+        / 100000.0,
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(
+            center_expr(F.col("id") % c), noise, lambda a, b: a + b
+        ).alias("embedding"),
+    )
+    return df, centers
+
+
 def synth_documents_boiler(spark, n: int, tokens: int = 50, vocab: int = 5000):
     """Corpus where EVERY document starts with the same 5-token
     boilerplate sentence — i.e. every document shares exactly ONE 5-gram
@@ -132,6 +174,7 @@ def timed(fn) -> float:
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         master=f"local[{cpus}]",
@@ -169,6 +212,8 @@ def main() -> None:
         "banded_t07": {},
         "minhash": {},
     }
+    if r5_only:
+        emb_sizes, lsh_sizes, doc_sizes = [], [], []
     for n in emb_sizes:
         e = synth_embeddings(spark, n, emb_base).cache()
         e.count()
@@ -204,6 +249,8 @@ def main() -> None:
     curves["cc_pairs_exact"] = {}
     curves["cc_pairs_lsh"] = {}
     boiler_sizes = [2000, 4000, 8000] + ([] if quick else [16000, 32000])
+    if r5_only:
+        boiler_sizes = []
     for n in boiler_sizes:
         d = synth_documents_boiler(spark, n).cache()
         d.count()
@@ -216,6 +263,133 @@ def main() -> None:
             ).count()
         )
         d.unpersist()
+
+    # --- r5 curves (VERDICT r4 tasks 4 & 7) -----------------------------
+
+    # SemDeDup pair generation with cells sized ∝ N (k = N/250, matmul
+    # assignment). TWO regimes, measured separately:
+    #
+    # - `semdedup_clustered` — ground-truth-clustered corpus, centroids =
+    #   the generative centers (isolates pair-generation scaling from fit
+    #   quality; the declared query's oracle covers fit correctness).
+    #   Cells track real clusters, Σ|cell|² ≈ N·cell_size → near-linear.
+    #   Exact all-pairs comparison is `triangle_t04` at the same sizes.
+    # - `semdedup_isotropic` — the ADVERSARIAL case: isotropic vectors
+    #   have no cluster structure, nearest-sampled-centroid assignment
+    #   floods the smallest-norm centroids (measured: top cell 6.7k of
+    #   32k rows at k=128, Σ|cell|² ≈ 0.2·N²), so the "bound" decays to
+    #   a ~5× constant over all-pairs. Kept small: it documents WHY
+    #   SemDeDup presumes clusterable embeddings, not a scaling win.
+    from food_panda_etl_spark.operators.similarity import cell_neardup_pairs
+
+    curves["semdedup_clustered"] = {}
+    sd_sizes = [8000, 16000] + ([] if quick else [32000, 64000])
+    for n in sd_sizes:
+        e, centers = synth_clustered_embeddings(spark, n, cell_size=250)
+        e = e.cache()
+        e.count()
+        curves["semdedup_clustered"][n] = timed(
+            lambda: cell_neardup_pairs(
+                e, centers, threshold=0.8, arrow_assignment=True
+            ).count()
+        )
+        e.unpersist()
+
+    curves["semdedup_isotropic"] = {}
+    for n in [8000, 16000]:
+        e = synth_embeddings(spark, n, emb_base).cache()
+        e.count()
+        k = max(8, n // 250)
+        cents = [
+            list(map(float, r["embedding"]))
+            for r in e.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+            .limit(k)
+            .select("embedding")
+            .collect()
+        ]
+        curves["semdedup_isotropic"][n] = timed(
+            lambda: cell_neardup_pairs(
+                e, cents, threshold=0.4, arrow_assignment=True
+            ).count()
+        )
+        e.unpersist()
+
+    # k-means per-round cost vs N (k=8, one Lloyd round from hash-min
+    # sampled centroids): assignment is a projection, update one
+    # posexplode hash-agg — theory says linear in N.
+    from food_panda_etl_spark.operators.kmeans import lloyd_refine
+
+    curves["kmeans_round"] = {}
+    km_sizes = [8000, 32000] + ([] if quick else [128000])
+    for n in km_sizes:
+        e = synth_embeddings(spark, n, emb_base).cache()
+        e.count()
+        init = [
+            list(map(float, r["embedding"]))
+            for r in e.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+            .limit(8)
+            .select("embedding")
+            .collect()
+        ]
+        curves["kmeans_round"][n] = timed(lambda: lloyd_refine(e, init, iters=1))
+        e.unpersist()
+
+    # Z-order clustering: one range exchange + local sort on the Morton
+    # key — theory N·log N. The noop sink materializes the sorted layout
+    # (a bare count() would let Catalyst elide the sort).
+    from food_panda_etl_spark.operators.zorder import cluster_by_zorder
+
+    curves["zorder"] = {}
+    z_sizes = [1_000_000, 4_000_000] + ([] if quick else [16_000_000])
+    for n in z_sizes:
+        zdf = spark.range(n).select(
+            (F.col("id") % 256).alias("db"),
+            (F.pmod(F.xxhash64("id"), F.lit(256))).alias("pb"),
+        )
+        curves["zorder"][n] = timed(
+            lambda: cluster_by_zorder(zdf, [F.col("db"), F.col("pb")], bits=8)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    # Salted vs plain aggregation under a hot key (50% of rows on one
+    # key, remainder uniform over 10k keys). Honest expectation: for
+    # count/sum, map-side partial aggregation ALREADY collapses the hot
+    # key to one partial row per mapper, so plain should match or beat
+    # salted (which pays a second shuffle stage) — the curves quantify
+    # that salting is a targeted tool for aggregates without map-side
+    # combine, not a blanket default (operators/skew.py docstring).
+    from food_panda_etl_spark.operators.skew import salted_count_sum
+
+    curves["skew_agg_plain"] = {}
+    curves["skew_agg_salted"] = {}
+    sk_sizes = [4_000_000, 16_000_000] + ([] if quick else [64_000_000])
+    for n in sk_sizes:
+        sdf = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)))
+            .alias("key"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+        curves["skew_agg_plain"][n] = timed(
+            lambda: sdf.groupBy("key")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        curves["skew_agg_salted"][n] = timed(
+            lambda: salted_count_sum(sdf, ["key"], "value", salt=16)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
     out["curves"] = curves
 
     # fitted exponents over the largest consecutive pair (asymptotic end)
@@ -234,17 +408,18 @@ def main() -> None:
     # Triangle cost is θ-independent (the threshold only filters the
     # scored output), so it is measured once and compared against banded
     # at each θ; banded's cost falls as θ rises (wider bands prune more).
-    n_cross = 2000 if quick else 16000
-    e = synth_embeddings(spark, n_cross, emb_base).cache()
-    e.count()
-    tri = timed(lambda: triangle_neardup_pairs(e, 0.6).count())
-    for theta in (0.5, 0.6, 0.7, 0.8):
-        out["crossover"][str(theta)] = {
-            "n": n_cross,
-            "triangle": tri,
-            "banded": timed(lambda: banded_neardup_pairs(e, theta).count()),
-        }
-    e.unpersist()
+    if not r5_only:
+        n_cross = 2000 if quick else 16000
+        e = synth_embeddings(spark, n_cross, emb_base).cache()
+        e.count()
+        tri = timed(lambda: triangle_neardup_pairs(e, 0.6).count())
+        for theta in (0.5, 0.6, 0.7, 0.8):
+            out["crossover"][str(theta)] = {
+                "n": n_cross,
+                "triangle": tri,
+                "banded": timed(lambda: banded_neardup_pairs(e, theta).count()),
+            }
+        e.unpersist()
 
     print(json.dumps(out))
 
