@@ -406,3 +406,60 @@ def q_dedup_keep_rep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=5, threshold=0.8, num_hashes=32, bands=16
     )
     return dedup_keep_representative(d, pairs).select("doc_id", "cluster_size")
+
+
+@query(
+    "q_approx_quantile_gate",
+    oracle="""
+    SELECT quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.95) AS p95,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           1 AS meets_target
+    FROM lineitem
+    """,
+)
+def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for approximate quantiles (`percentile_approx`, the
+    KLL/GK-sketch path — the distributed-quantile primitive for length
+    filtering and outlier capping over 100 TB where exact sort-based
+    percentiles need a full shuffle). Verdict: each approximate value's
+    RANK must sit within 0.01·N of its target rank (the sketch at
+    accuracy=10000 guarantees 1e-4·N — a 100× margin absorbs duplicate
+    mass at the quantile). The oracle recomputes the exact discrete
+    percentiles (actual data values — deterministic, interpolation-free)
+    and pins the verdict, making sketch quality driver evidence like the
+    HLL gate. Cost: one aggregate pass (exact + sketch together) + one
+    rank-check pass against the broadcast 1-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).cast("double").alias("p50"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).cast("double").alias("p95"),
+        F.percentile_approx(price, 0.5, 10000).alias("__a50"),
+        F.percentile_approx(price, 0.95, 10000).alias("__a95"),
+        F.count("*").alias("n_rows"),
+    )
+    # after the broadcast cross join the approx values are plain columns
+    # on every row, so the rank fraction is sum(price <= col)/first(n)
+    frac = lambda c: (  # noqa: E731 — rank fraction of the approx value
+        F.sum((price <= F.col(c)).cast("long")).cast("double")
+        / F.first("n_rows").cast("double")
+    )
+    return (
+        li.crossJoin(F.broadcast(agg))
+        .agg(
+            F.first("p50").alias("p50"),
+            F.first("p95").alias("p95"),
+            F.first("n_rows").alias("n_rows"),
+            (
+                (F.abs(frac("__a50") - 0.5) <= 0.01)
+                & (F.abs(frac("__a95") - 0.95) <= 0.01)
+            )
+            .cast("int")
+            .alias("meets_target"),
+        )
+    )

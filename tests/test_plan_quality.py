@@ -341,3 +341,45 @@ def test_llm_prep_composite_plan_clean(spark, sf_dir):
     test_dedup_shuffles_hash_not_payload plan-gates directly.)"""
     df = QUERIES["q_llm_prep"](spark, sf_dir)
     assert lint_plan(df) == []
+
+
+def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
+    """100 TB posture: when a selective dim filter feeds a SHUFFLE join
+    (too big to broadcast), Spark injects a Bloom-filter runtime filter —
+    the probe side drops non-joining rows at the scan instead of
+    shuffling them. Locally the application side is far below the 10 GB
+    scan-size threshold that gates injection (the exact local-vs-100 TB
+    gap), so the test lowers it to observe the plan shape and asserts
+    result-set invariance. Session default keeps the stock thresholds:
+    at cluster scale the optimizer makes this call on real sizes."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.plans.lint import explain_formatted
+    from food_panda_etl_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        assert "might_contain" in explain_formatted(j), "no runtime bloom filter"
+        n_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert n_bloom == li.join(o, li.l_orderkey == o.o_orderkey).count()
