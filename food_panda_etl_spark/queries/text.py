@@ -352,3 +352,29 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((total - dist).cast("double") / total.cast("double"))
         .alias("dup_ratio"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, count(*) AS cnt
+    FROM tok
+    GROUP BY token
+    HAVING CAST(count(*) AS DOUBLE) > 0.01 * (SELECT count(*) FROM tok)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 frequent items — tokens exceeding 1% of the corpus stream
+    (vocabulary QA: boilerplate markers, over-represented stopwords).
+    NOT a groupBy-having: `operators/heavy.py::heavy_hitters` runs
+    mergeable Misra-Gries summaries per partition (≤ k counters emitted,
+    never the vocabulary) and exact-counts the candidate union behind a
+    broadcast semi-join — output provably identical to the brute-force
+    HAVING under any partitioning, which is why the exact-SQL oracle
+    applies to a sketch-pruned plan."""
+    from food_panda_etl_spark.operators.heavy import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens_col()).alias("token"))
+    return heavy_hitters(tok, "token", fraction=0.01)

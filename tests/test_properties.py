@@ -204,3 +204,58 @@ def test_star_cc_matches_propagation_on_random_graphs(spark, n, edge_seed):
         for r in connected_components_star(nodes, edges).collect()
     }
     assert star == prop
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+    alpha=st.booleans(),
+)
+def test_png_decode_equals_bmp_decode(w, h, seed, alpha):
+    """Property: for any (w, h, seed), the PNG encoder/decoder pair must
+    produce the identical grayscale raster as the independently tested
+    BMP path (shared pixel formula) — covering every scanline-filter
+    type, RGB and RGBA, and degenerate 1-pixel images. Pure-Python, no
+    Spark jobs, so examples are cheap."""
+    from food_panda_etl_spark.functions.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        synth_bmp_payload,
+        synth_png_payload,
+    )
+
+    assert _decode_png(synth_png_payload(w, h, seed, alpha)) == _decode_bmp(
+        synth_bmp_payload(w, h, seed)
+    )
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.sampled_from(["hot", "warm", "w2", "w3", "x", "y", "z"]),
+        min_size=20,
+        max_size=120,
+    ),
+    parts=st.sampled_from([1, 3, 8]),
+)
+def test_heavy_hitters_exact_under_any_partitioning(spark, rows, parts):
+    """Property: heavy_hitters == brute-force HAVING under every
+    partition layout — the MG summaries are layout-dependent, the
+    verified output must not be."""
+    from food_panda_etl_spark.operators.heavy import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in rows], "v string").repartition(parts)
+    got = {
+        (r["v"], r["cnt"]) for r in heavy_hitters(df, "v", fraction=0.15).collect()
+    }
+    n = len(rows)
+    brute = {
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 0.15 * n)
+        .collect()
+    }
+    assert got == brute
