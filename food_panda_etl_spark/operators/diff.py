@@ -73,3 +73,43 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def upsert_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Apply a change set to a snapshot — the MERGE counterpart of
+    :func:`snapshot_diff`: for every key in ``updates`` the update row
+    wins (matched keys overwrite, new keys insert); keys in ``deletes``
+    (key columns only) are removed. ``upsert_snapshot(old, updates,
+    keys, deletes)`` applied to ``snapshot_diff``'s manifest
+    reconstructs ``new`` exactly — the diff→apply round trip the
+    declared ``q_upsert`` oracle proves.
+
+    Scale shape mirrors the diff: ONE co-partitioned full-outer join on
+    the keys (zero exchanges when both sides are bucketed on them), a
+    presence-sentinel pick per value column in codegen — NULL update
+    values overwrite, absent rows do not, which is why the sentinel
+    exists — and an optional broadcast-able anti join for tombstones.
+    No window, no collect."""
+    value_cols = [c for c in base.columns if c not in keys]
+    u = updates.select(
+        *keys,
+        *[F.col(c).alias(f"__u_{c}") for c in value_cols],
+        F.lit(1).alias("__u_present"),
+    )
+    merged = base.join(u, on=list(keys), how="full_outer").select(
+        *keys,
+        *[
+            F.when(F.col("__u_present").isNotNull(), F.col(f"__u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    if deletes is not None:
+        merged = merged.join(deletes.select(*keys), on=list(keys), how="anti")
+    return merged

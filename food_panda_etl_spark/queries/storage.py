@@ -337,3 +337,46 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pb").alias("min_pb"),
         F.max("pb").alias("max_pb"),
     )
+
+
+@query(
+    "q_upsert",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(o_totalprice AS DOUBLE) + 1.0
+                ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+    FROM orders WHERE o_orderkey % 89 <> 0
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — the other half of q_snapshot_diff's story: starting
+    from the same derived ``old``/``new`` snapshots, Spark computes the
+    diff manifest, extracts the change set FROM it (updates = new rows
+    semi-joined to added/changed keys; tombstones = removed keys), and
+    replays it onto ``old`` with `operators/diff.py::upsert_snapshot`.
+    The oracle is simply the direct derivation of ``new`` — so a hash
+    match proves diff→apply is the identity: every inserted, overwritten,
+    deleted, and untouched row lands bit-for-bit where the target
+    snapshot has it. At 100 TB this is two co-partitioned joins (diff +
+    apply) and an anti join; bucketed bases pay zero exchanges."""
+    from food_panda_etl_spark.operators.diff import snapshot_diff, upsert_snapshot
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(old, new, keys=["o_orderkey"])
+    updates = new.join(
+        diff.filter(F.col("change_type") != "removed").select("o_orderkey"),
+        "o_orderkey",
+        "semi",
+    )
+    deletes = diff.filter(F.col("change_type") == "removed")
+    return upsert_snapshot(old, updates, keys=["o_orderkey"], deletes=deletes)

@@ -48,3 +48,29 @@ def test_compare_cols_subset(spark):
     only_a = snapshot_diff(old, new, keys=["k"], compare_cols=["a"]).collect()
     assert [r["change_type"] for r in full] == ["changed"]
     assert only_a == []
+
+
+def test_upsert_applies_diff_back_to_new(spark):
+    """diff→apply must be the identity onto the target snapshot,
+    including NULL transitions in both directions (the presence-sentinel
+    cases: a NULL update value must overwrite; an absent row must not)."""
+    from food_panda_etl_spark.operators.diff import upsert_snapshot
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, None, 10.0), (2, "b", 20.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    diff = snapshot_diff(old, new, keys=["k"])
+    updates = new.join(
+        diff.filter("change_type <> 'removed'").select("k"), "k", "semi"
+    )
+    deletes = diff.filter("change_type = 'removed'")
+    got = sorted(
+        tuple(r) for r in upsert_snapshot(old, updates, ["k"], deletes).collect()
+    )
+    want = sorted(tuple(r) for r in new.collect())
+    assert got == want
