@@ -236,3 +236,47 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         F.broadcast(right), left["nk"].eqNullSafe(right["n_nationkey"])
     ).select("c_custkey", "n_name")
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    SELECT l.user_id AS l_key,
+           l.event_id AS l_id,
+           r.event_id AS r_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS l_epoch,
+           CAST(floor(epoch(r.ts)) AS BIGINT) AS r_epoch
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join, DECLARED through the streaming
+    operator's batch branch (`streaming/ops.py::interval_join` — the
+    same function that runs watermarked under readStream, already proven
+    stream==batch in tests/test_streaming.py): click→purchase
+    attribution within 30 minutes per user. Driver evidence for the
+    operator itself, not just its smoke tests. Plan: equi-join on
+    user_id with the time bounds as codegen residuals — at 100 TB the
+    shuffle is keyed, never a time-cross-product; in streaming the same
+    two bounds are what let Spark evict join state."""
+    from food_panda_etl_spark.streaming.ops import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    out = interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        within="30 minutes",
+    )
+    # session TZ is UTC so the NTZ→LTZ cast is identity (q_epoch_cast's
+    # convention); then timestamp→long is epoch seconds
+    return out.select(
+        "l_key",
+        "l_id",
+        "r_id",
+        F.col("l_ts").cast("timestamp").cast("long").alias("l_epoch"),
+        F.col("r_ts").cast("timestamp").cast("long").alias("r_epoch"),
+    )

@@ -378,3 +378,41 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens_col()).alias("token"))
     return heavy_hitters(tok, "token", fraction=0.01)
+
+
+@query(
+    "q_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS n_subtokens,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS subtokens_per_word
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 token counting, BPE-ish variant (the brief's second counting
+    mode): a GPT-2-style PRE-tokenizer pass — letter runs, digit runs,
+    single punctuation marks — counted via `regexp_extract_all`, plus the
+    subtokens-per-word ratio (the fertility proxy that budgets real BPE
+    token costs from cheap regex counts). Alternation is lookahead-free
+    so Java (Spark) and RE2-style (DuckDB) engines match identically;
+    pure codegen, zero Python, narrow map — same 100 TB shape as
+    q_token_count."""
+    d = load_table(spark, sf_dir, "documents")
+    # idx=0 = the whole match (Spark defaults to capture group 1, and the
+    # alternation deliberately has no groups)
+    sub = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+    words = F.size(tokens_col())
+    return d.select(
+        "doc_id",
+        sub.alias("n_subtokens"),
+        words.alias("n_words"),
+        (sub.cast("double") / words.cast("double")).alias("subtokens_per_word"),
+    )
