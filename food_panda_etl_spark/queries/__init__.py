@@ -58,15 +58,19 @@ def _load_all() -> None:
     # first. Round-5 rotation (VERDICT r4 task 1): modules CHANGED in r5
     # lead — llm_prep (new composite), clustering (kmeans oracle now
     # mirrors the empty-cell carry-forward + new q_semantic_dedup),
-    # approx_gates (non-vacuous verdicts + dedup-operator checkpoint
-    # change) — then the r2-era-evidence modules (text, udx,
-    # vendor_pipeline), then the r3-era set (similarity — also changed:
-    # sampled q_ann_recall, Arrow corpus signing, q_png_decode —
-    # analytics, sorts, relational). Modules hash-verified in
-    # CORRECTNESS_r04.json with byte-unchanged code (aggregates,
-    # sql_layer, setops, storage, skew_queries, joins, windows) register
-    # last; the relational tail past position ~50 keeps its r3 green on
-    # unchanged code and rotates in r6.
+    # approx_gates (+ new q_approx_quantile_gate) — then the
+    # r2-era-evidence modules (text, + new q_heavy_hitters /
+    # q_token_count_bpe; udx; vendor_pipeline), then the r3-era set
+    # (similarity — also changed: sampled q_ann_recall, Arrow corpus
+    # signing, new q_png_decode — analytics, and sorts' head). The r5
+    # window cut (~50) lands at sorts' first query; everything after
+    # keeps its latest green on byte-unchanged code.
+    #
+    # R6 ROTATION PLAN: lead with storage (q_upsert — NEW in r5, first
+    # driver evidence pending) and joins (q_interval_join — same), then
+    # relational (11, r3-era) + sorts' tail (2, r3-era) + aggregates /
+    # sql_layer / setops / skew_queries / windows (r4-era), pushing the
+    # r5-recorded modules (llm_prep…similarity) to the back.
     from food_panda_etl_spark.queries import (  # noqa: F401
         llm_prep,
         clustering,
