@@ -434,3 +434,31 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval decontamination flags (the PaLM/GPT-style benchmark-
+    overlap check): every training document sharing at least one word
+    ``n``-gram with ANY eval document, with the count of distinct shared
+    shingles. Returns (``id_col``, ``n_shared``) for flagged docs only.
+
+    Scale shape: two shingle projections (narrow), then ONE equi-join on
+    the shingle keyed by the broadcast-able eval side — the eval corpus
+    is benchmarks (MBs), the train corpus is the 100 TB side, and unlike
+    the dedup self-join there is no df² term: each train shingle meets
+    only the eval shingle set. Counting after a distinct per-doc shingle
+    projection makes ``n_shared`` the exact distinct-overlap size."""
+    tr = shingle_table(train, id_col, text_col, n=n)
+    ev = shingle_table(evals, id_col, text_col, n=n).select("shingle").distinct()
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shared"))
+        .select(F.col("doc").alias(id_col), "n_shared")
+    )

@@ -416,3 +416,38 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.alias("n_words"),
         (sub.cast("double") / words.cast("double")).alias("subtokens_per_word"),
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+                      string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
+                      string_split(text,' ')[i+4])) AS shingle
+        FROM documents) WHERE shingle <> ''),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc % 7 = 0),
+    tr AS (SELECT * FROM sh WHERE doc % 7 <> 0)
+    SELECT tr.doc AS doc_id, count(*) AS n_shared
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.doc
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 benchmark decontamination — flag every training document
+    sharing a 5-gram with the held-out "benchmark" slice (doc_id % 7 = 0
+    stands in for the eval corpus): `operators/dedup.py::
+    ngram_contamination`. The contamination join is train-shingles ⋈
+    broadcast(eval-shingles) — no self-join, no df² term — and n_shared
+    is the exact distinct-overlap count, so the plain SQL oracle applies
+    directly."""
+    from food_panda_etl_spark.operators.dedup import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    evals = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return ngram_contamination(train, evals, "doc_id", "text", n=5)
