@@ -62,15 +62,15 @@ def _load_all() -> None:
     # r2-era-evidence modules (text, + new q_heavy_hitters /
     # q_token_count_bpe; udx; vendor_pipeline), then the r3-era set
     # (similarity — also changed: sampled q_ann_recall, Arrow corpus
-    # signing, new q_png_decode — analytics, and sorts' head). The r5
-    # window cut (~50) lands at sorts' first query; everything after
-    # keeps its latest green on byte-unchanged code.
+    # signing, new q_png_decode — and analytics). The r5 window cut
+    # (~50) lands at the end of analytics; sorts/relational onward keep
+    # their latest green on byte-unchanged code.
     #
     # R6 ROTATION PLAN: lead with storage (q_upsert — NEW in r5, first
     # driver evidence pending) and joins (q_interval_join — same), then
-    # relational (11, r3-era) + sorts' tail (2, r3-era) + aggregates /
+    # relational (11, r3-era) + sorts (3, r3-era) + aggregates /
     # sql_layer / setops / skew_queries / windows (r4-era), pushing the
-    # r5-recorded modules (llm_prep…similarity) to the back.
+    # r5-recorded modules (llm_prep…analytics) to the back.
     from food_panda_etl_spark.queries import (  # noqa: F401
         llm_prep,
         clustering,
