@@ -259,3 +259,23 @@ def test_heavy_hitters_exact_under_any_partitioning(spark, rows, parts):
         .collect()
     }
     assert got == brute
+
+
+def test_heavy_hitters_edge_cases(spark):
+    """Degenerate inputs: a constant column yields one hitter with the
+    exact count; an all-distinct column yields none; out-of-range
+    fractions are rejected."""
+    import pytest as _pytest
+
+    from food_panda_etl_spark.operators.heavy import heavy_hitters
+
+    const = spark.createDataFrame([("x",)] * 50, "v string").repartition(4)
+    got = heavy_hitters(const, "v", fraction=0.5).collect()
+    assert [(r["v"], r["cnt"]) for r in got] == [("x", 50)]
+
+    distinct = spark.createDataFrame([(str(i),) for i in range(60)], "v string")
+    assert heavy_hitters(distinct, "v", fraction=0.5).count() == 0
+
+    for bad in (0.0, 1.0, -0.1, 2.0):
+        with _pytest.raises(ValueError):
+            heavy_hitters(const, "v", fraction=bad)
