@@ -85,10 +85,18 @@ HEADLINE = [
     "q_kmeans",
     # round-5 additions: the LLM-prep composite (the full clean→langid→
     # filter→dedup→near-dup→split→pack lineage), SemDeDup via k-means
-    # cells, and the stdlib PNG decode through the Arrow media stage.
+    # cells, the stdlib PNG decode through the Arrow media stage, MG
+    # heavy hitters, benchmark decontamination, the KLL quantile gate,
+    # BPE-ish token counting, CDC apply, and the interval join.
     "q_llm_prep",
     "q_semantic_dedup",
     "q_png_decode",
+    "q_heavy_hitters",
+    "q_decontaminate",
+    "q_approx_quantile_gate",
+    "q_token_count_bpe",
+    "q_upsert",
+    "q_interval_join",
 ]
 
 

@@ -429,7 +429,14 @@ def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles (actual data values — deterministic, interpolation-free)
     and pins the verdict, making sketch quality driver evidence like the
     HLL gate. Cost: one aggregate pass (exact + sketch together) + one
-    rank-check pass against the broadcast 1-row result."""
+    rank-check pass against the broadcast 1-row result.
+
+    GATE-ONLY cost note (same status as q_ann_recall's brute-force
+    side): percentile_disc buffers the full ungrouped value set in one
+    aggregation buffer — fine at fixture scale, a single-task O(N)
+    memory hazard at corpus scale. The production path is
+    percentile_approx ALONE (mergeable sketch, bounded memory); at
+    100 TB run this gate on a sampled partition of the corpus."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
     agg = li.agg(
