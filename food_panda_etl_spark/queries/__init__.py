@@ -66,11 +66,11 @@ def _load_all() -> None:
     # (~50) lands at the end of analytics; sorts/relational onward keep
     # their latest green on byte-unchanged code.
     #
-    # R6 ROTATION PLAN: lead with storage (q_upsert — NEW in r5, first
-    # driver evidence pending) and joins (q_interval_join — same), then
-    # relational (11, r3-era) + sorts (3, r3-era) + aggregates /
-    # sql_layer / setops / skew_queries / windows (r4-era), pushing the
-    # r5-recorded modules (llm_prep…analytics) to the back.
+    # R6 ROTATION PLAN: lead with relational (11, r3-era) + sorts (3,
+    # r3-era), then aggregates / sql_layer / setops / storage /
+    # skew_queries / joins / windows (r4-era), pushing the r5-recorded
+    # modules (llm_prep…analytics, q_upsert, q_interval_join) to the
+    # back.
     from food_panda_etl_spark.queries import (  # noqa: F401
         llm_prep,
         clustering,
@@ -90,6 +90,22 @@ def _load_all() -> None:
         joins,
         windows,
     )
+
+    # PROMOTION PASS: registration is module-granular, but the two
+    # queries NEW in r5 (q_upsert in storage, q_interval_join in joins)
+    # live in modules whose other queries hold fresh r4 greens — pulling
+    # the whole modules forward would evict ~15 rotation slots. Instead,
+    # promote just these two keys to the head of the registry so
+    # brand-new code gets first driver evidence THIS round; the two
+    # entries displaced past the window cut (tail of analytics) are
+    # byte-unchanged r3-green code. Dict order is what queries() exposes,
+    # so reordering here is exactly reordering the driver's window.
+    promoted = ["q_upsert", "q_interval_join"]
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for name in promoted:
+        QUERIES[name] = snapshot.pop(name)
+    QUERIES.update(snapshot)
 
 
 _load_all()
