@@ -97,6 +97,10 @@ HEADLINE = [
     "q_token_count_bpe",
     "q_upsert",
     "q_interval_join",
+    # retrieval ops (r5): RAG sliding-window chunking (pure narrow
+    # projection) and log-free BM25 top-k per query
+    "q_chunk_text",
+    "q_bm25",
 ]
 
 
