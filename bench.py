@@ -103,6 +103,7 @@ HEADLINE = [
     "q_chunk_text",
     "q_bm25",
     "q_hybrid_rrf",
+    "q_quantize_embed",
 ]
 
 

@@ -36,6 +36,10 @@ def chunk_sliding(
     property that matters at 100 TB (output is ~window/stride × the
     input rows; downstream ops see ordinary narrow rows keyed by
     (id, chunk_id)).
+
+    NULL-text rows produce no chunks (split→sequence→posexplode all
+    propagate/drop NULL) — identical to the SQL mirror, where unnest of
+    a NULL series emits nothing.
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
@@ -75,8 +79,10 @@ def bm25_topk(
     libm rounding may differ. Monotone in the same tf/df/dl directions as
     classic BM25 (idf ordering is preserved; magnitudes differ).
 
-    ``queries`` is (query_id int, term string) — one row per query term;
-    it is workload-sized, so it broadcasts.
+    ``queries`` is (query_id int, term string) — one row per DISTINCT
+    query term (a duplicated (query_id, term) row would double-count
+    that term's contribution; classic BM25 query-term-frequency
+    weighting is out of scope); it is workload-sized, so it broadcasts.
 
     Per-term scores are cast to DECIMAL(18,6) before the per-(query, doc)
     SUM (order-independent, the §7 convention), then back to double.

@@ -798,3 +798,59 @@ def cell_neardup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    code_i = round(x_i/scale) ∈ [−127, 127] — the standard 4× memory
+    reduction for embedding storage/ANN (float32 → int8 + one scale per
+    vector; dot products then run on int8 with one final rescale).
+
+    Pure codegen HOFs over the array column — no shuffle, no join, no
+    Python: a narrow projection whose 100 TB cost is the scan plus a
+    proportional write (the same shape as chunking). All-zero vectors
+    quantize to all-zero codes with scale 0 (guarded — no NaN from 0/0).
+
+    Every emitted number is engine-deterministic: max is
+    order-independent, each element op is a single IEEE op on identical
+    operands, and round() is half-away-from-zero in both Spark (HALF_UP
+    on doubles) and DuckDB.
+
+    Returns (id, scale, codes array<int>, sum_codes, max_err) where
+    max_err = max_i |x_i − code_i·scale| is the per-vector reconstruction
+    bound (≤ scale/2 by construction — asserted in tests).
+    """
+    x = F.col("__x")
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    codes = F.when(
+        scale == 0.0, F.transform(x, lambda v: F.lit(0))
+    ).otherwise(
+        F.transform(x, lambda v: F.round(v.cast("double") / scale).cast("int"))
+    )
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).alias("__x")
+    ).select(F.col(id_col), x, scale.alias("scale"), codes.alias("codes"))
+    sum_codes = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda a, b: a + b.cast("long")
+    )
+    max_err = F.array_max(
+        F.zip_with(
+            x,
+            F.col("codes"),
+            lambda v, c: F.abs(
+                v.cast("double") - (c.cast("double") * F.col("scale"))
+            ),
+        )
+    )
+    return staged.select(
+        id_col,
+        "scale",
+        "codes",
+        sum_codes.alias("sum_codes"),
+        max_err.alias("max_err"),
+    )

@@ -63,11 +63,11 @@ def _load_all() -> None:
     # q_token_count_bpe; udx; vendor_pipeline), then retrieval (NEW in
     # r5: q_chunk_text, q_bm25, q_hybrid_rrf) and the r3-era set
     # (similarity — also changed: sampled q_ann_recall, Arrow corpus
-    # signing, new q_png_decode — and analytics). The r5 window cut
-    # (~50) lands in the tail of analytics (q_unpivot/q_cube/
-    # q_percentile/q_regex_extract/q_histogram displaced —
-    # byte-unchanged r3-green code); sorts/relational onward keep
-    # their latest green.
+    # signing, new q_png_decode + q_quantize_embed — and analytics).
+    # The r5 window cut (~50) lands at the analytics module boundary
+    # (q_pivot/q_unpivot/q_cube/q_percentile/q_regex_extract/
+    # q_histogram displaced — byte-unchanged r3-green code);
+    # sorts/relational onward keep their latest green.
     #
     # R6 ROTATION PLAN: lead with relational (11, r3-era) + sorts (3,
     # r3-era), then aggregates / sql_layer / setops / storage /

@@ -550,3 +550,46 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("centroid")
     )
+
+
+@query(
+    "q_quantize_embed",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+               / CAST(127.0 AS DOUBLE) AS scale
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, embedding, scale,
+             CASE WHEN scale = 0 THEN list_transform(embedding, v -> 0)
+                  ELSE list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) / scale) AS INT))
+             END AS codes
+      FROM m
+    )
+    SELECT vec_id, scale,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(codes, x -> CAST(x AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS sum_codes,
+           list_max(list_transform(generate_series(1, len(embedding)),
+             i -> abs(CAST(embedding[i] AS DOUBLE)
+                      - (CAST(codes[i] AS DOUBLE) * scale)))) AS max_err
+    FROM c
+    """,
+)
+def q_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — per-vector symmetric int8 quantization
+    (`operators/similarity.py::quantize_int8`): scale = max|x|/127,
+    code = round(x/scale) — the 4× embedding-storage compression for
+    ANN at corpus scale. Declared output is the engine-deterministic
+    summary (scale, integer code checksum, max reconstruction error —
+    ≤ scale/2 by construction); the codes array itself stays
+    operator-level because numpy/DuckDB array stringification is not
+    hash-stable. Pure narrow HOF projection: no shuffle, no join."""
+    from food_panda_etl_spark.operators.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(e).select("vec_id", "scale", "sum_codes", "max_err")

@@ -279,3 +279,29 @@ def test_heavy_hitters_edge_cases(spark):
     for bad in (0.0, 1.0, -0.1, 2.0):
         with _pytest.raises(ValueError):
             heavy_hitters(const, "v", fraction=bad)
+
+
+@SET
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    window=st.integers(min_value=1, max_value=40),
+    stride=st.integers(min_value=1, max_value=40),
+)
+def test_chunk_sliding_matches_python_reference(spark, n_tokens, window, stride):
+    """chunk_sliding == the obvious Python chunker for ANY (n, w, s):
+    starts at 0, s, 2s, … while < n; each chunk is tokens[start:start+w]."""
+    from food_panda_etl_spark.operators.retrieval import chunk_sliding
+
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    got = {
+        r.chunk_id: (r.n_tokens, r.chunk_text)
+        for r in chunk_sliding(
+            df, "doc_id", "text", window=window, stride=stride
+        ).collect()
+    }
+    want = {
+        i: (len(toks[s : s + window]), " ".join(toks[s : s + window]))
+        for i, s in enumerate(range(0, n_tokens, stride))
+    }
+    assert got == want

@@ -350,3 +350,63 @@ def test_verified_lsh_pairs_equal_exact(spark, sf_dir):
     }
     assert exact, "fixture must contain near-dup pairs"
     assert lsh == exact  # jaccard values bit-identical too (same ratio of ints)
+
+
+class TestQuantizeInt8:
+    def test_error_bound_and_code_range(self, spark, sf_dir):
+        from food_panda_etl_spark.operators.similarity import quantize_int8
+        from food_panda_etl_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        out = quantize_int8(load_table(spark, sf_dir, "embeddings"))
+        bad = out.filter(
+            (F.col("max_err") > F.col("scale") / 2 + 1e-15)
+            | (F.array_max("codes") > 127)
+            | (F.array_min("codes") < -127)
+        ).count()
+        assert bad == 0
+
+    def test_zero_vector_guard(self, spark):
+        from food_panda_etl_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+        assert rows[1].scale == 0.0 and rows[1].codes == [0, 0]
+        assert rows[1].max_err == 0.0
+        assert rows[2].codes == [64, -127]  # round(1/(2/127)) = 64
+
+    def test_dequantized_dot_close_to_exact(self, spark):
+        # the point of int8 ANN: code_a·code_b·scale_a·scale_b ≈ a·b
+        import random
+
+        from food_panda_etl_spark.operators.similarity import quantize_int8
+
+        rng = random.Random(7)
+        vecs = [
+            (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(4)
+        ]
+        rows = {
+            r.vec_id: r
+            for r in quantize_int8(
+                spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+            ).collect()
+        }
+        a, b = vecs[0][1], vecs[1][1]
+        exact = sum(x * y for x, y in zip(a, b))
+        qa, qb = rows[0], rows[1]
+        approx = (
+            sum(x * y for x, y in zip(qa.codes, qb.codes)) * qa.scale * qb.scale
+        )
+        # per-element error ≤ scale/2 ⇒ dot error ≤ dim·(εa|b|+εb|a|) ≈ 1e-1
+        assert abs(approx - exact) < 0.15
+
+    def test_plan_is_narrow(self, spark, sf_dir):
+        from food_panda_etl_spark.plans import plan_summary
+        from food_panda_etl_spark.queries import QUERIES
+
+        s = plan_summary(QUERIES["q_quantize_embed"](spark, sf_dir))
+        assert s.exchanges == 0
+        assert s.broadcast_joins + s.sort_merge_joins + s.nested_loop_joins == 0
