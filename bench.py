@@ -104,6 +104,7 @@ HEADLINE = [
     "q_bm25",
     "q_hybrid_rrf",
     "q_quantize_embed",
+    "q_incremental_dedup",
 ]
 
 

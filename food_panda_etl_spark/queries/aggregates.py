@@ -212,3 +212,79 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "dup_cnt")
     )
     return clean.unionByName(coll)
+
+
+@query(
+    "q_incremental_dedup",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0 AND doc_id % 6 = 0
+    )
+    SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_cnt
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+    GROUP BY text
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — INCREMENTAL dedup: dedup a new batch against a standing
+    corpus without re-deduping the corpus (the refresh mode the CDC
+    operators exist for — see `operators/diff.py` and SCALE.md's CDC
+    note: "dedup only against added"). Batch rows whose text already
+    exists in the corpus are dropped; survivors are deduped within the
+    batch keeping the min-id representative. Deterministic injected
+    duplicates (corpus docs re-id'd at +1e6, batch docs at +2e6 — the
+    q_llm_prep trick) make both drop paths observable on the
+    duplicate-free fixture.
+
+    100 TB shape (the q_dedup discipline, applied twice): the corpus
+    side projects to TWO 8-byte hashes before the anti join — the
+    standing corpus' payload bytes never move — and the within-batch
+    groupBy keys on the same hash pair, so the only payload crossing an
+    exchange is min(text) once per surviving group. A false drop needs
+    a simultaneous 64+64-bit double collision (~2⁻¹²⁸ per pair, below
+    hardware-error rates — same standard q_dedup documents). Both joins
+    are plain equi-joins; with corpus and batch bucketed on the hash
+    the anti join pays zero exchanges."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 6 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    bh = batch.select(
+        F.xxhash64("text").alias("__h"),
+        F.xxhash64("text", F.lit(1)).alias("__h2"),
+        "doc_id",
+        "text",
+    )
+    ch = corpus.select(
+        F.xxhash64("text").alias("__h"), F.xxhash64("text", F.lit(1)).alias("__h2")
+    )
+    return (
+        bh.join(ch, ["__h", "__h2"], "left_anti")
+        .groupBy("__h", "__h2")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count("*").alias("dup_cnt"),
+        )
+        .select("doc_id", "text", "dup_cnt")
+    )

@@ -383,3 +383,21 @@ def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert n_bloom == li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+
+def test_incremental_dedup_hash_keyed_no_payload_shuffle(spark, sf_dir):
+    """q_incremental_dedup's exchanges must key on the two 8-byte hashes,
+    never the document text: the standing corpus' payload bytes must not
+    move for the anti join, and the within-batch grouping keys on the
+    same pair."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_incremental_dedup"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "hashpartitioning(__h" in plan
+    # no exchange may carry the text column as a partitioning key
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    assert lint_plan(df) == []
