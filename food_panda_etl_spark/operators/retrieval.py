@@ -37,14 +37,25 @@ def chunk_sliding(
     input rows; downstream ops see ordinary narrow rows keyed by
     (id, chunk_id)).
 
-    NULL-text rows produce no chunks (split→sequence→posexplode all
-    propagate/drop NULL) — identical to the SQL mirror, where unnest of
-    a NULL series emits nothing.
+    Empty tokens (leading/trailing/double spaces) are dropped before
+    windowing — the same tokenization ``bm25_topk`` uses — so NULL-text
+    and whitespace-only rows produce no chunks (split→filter→sequence→
+    posexplode propagate NULL / collapse to an empty series), identical
+    to the SQL mirror.
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
-    words = F.split(F.col(text_col), " ")
-    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
+    # drop empty tokens (leading/trailing/double spaces) so n_tokens
+    # counts real words — the same tokenization bm25_topk uses
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # whitespace-only text filters to zero tokens; Spark's sequence(0,
+    # -1, s) THROWS (unlike DuckDB's generate_series, which is empty),
+    # so route the empty case to an empty starts array explicitly —
+    # posexplode then emits no row, matching the oracle
+    starts = F.when(
+        F.size(words) > 0,
+        F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<integer>"))
     exploded = df.select(
         F.col(id_col),
         words.alias("__words"),
@@ -109,12 +120,17 @@ def bm25_topk(
     )
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    avgdl = dl.crossJoin(F.broadcast(n_docs)).agg(
-        (
-            F.sum("dl").cast("double")
-            / F.first("n_docs").cast("double")
-        ).alias("avgdl")
+    # ONE 1-row stats frame carrying both constants: aggregate dl BEFORE
+    # attaching n_docs (a crossJoin on the unaggregated dl would stream
+    # one row per document through a BNLJ just to attach a constant),
+    # and give the scoring side a single broadcast instead of two.
+    stats = (
+        dl.agg(F.sum("dl").cast("double").alias("__tot"))
+        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
+        .select(
+            "n_docs",
+            (F.col("__tot") / F.col("n_docs").cast("double")).alias("avgdl"),
+        )
     )
 
     tf_d = F.col("tf").cast("double")
@@ -137,8 +153,7 @@ def bm25_topk(
         .join(tf, "term")
         .join(df_, "term")
         .join(dl, id_col)
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .select("query_id", id_col, term_score.alias("__ts"))
     )
     agg = scored.groupBy("query_id", id_col).agg(

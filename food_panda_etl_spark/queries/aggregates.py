@@ -275,7 +275,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
     )
-    ch = corpus.select(
+    # NULL-text corpus rows must not participate in the anti join:
+    # xxhash64(NULL) is a concrete value, so a hash-keyed anti join
+    # would treat NULL texts as equal and DROP a NULL-text batch row —
+    # while the oracle's NOT EXISTS (c.text = b.text) never matches
+    # NULL and keeps it. SQL comparison semantics win; duplicate-free
+    # on the fixture but load-bearing the day the fixture gains NULLs.
+    ch = corpus.filter(F.col("text").isNotNull()).select(
         F.xxhash64("text").alias("__h"), F.xxhash64("text", F.lit(1)).alias("__h2")
     )
     return (

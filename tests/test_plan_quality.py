@@ -395,9 +395,23 @@ def test_incremental_dedup_hash_keyed_no_payload_shuffle(spark, sf_dir):
     df = QUERIES["q_incremental_dedup"](spark, sf_dir)
     plan = explain_formatted(df)
     assert "hashpartitioning(__h" in plan
-    # no exchange may carry the text column as a partitioning key
-    import re
-
-    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in m.group(1), m.group(0)
+    # no exchange may carry the text column as a partitioning key; scan
+    # with a depth counter — a [^)]* regex would truncate at the first
+    # ')' of any nested expression and could miss a later key
+    start = 0
+    found = 0
+    while True:
+        i = plan.find("hashpartitioning(", start)
+        if i < 0:
+            break
+        j = i + len("hashpartitioning(")
+        depth = 1
+        while depth > 0:
+            depth += {"(": 1, ")": -1}.get(plan[j], 0)
+            j += 1
+        keys = plan[i:j]
+        assert "text" not in keys, keys
+        found += 1
+        start = j
+    assert found >= 1
     assert lint_plan(df) == []

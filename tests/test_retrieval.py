@@ -156,19 +156,55 @@ def test_hybrid_rrf_plan_bounded_fusion(spark, sf_dir):
 
 
 def test_hybrid_rrf_contains_both_arms(spark, sf_dir):
-    # a doc ranked #1 lexically and absent densely (and vice versa) must
-    # both surface: verify each query's fused list includes at least one
-    # doc from each arm at fixture scale
+    """The fused lists must actually draw from BOTH arms: recompute each
+    arm's top-20 independently and assert every query's fused top-10
+    intersects each arm's candidate set (a regression that silently
+    drops one arm — e.g. a degraded join condition — still produces 10
+    monotone rows, so counts alone cannot catch it)."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.similarity import brute_force_topk
+    from food_panda_etl_spark.queries.retrieval import BM25_QUERIES
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    lex_sets: dict = {}
+    for r in bm25_topk(d, qdf, k=20).collect():
+        lex_sets.setdefault(r.query_id, set()).add(r.doc_id)
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    dense_sets: dict = {}
+    for r in brute_force_topk(e, qv, k=20).collect():
+        dense_sets.setdefault(int(r.qid), set()).add(r.neighbor_id)
+
     rows = QUERIES["q_hybrid_rrf"](spark, sf_dir).collect()
-    by_q = {}
+    by_q: dict = {}
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r)
     assert set(by_q) == {0, 1, 2}
     for q, rs in by_q.items():
         assert len(rs) == 10
+        fused_ids = {r.doc_id for r in rs}
+        assert fused_ids & lex_sets[q], f"query {q}: no lexical doc fused"
+        assert fused_ids & dense_sets[q], f"query {q}: no dense doc fused"
         # rrf strictly positive and non-increasing in rank order
         rs = sorted(rs, key=lambda r: r.rnk)
         assert all(r.rrf > 0 for r in rs)
         assert all(
             rs[i].rrf >= rs[i + 1].rrf for i in range(len(rs) - 1)
         )
+
+
+def test_chunk_drops_empty_tokens(spark):
+    # double/trailing spaces produce empty split tokens — dropped before
+    # windowing, so n_tokens counts real words (bm25's tokenization)
+    out = chunk_sliding(
+        _docs(spark, [(1, "a  b "), (2, "   ")]), "doc_id", "text",
+        window=4, stride=4,
+    ).collect()
+    assert len(out) == 1  # whitespace-only doc 2 yields no chunks
+    r = out[0]
+    assert (r.doc_id, r.n_tokens, r.chunk_text) == (1, 2, "a b")
