@@ -105,6 +105,7 @@ HEADLINE = [
     "q_hybrid_rrf",
     "q_quantize_embed",
     "q_incremental_dedup",
+    "q_vocab_topp",
 ]
 
 

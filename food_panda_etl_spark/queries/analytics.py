@@ -164,3 +164,68 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_vocab_topp",
+    oracle="""
+    WITH tf AS (
+      SELECT term, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> '' GROUP BY term
+    ),
+    tot AS (SELECT sum(freq) AS total FROM tf),
+    ranked AS (
+      SELECT term, freq,
+             sum(freq) OVER (ORDER BY freq DESC, term
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tf
+    )
+    SELECT term, CAST(freq AS BIGINT) AS freq, CAST(cum AS BIGINT) AS cum
+    FROM ranked CROSS JOIN tot
+    WHERE CAST(cum - freq AS DOUBLE) / CAST(total AS DOUBLE) < 0.9
+    """,
+)
+def q_vocab_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — top-p (nucleus) vocabulary truncation: the smallest set of
+    terms covering ≥ 90% of corpus token mass — the vocab-building cut a
+    tokenizer pipeline runs before assigning ids. A term is kept iff the
+    mass BEFORE it (cum − freq) is still under p·total, so the term that
+    crosses the threshold is included and the covered mass is ≥ p.
+    Deterministic: integer frequencies, an exact integer running sum
+    over the total order (freq DESC, term), and one double division of
+    identical integers at the boundary — no float accumulation.
+
+    100 TB shape: one fact-wide token hash-agg; the ranked cumsum runs
+    over the VOCABULARY (orders of magnitude smaller than the corpus —
+    a single-partition window over vocab is the correct plan at any
+    corpus size, and if the vocabulary itself were huge the two-phase
+    range-partitioned prefix sum `operators/order.py::global_running_sum`
+    drops in, same as q_pack_chunks)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    tot = tf.agg(F.sum("freq").alias("total"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = tf.withColumn("cum", F.sum("freq").over(w))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cum") - F.col("freq")).cast("double")
+            / F.col("total").cast("double")
+            < 0.9
+        )
+        .select(
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            F.col("cum").cast("long").alias("cum"),
+        )
+    )
