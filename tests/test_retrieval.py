@@ -208,3 +208,41 @@ def test_chunk_drops_empty_tokens(spark):
     assert len(out) == 1  # whitespace-only doc 2 yields no chunks
     r = out[0]
     assert (r.doc_id, r.n_tokens, r.chunk_text) == (1, 2, "a b")
+
+
+def test_bm25_property_random_corpora(spark):
+    """bm25_topk == the independent Python reimplementation on random
+    small corpora (hypothesis): catches formula drift in any of tf/df/
+    dl/avgdl/idf wiring, not just the one hand-built example."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["hash", "join", "scan", "sort", "pad", "spill"]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=8),
+            min_size=1,
+            max_size=6,
+        ),
+        qterms=st.lists(st.sampled_from(vocab), min_size=1, max_size=3, unique=True),
+    )
+    def run(docs, qterms):
+        rows = [(i + 1, " ".join(toks)) for i, toks in enumerate(docs)]
+        queries = [(0, t) for t in qterms]
+        qdf = spark.createDataFrame(queries, "query_id int, term string")
+        got = {
+            (r.query_id, r.doc_id): r.score
+            for r in bm25_topk(_docs(spark, rows), qdf, k=100).collect()
+        }
+        want = _bm25_py(rows, queries)
+        assert set(got) == set(want)
+        for key in want:
+            assert got[key] == pytest.approx(want[key], abs=2e-6), key
+
+    run()
