@@ -106,6 +106,7 @@ HEADLINE = [
     "q_quantize_embed",
     "q_incremental_dedup",
     "q_vocab_topp",
+    "q_mix_to_target",
 ]
 
 

@@ -69,9 +69,10 @@ def _load_all() -> None:
     # q_histogram displaced — byte-unchanged r3-green code);
     # sorts/relational onward keep their latest green.
     #
-    # R6 ROTATION PLAN: promote q_incremental_dedup and q_vocab_topp
-    # (NEW late-r5 in aggregates/analytics, no driver evidence yet —
-    # the r5 window was full) to the front, then the analytics tail
+    # R6 ROTATION PLAN: promote q_incremental_dedup, q_vocab_topp and
+    # q_mix_to_target (NEW late-r5 in aggregates/analytics/storage, no
+    # driver evidence yet — the r5 window was full) to the front, then
+    # the analytics tail
     # displaced this round (q_pivot/
     # q_unpivot/q_cube/q_percentile/q_regex_extract/q_histogram), then
     # relational (11, r3-era) + sorts (3, r3-era), then aggregates /

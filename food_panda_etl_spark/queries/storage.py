@@ -380,3 +380,71 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deletes = diff.filter(F.col("change_type") == "removed")
     return upsert_snapshot(old, updates, keys=["o_orderkey"], deletes=deletes)
+
+
+@query(
+    "q_mix_to_target",
+    oracle="""
+    WITH w AS (SELECT * FROM (VALUES
+        ('en',40),('zh',15),('es',15),('de',15),('fr',15)) AS t(lang, wgt)),
+    n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    j AS (SELECT n.lang, n.n_s, w.wgt FROM n JOIN w USING (lang)),
+    cap AS (SELECT min(n_s * 100 // wgt) AS n_out FROM j),
+    r AS (SELECT lang, n_s,
+                 (wgt * (SELECT n_out FROM cap)) // 100 AS quota,
+                 (997 * ((wgt * (SELECT n_out FROM cap)) // 100)) // n_s AS rate
+          FROM j)
+    SELECT d.lang,
+           CAST(r.n_s AS BIGINT) AS n_total,
+           CAST(r.quota AS BIGINT) AS quota,
+           CAST(sum(CASE WHEN ((d.doc_id % 997) * 631) % 997 < r.rate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN r USING (lang)
+    GROUP BY d.lang, r.n_s, r.quota
+    """,
+)
+def q_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — mixture rebalancing to TARGET weights (en 40%, zh/es/de/
+    fr 15% each): unlike `q_stratified_sample`'s fixed per-stratum
+    rates, the keep rates here are DERIVED from the targets and the
+    observed counts — the output size is capped by the binding stratum
+    (largest feasible N_out with downsampling only), each stratum gets
+    quota = wgt·N_out/100, and membership is the same engine/partition-
+    invariant multiplicative-hash bucket as q_stratified_sample. All
+    rate arithmetic is integer division (`div` / `//`), so the oracle
+    matches bit-for-bit.
+
+    100 TB shape: pass 1 is a count-only scan (column-pruned to the
+    stratum key), the rate table is derived IN-PLAN from stratum-count
+    joins (broadcast, no collect anywhere), and pass 2 is a narrow
+    broadcast-join + keep predicate — rows drop before any shuffle. The
+    declared output is the per-stratum audit (n_total, quota, n_kept);
+    production keeps the rows instead of counting them."""
+    d = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        [("en", 40), ("zh", 15), ("es", 15), ("de", 15), ("fr", 15)],
+        "lang string, wgt int",
+    )
+    n = d.groupBy("lang").agg(F.count("*").alias("n_s"))
+    j = n.join(F.broadcast(w), "lang")
+    cap = j.agg(F.min(F.expr("n_s * 100 div wgt")).alias("n_out"))
+    r = (
+        j.crossJoin(F.broadcast(cap))
+        .withColumn("quota", F.expr("(wgt * n_out) div 100"))
+        .withColumn("rate", F.expr("(997 * quota) div n_s"))
+        .select("lang", "n_s", "quota", "rate")
+    )
+    keep = (((F.col("doc_id") % 997) * F.lit(631)) % 997 < F.col("rate")).cast(
+        "long"
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .groupBy("lang", "n_s", "quota")
+        .agg(F.sum(keep).alias("n_kept"))
+        .select(
+            "lang",
+            F.col("n_s").cast("long").alias("n_total"),
+            F.col("quota").cast("long").alias("quota"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
