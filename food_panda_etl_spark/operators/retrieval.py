@@ -98,6 +98,14 @@ def bm25_topk(
     Per-term scores are cast to DECIMAL(18,6) before the per-(query, doc)
     SUM (order-independent, the §7 convention), then back to double.
 
+    Oracle bit-parity caveat: ``k1``/``b`` enter the score as Python-
+    computed literals (``k1 + 1.0``, ``1.0 - b``). An oracle matches
+    bitwise only if its SQL constants are GENERATED from the same Python
+    floats (as ``queries/retrieval.py`` generates its term VALUES) —
+    hand-written decimal literals happen to coincide for the defaults
+    (1.2 + 1.0 == 2.2 exactly in binary64) but are not guaranteed to for
+    arbitrary ``k1``/``b``.
+
     Scale: the only fact-wide shuffles are the (doc, term) tf aggregation
     and the final per-(query, doc) sum; df is vocabulary-sized and joins
     unhinted (AQE broadcasts it when it fits — forcing a broadcast would

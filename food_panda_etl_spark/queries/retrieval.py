@@ -94,17 +94,19 @@ _DENSE_CTES = """
 
 @query(
     "q_chunk_text",
-    oracle="""
+    # Interpolated from CHUNK_WINDOW/CHUNK_STRIDE (the BM25_QUERIES→VALUES
+    # convention): changing the constants can never desync the oracle.
+    oracle=f"""
     WITH w AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), t -> t <> '') AS words
                FROM documents),
     s AS (SELECT doc_id, words,
-                 unnest(generate_series(0, len(words) - 1, 16)) AS start
+                 unnest(generate_series(0, len(words) - 1, {CHUNK_STRIDE})) AS start
           FROM w)
     SELECT doc_id,
-           CAST(start // 16 AS BIGINT) AS chunk_id,
-           CAST(len(words[start + 1 : start + 32]) AS INT) AS n_tokens,
-           array_to_string(words[start + 1 : start + 32], ' ') AS chunk_text
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(words[start + 1 : start + {CHUNK_WINDOW}]) AS INT) AS n_tokens,
+           array_to_string(words[start + 1 : start + {CHUNK_WINDOW}], ' ') AS chunk_text
     FROM s
     """,
 )

@@ -406,9 +406,10 @@ def test_incremental_dedup_hash_keyed_no_payload_shuffle(spark, sf_dir):
             break
         j = i + len("hashpartitioning(")
         depth = 1
-        while depth > 0:
+        while depth > 0 and j < len(plan):
             depth += {"(": 1, ")": -1}.get(plan[j], 0)
             j += 1
+        assert depth == 0, "unbalanced parens in explain output"
         keys = plan[i:j]
         assert "text" not in keys, keys
         found += 1
