@@ -57,30 +57,52 @@ def heavy_hitters(
     (k = slack/fraction counters) so boundary items are never lost to
     MG undercount; 2 is already conservative (the guarantee needs 1).
 
-    Plan shape: one narrow mapInPandas pass emitting ≤ k keys per
-    partition, one broadcast semi-join + hash aggregate over candidate
-    rows only, one metadata-cheap total count. No full-vocabulary
-    shuffle anywhere."""
+    Plan shape: one narrow mapInPandas pass emitting ≤ k+1 rows per
+    partition (k candidate keys plus one NULL-keyed marker row carrying
+    the partition's row count — the total rides along with the summary,
+    so there is NO separate ``df.count()`` action/scan), then one
+    broadcast semi-join + hash aggregate over candidate rows only, with
+    the threshold joined in-plan from the summed markers. No
+    full-vocabulary shuffle, no driver-side collect, ONE action."""
     if not 0.0 < fraction < 1.0:
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
     k = max(1, int(slack / fraction))
 
     def summarize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         counters: dict = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             counters = _mg_absorb(counters, pdf[col], k)
-        yield pd.DataFrame({col: list(counters.keys())})
+        vals = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                col: vals + [None],
+                "__n": pd.array([None] * len(vals) + [n], dtype="Int64"),
+            }
+        )
 
     field = df.schema[col]
-    cand = (
-        df.select(col)
-        .mapInPandas(summarize, f"{col} {field.dataType.simpleString()}")
-        .distinct()
-    )
-    total = df.count()
+    # The summary is tiny (≤ (k+1)·P rows) but feeds two consumers
+    # (candidate set + total); a lazy localCheckpoint keeps the fact
+    # scan at one-per-consumer-job instead of re-deriving per subtree
+    # (the exact_jaccard_pairs convention — no executor cache pinning).
+    summary = df.select(col).mapInPandas(
+        summarize, f"{col} {field.dataType.simpleString()}, __n bigint"
+    ).localCheckpoint(eager=False)
+    # value_counts drops nulls, so a NULL key is always a marker row;
+    # N still counts every row (len(pdf) includes nulls in `col`),
+    # matching the brute-force `HAVING cnt > f·N` denominator.
+    cand = summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    total = summary.agg(F.sum("__n").alias("__total"))
     return (
         df.join(F.broadcast(cand), col, "semi")
         .groupBy(col)
         .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt").cast("double") > float(fraction) * total)
+        .join(F.broadcast(total))
+        .filter(
+            F.col("cnt").cast("double")
+            > F.lit(float(fraction)) * F.col("__total").cast("double")
+        )
+        .drop("__total")
     )

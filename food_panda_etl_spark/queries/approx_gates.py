@@ -410,12 +410,22 @@ def q_dedup_keep_rep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_quantile_gate",
+    # Exact side defined as value-at-rank with INTEGER ceil-division
+    # target ranks (ceil(q·N) computed as (q_num·N + q_den−1) // q_den,
+    # the q_mix_to_target convention) — no float·N ceil whose binary64
+    # rounding could disagree across engines. Value-at-rank over the
+    # sorted multiset is tie-robust: equal values at a rank boundary
+    # yield the same value whatever the tie order.
     oracle="""
-    SELECT quantile_disc(l_extendedprice, 0.5) AS p50,
-           quantile_disc(l_extendedprice, 0.95) AS p95,
-           CAST(count(*) AS BIGINT) AS n_rows,
+    WITH ranked AS (SELECT l_extendedprice AS v,
+                           row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                           count(*) OVER () AS n
+                    FROM lineitem)
+    SELECT CAST(max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE) AS p50,
+           CAST(max(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS DOUBLE) AS p95,
+           CAST(max(n) AS BIGINT) AS n_rows,
            1 AS meets_target
-    FROM lineitem
+    FROM ranked
     """,
 )
 def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,27 +438,47 @@ def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass at the quantile). The oracle recomputes the exact discrete
     percentiles (actual data values — deterministic, interpolation-free)
     and pins the verdict, making sketch quality driver evidence like the
-    HLL gate. Cost: one aggregate pass (exact + sketch together) + one
-    rank-check pass against the broadcast 1-row result.
+    HLL gate.
 
-    GATE-ONLY cost note (same status as q_ann_recall's brute-force
-    side): percentile_disc buffers the full ungrouped value set in one
-    aggregation buffer — fine at fixture scale, a single-task O(N)
-    memory hazard at corpus scale. The production path is
-    percentile_approx ALONE (mergeable sketch, bounded memory); at
-    100 TB run this gate on a sampled partition of the corpus."""
+    Exact side (VERDICT r5 task 2 — the old single-buffer
+    `percentile_disc` hazard is gone): the exact discrete percentile is
+    the value at rank ⌈q·N⌉ of the ascending sort, picked via
+    `operators/order.py::global_row_number` — range-partition by value,
+    rank locally, offset by the P-row prefix sums — so no task ever
+    holds more than one partition's values and the whole gate survives
+    a 100× scale-up. `global_row_number`'s total-order caveat does not
+    bite here: ties among equal prices permute ROWS at a rank, never
+    the VALUE at a rank, which is all the pick reads. Target ranks use
+    integer ceil-division ((n+1) DIV 2, (95n+99) DIV 100) so Spark and
+    the oracle agree bit-exactly for every N. Cost: one sketch+count
+    pass, one range-shuffled rank pass, one rank-check pass — all
+    distributed, no O(N) buffer anywhere."""
+    from food_panda_etl_spark.operators.order import global_row_number
+
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
     agg = li.agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).cast("double").alias("p50"),
-        F.expr(
-            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).cast("double").alias("p95"),
         F.percentile_approx(price, 0.5, 10000).alias("__a50"),
         F.percentile_approx(price, 0.95, 10000).alias("__a95"),
         F.count("*").alias("n_rows"),
+    )
+    # two (quantile-name, target-rank) rows derived in-plan from N
+    targets = agg.select(
+        F.expr(
+            "stack(2, 'p50', (n_rows + 1) DIV 2,"
+            "         'p95', (95 * n_rows + 99) DIV 100)"
+            " AS (__which, __rank)"
+        )
+    )
+    ranked = global_row_number(
+        li.select(price.alias("__v")), ["__v"], out_col="__rn"
+    )
+    picks = (
+        ranked.join(F.broadcast(targets), F.col("__rn") == F.col("__rank"))
+        .agg(
+            F.max(F.when(F.col("__which") == "p50", F.col("__v"))).alias("p50"),
+            F.max(F.when(F.col("__which") == "p95", F.col("__v"))).alias("p95"),
+        )
     )
     # after the broadcast cross join the approx values are plain columns
     # on every row, so the rank fraction is sum(price <= col)/first(n)
@@ -459,8 +489,6 @@ def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.crossJoin(F.broadcast(agg))
         .agg(
-            F.first("p50").alias("p50"),
-            F.first("p95").alias("p95"),
             F.first("n_rows").alias("n_rows"),
             (
                 (F.abs(frac("__a50") - 0.5) <= 0.01)
@@ -469,4 +497,6 @@ def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("meets_target"),
         )
+        .crossJoin(F.broadcast(picks))
+        .select("p50", "p95", "n_rows", "meets_target")
     )

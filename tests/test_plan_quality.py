@@ -416,3 +416,42 @@ def test_incremental_dedup_hash_keyed_no_payload_shuffle(spark, sf_dir):
         start = j
     assert found >= 1
     assert lint_plan(df) == []
+
+
+def test_quantile_gate_exact_side_distributed(spark, sf_dir):
+    """VERDICT r5 task 2: the gate's exact discrete percentile must be a
+    range-partitioned rank pick, not a single-task O(N) aggregation
+    buffer — no percentile_disc (one ObjectHashAggregate buffer holding
+    every value) and no sort_array-style collect; the plan must show the
+    global_row_number range exchange."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_approx_quantile_gate"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "percentile_disc" not in plan
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "rangepartitioning(__v" in plan, "exact side lost its range rank pick"
+    assert lint_plan(df) == []
+
+
+def test_heavy_hitters_single_action_total(spark, sf_dir):
+    """VERDICT r5 task 6: the total-row count must ride along with the
+    MG summary (NULL-keyed marker rows), not run as a separate count()
+    action — building the heavy-hitters frame must trigger no Spark job,
+    and the threshold must join in-plan from the summed markers."""
+    from food_panda_etl_spark.operators.heavy import heavy_hitters
+    from food_panda_etl_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    hh = heavy_hitters(tok, "token", fraction=0.01)  # plan-build only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "heavy_hitters ran an eager action while planning"
+    brute = (
+        tok.groupBy("token").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").cast("double") > 0.01 * tok.count())
+    )
+    assert {tuple(r) for r in hh.collect()} == {tuple(r) for r in brute.collect()}
