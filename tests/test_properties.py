@@ -305,3 +305,52 @@ def test_chunk_sliding_matches_python_reference(spark, n_tokens, window, stride)
         for i, s in enumerate(range(0, n_tokens, stride))
     }
     assert got == want
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "aa", "x"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bigram_lm_score_matches_reference_impl(spark, texts):
+    """bigram_lm_score == an independent pure-Python bigram LM on random
+    corpora: same corpus counts, same mean-probability score, same
+    sub-2-token exclusion. Probabilities compared exactly after the same
+    DECIMAL(18,12) quantization."""
+    from decimal import Decimal
+
+    from food_panda_etl_spark.operators.lm import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_score(df, "doc_id", "text").collect()
+    }
+
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    cbig: dict = {}
+    cctx: dict = {}
+    for ws in toks.values():
+        for w1, w2 in zip(ws, ws[1:]):
+            cbig[(w1, w2)] = cbig.get((w1, w2), 0) + 1
+            cctx[w1] = cctx.get(w1, 0) + 1
+    want = {}
+    for i, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue  # excluded from the output, like the operator
+        q = Decimal("1.000000000000")
+        tot = sum(
+            Decimal(cbig[p] / cctx[p[0]]).quantize(q) for p in pairs
+        )
+        want[i] = (len(pairs), float(tot) / float(len(pairs)))
+    assert got == want
