@@ -419,6 +419,48 @@ def main() -> None:
         curves["bm25"][n] = timed(lambda: bm25_topk(d, rq).count())
         d.unpersist()
 
+    # Substring dedup (r6): positioned-shingle buckets + extent merge.
+    # 10% of docs carry one of 8 shared 16-token passages, so duplicated
+    # bucket mass grows ∝ N (rate-proportional), never with the pair
+    # count — the claim is near-linear wall time, unlike a pairwise
+    # passage join which would go quadratic in the passage cohort.
+    from food_panda_etl_spark.operators.dedup import duplicated_substring_spans
+
+    passage = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("p"),
+                F.pmod(F.xxhash64((F.col("doc_id") % 8) * 16 + i), F.lit(97)).cast(
+                    "string"
+                ),
+            )
+            for i in range(16)
+        ],
+    )
+    def docs_with_passages(n: int):
+        return synth_documents(spark, n, None).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat_ws(" ", F.col("text"), passage),
+            ).otherwise(F.col("text")),
+        )
+
+    duplicated_substring_spans(docs_with_passages(500), n=8).count()  # warmup
+    curves["substring_spans"] = {}
+    ss_sizes = [20_000, 80_000] + ([] if quick else [320_000])
+    for n in ss_sizes:
+        d = docs_with_passages(n).cache()
+        d.count()
+        curves["substring_spans"][n] = timed(
+            lambda: duplicated_substring_spans(d, "doc_id", "text", n=8)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        d.unpersist()
+
     out["curves"] = curves
 
     # fitted exponents over the largest consecutive pair (asymptotic end)

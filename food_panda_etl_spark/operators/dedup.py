@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd  # module level: pandas_udf type hints resolve via globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Mersenne prime 2^61-1: standard universal-hash modulus; products of
 # (a < 2^31) * (h mod p < 2^61) would overflow — so we pre-fold xxhash64
@@ -461,4 +462,101 @@ def ngram_contamination(
         .groupBy("doc")
         .agg(F.count("*").alias("n_shared"))
         .select(F.col("doc").alias(id_col), "n_shared")
+    )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al., arXiv:2107.06499): the
+    maximal token spans of each document that are covered by word
+    ``n``-grams appearing in at least ``min_docs`` DISTINCT documents.
+    Doc-level dedup (`q_dedup`) and decontamination (`ngram_contamination`)
+    miss repeated PASSAGES inside otherwise-distinct documents —
+    boilerplate headers, licence blocks, templated paragraphs — which is
+    exactly what LM memorization studies find gets regurgitated. Returns
+    (``id_col``, span_start, span_end, span_tokens): 0-based token
+    offsets, end exclusive, one row per maximal duplicated extent, ready
+    to cut out with `slice()`.
+
+    Spark-first shape (NOT the paper's suffix array — that is a
+    single-machine construction): positioned n-gram hash buckets + a
+    gaps-and-islands extent merge.
+    1. One narrow projection explodes (doc, pos, gram) and immediately
+       folds the gram to TWO independent xxhash64 keys — the n-token
+       payload never crosses a shuffle, only 16 bytes/shingle (the
+       q_dedup / q_incremental_dedup convention; a simultaneous 128-bit
+       collision is ~2^-64 per pair, far below any corpus scale).
+    2. Bucket on (h1, h2), keep buckets spanning >= min_docs distinct
+       docs — one fact-wide hash aggregation, the operator's only
+       unavoidable big shuffle (the paper's suffix-array sort plays the
+       same role at the same cost class).
+    3. Semi-join positions back (shingle table checkpointed once for
+       its two consumers) and merge overlapping-or-touching extents
+       [pos, pos+n) with a lag/running-sum window PARTITIONED BY doc —
+       per-document state only, no global window, scale-free.
+
+    Shared-span growth is near-linear in corpus size (duplicated-bucket
+    mass scales with the injected duplication rate, not the pair count)
+    — measured in `bench_scale.py`.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .repartition(par, "doc")
+        .select("doc", F.split(F.col("__text"), " ").alias("__toks"))
+    )
+    k = F.size(F.col("__toks")) - (n - 1)
+    # 0-based start positions; explicit empty for short docs (the
+    # sequence(1, 0)-descends trap, see _shingles)
+    idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        *[F.element_at(F.col("__toks"), (i + j + 1).cast("int")) for j in range(n)],
+    )
+    pos_gram = F.transform(
+        idx, lambda i: F.struct(i.alias("pos"), gram_at(i).alias("g"))
+    )
+    sh = (
+        toks.select("doc", F.explode(pos_gram).alias("__pg"))
+        .select(
+            "doc",
+            F.col("__pg.pos").alias("pos"),
+            F.xxhash64(F.col("__pg.g")).alias("__h1"),
+            F.xxhash64(F.lit(982451653), F.col("__pg.g")).alias("__h2"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: buckets + probe
+    )
+    dup = (
+        sh.groupBy("__h1", "__h2")
+        .agg(F.count_distinct("doc").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h1", "__h2")
+    )
+    hits = sh.join(dup, ["__h1", "__h2"], "semi").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = (prev.isNull() | (F.col("pos") > prev + n)).cast("int")
+    grp = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("__grp", grp)
+        .groupBy("doc", "__grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + n).cast("int").alias("span_end"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
     )

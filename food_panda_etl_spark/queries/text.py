@@ -455,6 +455,55 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_N = 8  # min duplicated-substring length, in tokens
+
+
+@query(
+    "q_substring_dedup",
+    # Interpolated from _SUBSTR_N (the CHUNK_WINDOW convention) so the
+    # span arithmetic can never desync from the operator's n.
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, i - 1 AS pos,
+                  array_to_string(toks[i : i + {_SUBSTR_N - 1}], ' ') AS gram
+           FROM w, unnest(generate_series(1, len(toks) - {_SUBSTR_N - 1})) AS t(i)),
+    dup AS (SELECT gram FROM sh GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (gram)),
+    g AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + {_SUBSTR_N}
+                      THEN 1 ELSE 0 END AS brk
+          FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    gi AS (SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+           FROM g)
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {_SUBSTR_N} AS INT) AS span_end,
+           CAST(max(pos) + {_SUBSTR_N} - min(pos) AS INT) AS span_tokens
+    FROM gi GROUP BY doc_id, grp
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 substring-level exact dedup (VERDICT r5 task 5; Lee et al.
+    2107.06499): maximal token extents covered by 8-grams shared across
+    >= 2 distinct documents — the repeated-passage detector that
+    doc-level `q_dedup` and `q_decontaminate` cannot see. One row per
+    (doc, maximal span) with 0-based [start, end) token offsets.
+    Spark-first: positioned shingle double-hash buckets + per-doc
+    gaps-and-islands merge, never a suffix array; the oracle re-derives
+    the same spans from the gram STRINGS, so a hash collision changing
+    the answer would fail the hash-match (none can at 128 bits). See
+    `operators/dedup.py::duplicated_substring_spans` for the 100 TB
+    shuffle accounting."""
+    from food_panda_etl_spark.operators.dedup import duplicated_substring_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_substring_spans(d, "doc_id", "text", n=_SUBSTR_N)
+
+
 @query(
     "q_decontaminate",
     oracle="""

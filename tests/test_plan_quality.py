@@ -455,3 +455,17 @@ def test_heavy_hitters_single_action_total(spark, sf_dir):
         .filter(F.col("cnt").cast("double") > 0.01 * tok.count())
     )
     assert {tuple(r) for r in hh.collect()} == {tuple(r) for r in brute.collect()}
+
+
+def test_substring_dedup_shuffles_hashes_not_grams(spark, sf_dir):
+    """q_substring_dedup's bucket exchanges must key on the two 8-byte
+    shingle hashes — the n-token gram strings are folded to hashes
+    BEFORE any exchange, so shingle payload never crosses a shuffle
+    (the q_dedup convention, positional variant)."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_substring_dedup"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "hashpartitioning(__h1" in plan
+    assert "__pg.g" not in plan.split("Exchange", 1)[-1].split("\n")[0]
+    assert lint_plan(df) == []
