@@ -14,17 +14,18 @@ Design (the part that matters at 100 TB):
   ``mapInPandas`` batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch``
   rows; callers control bytes-per-task by repartitioning on the id before
   decoding (``repartition_for_decode``).
-- **Codecs: raw formats AND PNG decode for REAL; JPEG is the only
-  seam.** BMP (BI_RGB) and PPM (P6) are raw pixel rows behind fixed
-  headers — ``_decode_bmp`` / ``_decode_ppm`` parse them with pure numpy,
-  no image library, mirroring the audio path (raw PCM → numpy DSP). PNG
-  decodes with the stdlib alone (``_decode_png``: chunk parse, zlib
-  inflate, all five scanline filters — 8-bit RGB/RGBA non-interlaced).
-  JPEG genuinely needs a codec library the container doesn't ship, so
-  that branch raises ``NotImplementedError`` behind an import-try;
-  swapping in ``PIL.Image.open`` is a one-function change. A
-  deterministic fake format (``synth_image_payload``) remains for
-  plumbing tests. The Spark-side shape — schemas, Arrow batch
+- **Codecs: every format decodes for REAL — no library, no seam.** BMP
+  (BI_RGB) and PPM (P6) are raw pixel rows behind fixed headers —
+  ``_decode_bmp`` / ``_decode_ppm`` parse them with pure numpy, no image
+  library, mirroring the audio path (raw PCM → numpy DSP). PNG decodes
+  with the stdlib alone (``_decode_png``: chunk parse, zlib inflate, all
+  five scanline filters — 8-bit RGB/RGBA non-interlaced). Baseline
+  sequential JPEG decodes with stdlib+numpy (``_decode_jpeg``: marker
+  parse, canonical Huffman from DHT, dequant, batched IDCT, 4:4:4 and
+  4:2:0, YCbCr→RGB); only non-baseline variants (progressive, 12-bit,
+  arithmetic) fall through to the library-or-NotImplementedError
+  branch. A deterministic fake format (``synth_image_payload``) remains
+  for plumbing tests. The Spark-side shape — schemas, Arrow batch
   iteration, row fan-out for frame sampling — is identical across all
   branches.
 """
@@ -334,16 +335,404 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(gray)
 
 
+# --- JPEG (baseline sequential JFIF) — VERDICT r5 task 3 ---------------
+#
+# Encoder + decoder in pure stdlib/numpy, closing the last multimodal
+# codec seam. The decoder is a GENERAL baseline decoder (any DQT/DHT,
+# 1- or 3-component, 1×1 or 2×2 luma sampling, byte stuffing, restart
+# markers); the encoder emits per-8×8-block CONSTANT images, for which
+# baseline JPEG is exactly lossless: a constant block's DCT is pure DC
+# = 8·(v−128) (an exact multiple of 8), the DC quant step is 8, every
+# AC is 0 — so quantize→dequantize→IDCT reproduces v bit-exactly and a
+# closed-form SQL oracle can recompute the decoded pixels, the same
+# trick that makes `synth_png_payload` driver-checkable. Lossy content
+# would make the expected output depend on float rounding inside the
+# codec — unverifiable cross-engine by construction, which is why the
+# synthetic corpus is constant-per-block, NOT why the decoder is
+# limited to it.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+#: DC quant 8 (divides every constant-block DC exactly), AC quant 16.
+_JPEG_QTABLE = [8] + [16] * 63
+#: Canonical Huffman: DC table = categories 0..8 at code length 4
+#: (9 of 16 four-bit codes used; all-ones stays reserved), AC table =
+#: the single symbol EOB (0x00) at code length 2.
+_JPEG_DC_BITS = [0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(9))
+_JPEG_AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman assignment (spec C.2): symbol -> (length,
+    code). ``bits[i]`` = number of codes of length i+1."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (spec F.1.2.3)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # 1-pad to byte boundary
+        return bytes(self.buf)
+
+
+def _jpeg_segment(marker: int, payload: bytes) -> bytes:
+    return bytes((0xFF, marker)) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def synth_jpeg_payload(
+    width: int, height: int, seed: int, subsample: bool = False
+) -> bytes:
+    """A REAL baseline JFIF file (ITU-T T.81): SOI, APP0, DQT, SOF0,
+    DHT×2, SOS, entropy-coded scan with byte stuffing, EOI — stdlib
+    only. Content: every 8×8 block is the constant
+    v = (seed·31 + (by·⌈w/8⌉ + bx)·7) % 256, encoded as grayscale
+    YCbCr (Cb = Cr = 128 ⇒ chroma coefficients all zero), so decoding
+    is exactly lossless (see the section comment) and the closed-form
+    per-block formula doubles as the oracle. ``subsample`` switches the
+    luma sampling from 1×1 (4:4:4) to 2×2 (4:2:0) — a decoder must
+    handle the four-Y-blocks-per-MCU interleave and chroma upsampling
+    to get the same pixels. Partial edge MCUs replicate the edge
+    block's constant, so padded blocks stay constant (still exact)."""
+    hv = 2 if subsample else 1
+    bpr = (width + 7) // 8  # image-grid blocks per row (the v formula)
+    bpc = (height + 7) // 8
+    mcux = (width + 8 * hv - 1) // (8 * hv)
+    mcuy = (height + 8 * hv - 1) // (8 * hv)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    pred = [0, 0, 0]  # DC predictor per component
+
+    def emit_dc(comp: int, dc: int) -> None:
+        diff = dc - pred[comp]
+        pred[comp] = dc
+        mag, t = abs(diff), 0
+        while mag:
+            mag >>= 1
+            t += 1
+        length, code = dc_codes[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        length, code = ac_codes[0x00]  # EOB: all 63 ACs are zero
+        bw.write(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for j in range(hv):  # luma blocks, row-major within the MCU
+                for i in range(hv):
+                    bx = min(mx * hv + i, bpr - 1)
+                    by = min(my * hv + j, bpc - 1)
+                    v = (seed * 31 + (by * bpr + bx) * 7) % 256
+                    emit_dc(0, (8 * (v - 128)) // 8)  # quantized DC
+            emit_dc(1, 0)  # Cb: constant 128 ⇒ DC 0
+            emit_dc(2, 0)  # Cr
+    scan = bw.flush()
+
+    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
+    # zigzag-serialize: entry k of the segment is qtable[zigzag[k]]
+    dqt = bytes([0x00]) + bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[k]] for k in range(64))
+    sof = (
+        bytes((8,))
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes((3,))
+        + bytes((1, (hv << 4) | hv, 0))
+        + bytes((2, 0x11, 0))
+        + bytes((3, 0x11, 0))
+    )
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    sos = bytes((3,)) + bytes((1, 0x00)) + bytes((2, 0x00)) + bytes((3, 0x00)) + bytes((0, 63, 0))
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xE0, app0)
+        + _jpeg_segment(0xDB, dqt)
+        + _jpeg_segment(0xC0, sof)
+        + _jpeg_segment(0xC4, dht_dc)
+        + _jpeg_segment(0xC4, dht_ac)
+        + _jpeg_segment(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, length: int) -> int:
+        while self.nbits < length:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        out = (self.acc >> (self.nbits - length)) & ((1 << length) - 1)
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def align(self) -> None:
+        self.acc, self.nbits = 0, 0
+
+
+def _huff_decode(br: "_BitReader", table: dict[tuple[int, int], int]) -> int:
+    length, code = 0, 0
+    while length < 17:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(value: int, t: int) -> int:
+    """Spec F.2.2.1 EXTEND: map t low bits to the signed coefficient."""
+    return value if value >= (1 << (t - 1)) else value - (1 << t) + 1
+
+
+def _idct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure stdlib/numpy baseline-sequential JFIF decode (VERDICT r5
+    task 3): marker parse, canonical Huffman from the file's own DHT,
+    dequantize, batched numpy IDCT (one einsum per component — the
+    per-block Python work is entropy decoding only), chroma replication
+    upsampling, BT.601 YCbCr→RGB, grayscale (r+g+b)//3 — the
+    `_decode_bmp`/`_decode_png` contract. Handles 1- and 3-component
+    scans, sampling 1×1/2×2, byte stuffing and RSTn markers; rejects
+    progressive (SOF2), 12-bit, and arithmetic-coded streams with
+    NotImplementedError rather than decoding garbage."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (w, h, comps) with comps = [(cid, h, v, tq)]
+    restart = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT — may hold several tables
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                if i + 65 > len(seg):
+                    raise ValueError("JPEG DQT segment truncated")
+                zz = seg[i + 1 : i + 65]
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_JPEG_ZIGZAG[k]] = zz[k]
+                qtables[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT — may hold several tables
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                if i + 17 + nvals > len(seg):
+                    raise ValueError("JPEG DHT segment truncated")
+                vals = list(seg[i + 17 : i + 17 + nvals])
+                htables[(tc, th)] = {
+                    (ln, code): sym
+                    for sym, (ln, code) in _huff_codes(bits, vals).items()
+                }
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            if seg[0] != 8:
+                raise NotImplementedError(f"JPEG precision {seg[0]}")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0x0F, seg[8 + 3 * c])
+                for c in range(ncomp)
+            ]
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"non-baseline JPEG SOF{marker - 0xC0}")
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scomp = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F) for c in range(ns)]
+            w, h, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            order = []  # (comp_index, dc_table, ac_table) per scan comp
+            for cid, td, ta in scomp:
+                ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+                order.append((ci, td, ta))
+            br = _BitReader(payload[pos:])
+            pred = [0] * len(comps)
+            coeff: list[list] = [[] for _ in comps]  # per-comp zigzag blocks
+            n_mcu = 0
+            for _ in range(mcux * mcuy):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    br.align()
+                    if (
+                        br.pos + 1 < len(br.data)
+                        and br.data[br.pos] == 0xFF
+                        and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                    ):
+                        br.pos += 2
+                    pred = [0] * len(comps)
+                for ci, td, ta in order:
+                    for _blk in range(comps[ci][1] * comps[ci][2]):
+                        zz = [0] * 64
+                        t = _huff_decode(br, htables[(0, td)])
+                        diff = _extend(br.read(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, htables[(1, ta)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                raise ValueError(f"bad JPEG AC symbol {sym:#x}")
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _extend(br.read(size), size)
+                            k += 1
+                        coeff[ci].append(zz)
+                n_mcu += 1
+            # batched dequant + dezigzag + IDCT, one einsum per component
+            m = _idct_matrix()
+            planes = []
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                q = np.array(qtables[tq], dtype=np.float64)
+                zz = np.array(coeff[ci], dtype=np.float64) * q[_JPEG_ZIGZAG].reshape(
+                    1, 64
+                )
+                blocks = np.zeros((len(coeff[ci]), 64))
+                blocks[:, _JPEG_ZIGZAG] = zz
+                blocks = blocks.reshape(-1, 8, 8)
+                px = np.einsum("ux,nuv,vy->nxy", m, blocks, m) + 128.0
+                px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+                # reassemble MCU-interleaved blocks into the comp plane
+                bw_ = mcux * hi  # blocks per plane row
+                bh_ = mcuy * vi
+                plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+                bi = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for j in range(vi):
+                            for i2 in range(hi):
+                                y0 = (my * vi + j) * 8
+                                x0 = (mx * hi + i2) * 8
+                                plane[y0 : y0 + 8, x0 : x0 + 8] = px[bi]
+                                bi += 1
+                # replicate-upsample to full resolution
+                plane = np.repeat(
+                    np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+                )
+                planes.append(plane[: h, : w].astype(np.float64))
+            if len(planes) == 1:
+                gray = planes[0].astype(np.uint8)
+            elif len(planes) == 3:
+                y_, cb, cr = planes
+                r = np.clip(np.rint(y_ + 1.402 * (cr - 128.0)), 0, 255)
+                g = np.clip(
+                    np.rint(y_ - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+                    0,
+                    255,
+                )
+                b = np.clip(np.rint(y_ + 1.772 * (cb - 128.0)), 0, 255)
+                gray = (
+                    (r.astype(np.uint32) + g.astype(np.uint32) + b.astype(np.uint32))
+                    // 3
+                ).astype(np.uint8)
+            else:
+                raise NotImplementedError(f"JPEG with {len(planes)} components")
+            return w, h, gray.tobytes()
+        # all other segments (APPn, COM) are skipped
+    raise ValueError("JPEG had no SOS scan")
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     """Parse one payload into (width, height, pixel_bytes).
 
     Dispatch by magic number: BMP and P6-PPM decode for REAL (pure numpy —
     raw pixel rows behind fixed headers, the image analog of the raw-PCM
-    audio path), and PNG decodes for real with the stdlib alone
-    (``_decode_png``). The fake self-describing format serves plumbing
-    tests. JPEG still needs a codec library this container doesn't ship —
-    that seam raises ``NotImplementedError`` behind an import-try (swap
-    in ``PIL.Image.open(io.BytesIO(payload))`` when it exists); a real
+    audio path), PNG decodes for real with the stdlib alone
+    (``_decode_png``), and baseline JPEG decodes for real with
+    stdlib+numpy (``_decode_jpeg`` — every multimodal codec seam is now
+    closed). The fake self-describing format serves plumbing tests.
+    Formats beyond these (WebP, TIFF, progressive JPEG, ...) would need a
+    codec library this container doesn't ship — that residual branch
+    raises ``NotImplementedError`` behind an import-try (swap in
+    ``PIL.Image.open(io.BytesIO(payload))`` when it exists); a real
     deployment catches that per-row into an error column, it must never
     kill the job.
     """
@@ -353,14 +742,15 @@ def _decode_payload(payload: bytes) -> tuple[int, int, bytes]:
         return _decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if not payload.startswith(_MAGIC):
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "JPEG (or other compressed) codecs unavailable in this "
-                "environment; payload is not BMP / P6-PPM / PNG / the fake "
-                "testable format"
+                "no codec for this format in this environment; payload is "
+                "not BMP / P6-PPM / PNG / JPEG / the fake testable format"
             ) from exc
         raise NotImplementedError("PIL path intentionally unimplemented here")
     head, _, rest = payload[len(_MAGIC):].partition(b":")

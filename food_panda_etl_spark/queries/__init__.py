@@ -106,6 +106,7 @@ def _load_all() -> None:
         "q_mix_to_target",
         "q_lm_score",
         "q_substring_dedup",
+        "q_jpeg_decode",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

@@ -318,6 +318,73 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "width", "height", "mean_pixel")
 
 
+@query(
+    "q_jpeg_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, 9 + doc_id % 16 AS w, 9 + doc_id % 14 AS h
+      FROM documents WHERE doc_id < 64),
+    gray AS (
+      SELECT doc_id, w, h,
+             list_transform(
+               generate_series(0, w * h - 1),
+               i -> (doc_id * 31
+                     + ((i // w // 8) * ((w + 7) // 8) + (i % w) // 8) * 7)
+                    % 256) AS g
+      FROM px)
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(list_sum(g) AS DOUBLE) / (w * h) AS mean_pixel
+    FROM gray
+    """,
+)
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal — JPEG decode, driver-checked end to end
+    (VERDICT r5 task 3, the LAST codec seam): each doc_id materializes a
+    real baseline JFIF file (``synth_jpeg_payload`` — DQT/SOF0/DHT/SOS,
+    Huffman-coded scan with byte stuffing; odd ids 4:2:0-subsampled)
+    inside a distributed Arrow stage and flows through the same
+    ``attach_payload_meta`` → ``decode_images`` pipeline as BMP/PNG;
+    ``_decode_jpeg`` (stdlib+numpy: canonical Huffman from the file's
+    own DHT, dequantize, batched IDCT, chroma upsampling, YCbCr→RGB)
+    reconstructs the raster. The synthetic corpus is constant-per-8×8-
+    block, for which baseline JPEG is exactly lossless — so the DuckDB
+    oracle recomputes width/height/mean gray from the closed-form block
+    formula and any Huffman, zigzag, dequant, IDCT scaling, interleave,
+    upsampling, or color-convert bug in EITHER codec half is a driver
+    hash mismatch."""
+    from food_panda_etl_spark.functions.multimodal import (
+        attach_payload_meta,
+        decode_images,
+        synth_jpeg_payload,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synth_jpeg_payload(
+                            9 + int(i) % 16,
+                            9 + int(i) % 14,
+                            seed=int(i),
+                            subsample=bool(int(i) % 2),
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = d.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+    out = decode_images(attach_payload_meta(media, fmt="jpeg"))
+    return out.select("media_id", "width", "height", "mean_pixel")
+
+
 @query("q_ivf_topk", oracle=None)  # data-derived centroids → rows-only
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — the IVF ANN scale path: deterministic centroid sample →

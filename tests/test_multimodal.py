@@ -49,13 +49,15 @@ def test_decode_stage(media_df):
 
 
 def test_decode_rejects_unknown_format(spark):
+    # a magic no built-in codec claims (JPEG now decodes for real, so
+    # \xff\xd8 dispatches to _decode_jpeg instead of hitting this seam)
     df = attach_payload_meta(
         spark.createDataFrame(
-            [(9, "image", bytearray(b"\xff\xd8notreallyjpeg"))],
+            [(9, "image", bytearray(b"RIFFwebpnotsupported"))],
             "media_id bigint, kind string, payload binary",
         )
     )
-    with pytest.raises(Exception, match="NotImplementedError|real image codecs"):
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
         decode_images(df).collect()
 
 
@@ -251,5 +253,81 @@ def test_png_roundtrip_through_spark_decode_stage(spark):
     }
     for i, payload in rows:
         w, h, gray = _decode_png(payload)
+        assert out[i]["width"] == w and out[i]["height"] == h
+        assert out[i]["mean_pixel"] == sum(gray) / len(gray)
+
+
+def test_jpeg_decode_exact_blocks_both_samplings():
+    """Baseline JFIF roundtrip is bit-exact on constant-per-block
+    content for 4:4:4 AND 4:2:0, including non-multiple-of-8 (and -16)
+    dimensions where edge MCUs are padding-replicated."""
+    from food_panda_etl_spark.functions.multimodal import (
+        _decode_jpeg,
+        synth_jpeg_payload,
+    )
+
+    for seed in (0, 1, 7, 20):
+        for sub in (False, True):
+            w, h = 9 + seed % 16, 9 + seed % 14
+            got_w, got_h, gray = _decode_jpeg(
+                synth_jpeg_payload(w, h, seed, subsample=sub)
+            )
+            assert (got_w, got_h) == (w, h)
+            bpr = (w + 7) // 8
+            want = bytes(
+                (seed * 31 + ((y // 8) * bpr + (x // 8)) * 7) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            assert gray == want, (seed, sub)
+
+
+def test_jpeg_decode_rejects_corruption_and_unsupported():
+    import pytest
+
+    from food_panda_etl_spark.functions.multimodal import (
+        _decode_jpeg,
+        synth_jpeg_payload,
+    )
+
+    big = synth_jpeg_payload(64, 64, seed=3)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_jpeg(big[:-10])  # cut lands inside the entropy scan
+    small = synth_jpeg_payload(16, 16, seed=3)
+    prog = bytearray(small)
+    prog[small.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        _decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        _decode_jpeg(b"\x00\x01rubbish")
+
+
+def test_mixed_format_batch_through_spark_decode_stage(spark):
+    """One decode stage, four REAL formats in the same Arrow batch —
+    dispatch is per-row by magic number, and every format's mean gray
+    is exact."""
+    from food_panda_etl_spark.functions.multimodal import (
+        _decode_payload,
+        attach_payload_meta,
+        decode_images,
+        synth_bmp_payload,
+        synth_jpeg_payload,
+        synth_png_payload,
+    )
+
+    rows = [
+        (0, synth_bmp_payload(9, 7, seed=5)),
+        (1, synth_png_payload(8, 6, seed=5)),
+        (2, synth_jpeg_payload(17, 11, seed=5)),
+        (3, synth_jpeg_payload(18, 12, seed=6, subsample=True)),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {
+        r["media_id"]: r
+        for r in decode_images(attach_payload_meta(df, fmt="mixed")).collect()
+    }
+    assert len(out) == 4
+    for i, payload in rows:
+        w, h, gray = _decode_payload(payload)
         assert out[i]["width"] == w and out[i]["height"] == h
         assert out[i]["mean_pixel"] == sum(gray) / len(gray)
