@@ -316,3 +316,123 @@ def test_running_user_totals_equals_batch_groupby(spark, out_dir):
     }
     assert len(batch) == 5
     assert final == batch
+
+
+def test_tumbling_append_eviction_equals_batch_analog(spark, out_dir):
+    """VERDICT r5 task 8 — late-data DIFFERENTIAL evidence on the
+    eviction path. A deterministic 5-micro-batch replay with known late
+    rows is compared against a pure-Python watermark simulation feeding
+    the BATCH twin of the same aggregation:
+
+    - admit filter: a late row in batch i survives iff its WINDOW is
+      still live — window end > the watermark committed after batch
+      i-2 (two-phase propagation: the value computed from batch i-1's
+      data is not yet in force in batch i; and state is dropped per
+      window, not per row timestamp);
+    - eviction/emission (append mode): a window is emitted exactly when
+      its end <= the final horizon max(ts) - delay (availableNow keeps
+      committing until the watermark stabilizes).
+
+    Every batch-analog row (window start, cnt, decimal-summed value)
+    must equal the streamed append output EXACTLY, and the
+    kept/dropped arithmetic must match the hand-countable timeline
+    (3 late rows behind closed windows are dropped, 5 late rows into
+    still-open windows are kept)."""
+    batches = [
+        [_event(1, "2024-01-01 10:00:00"), _event(2, "2024-01-01 10:20:00"),
+         _event(3, "2024-01-01 10:40:00")],
+        [_event(4, "2024-01-01 12:00:00"),   # advancer
+         _event(5, "2024-01-01 10:25:00")],  # late, no wm in force -> kept
+        [_event(6, "2024-01-01 12:30:00"),
+         _event(7, "2024-01-01 10:45:00"),   # w10 end 11:00 > 10:30 -> kept
+         _event(8, "2024-01-01 09:55:00")],  # w09 end 10:00 < 10:30 -> DROPPED
+        [_event(9, "2024-01-01 13:00:00"),
+         _event(10, "2024-01-01 10:50:00"),  # w10 end 11:00 < 11:50 -> DROPPED
+         _event(11, "2024-01-01 11:45:00")], # w11 end 12:00 > 11:50 -> kept
+        [_event(12, "2024-01-01 14:00:00"),
+         _event(13, "2024-01-01 11:30:00"),  # w11 end 12:00 < 12:20 -> DROPPED
+         _event(14, "2024-01-01 12:10:00")], # w12 end 13:00 > 12:20 -> kept
+    ]
+    src = _write_files(out_dir, batches)
+    stream = read_events_stream(spark, src)
+    got = (
+        run_available_now(
+            tumbling_counts(stream, watermark="10 minutes"), output_mode="append"
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("ws"),
+            "cnt",
+            "sum_value",
+        )
+        .collect()
+    )
+
+    # --- the batch analog, from a pure-Python watermark simulation ---
+    from datetime import datetime, timedelta
+
+    ts = lambda r: datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")  # noqa: E731
+    win_end = lambda t: t.replace(minute=0, second=0) + timedelta(hours=1)  # noqa: E731
+    delay = timedelta(minutes=10)
+    committed: list = []  # watermark committed after batch i
+    admitted, dropped = [], []
+    for i, rows in enumerate(batches):
+        wm = committed[i - 2] if i >= 2 else None
+        for r in rows:
+            live = wm is None or win_end(ts(r)) > wm
+            (admitted if live else dropped).append(r)
+        hi = max(ts(r) for b in batches[: i + 1] for r in b)
+        committed.append(hi - delay)
+    assert len(dropped) == 3 and len(admitted) == 11
+    horizon = committed[-1]
+
+    batch_df = spark.createDataFrame(
+        [tuple(r.values()) for r in admitted],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = (
+        tumbling_counts(batch_df, watermark="10 minutes")  # batch twin
+        .filter(F.col("w.end") <= F.lit(horizon.strftime("%Y-%m-%d %H:%M:%S")))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("ws"),
+            "cnt",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # eviction really happened: terminal windows (13:00, 14:00) unemitted
+    assert {r["ws"] for r in got} == {
+        "2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00"
+    }
+    # all admitted rows are accounted for: emitted windows hold everything
+    # except the one 13:00 and one 14:00 row still in (unemitted) state
+    assert sum(r["cnt"] for r in got) == len(admitted) - 2
+
+
+def test_dedup_state_eviction_readmits_old_key(spark, out_dir):
+    """The dropDuplicatesWithinWatermark eviction path, differentially:
+    a key re-arriving INSIDE the watermark horizon is suppressed, and
+    the same key re-arriving AFTER its state was evicted is emitted
+    again — exactly the documented within-watermark contract (batch
+    dropDuplicates would emit once; the difference IS the eviction)."""
+    batches = [
+        [_event(1, "2024-01-01 10:00:00", user=7)],
+        [_event(1, "2024-01-01 10:01:00", user=7),   # dup within horizon
+         _event(2, "2024-01-01 12:00:00", user=8)],  # advances wm to 11:50
+        [_event(3, "2024-01-01 12:01:00", user=8)],  # wm now in force
+        [_event(1, "2024-01-01 12:02:00", user=7)],  # state evicted -> re-emitted
+    ]
+    src = _write_files(out_dir, batches)
+    stream = read_events_stream(spark, src)
+    out = run_available_now(
+        streaming_dedup(stream, ["event_id"], watermark="10 minutes"),
+        output_mode="append",
+    )
+    emitted = sorted(r["event_id"] for r in out.collect())
+    assert emitted == [1, 1, 2, 3]
+    # batch analog (no lateness, no eviction) collapses the re-arrival
+    batch_df = spark.createDataFrame(
+        [(r["event_id"],) for b in batches for r in b], "event_id long"
+    )
+    assert streaming_dedup(batch_df, ["event_id"]).count() == 3
