@@ -107,6 +107,15 @@ HEADLINE = [
     "q_incremental_dedup",
     "q_vocab_topp",
     "q_mix_to_target",
+    # round-6 additions: the bigram LM quality filter, substring-level
+    # exact dedup (positioned shingle buckets + extent merge), and the
+    # stdlib/numpy baseline JPEG decode through the Arrow media stage.
+    # (q_approx_quantile_gate and q_heavy_hitters keep their keys; their
+    # r6 rewrites — range-rank exact side, single-action total — are
+    # directly comparable against the r5 numbers.)
+    "q_lm_score",
+    "q_substring_dedup",
+    "q_jpeg_decode",
 ]
 
 
