@@ -107,6 +107,8 @@ def _load_all() -> None:
         "q_lm_score",
         "q_substring_dedup",
         "q_jpeg_decode",
+        "q_pii_redact",
+        "q_shuffle_order",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

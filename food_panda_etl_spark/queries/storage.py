@@ -448,3 +448,37 @@ def q_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_kept").cast("long").alias("n_kept"),
         )
     )
+
+
+@query(
+    "q_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY (doc_id * 1315423911) % 1000003, doc_id) AS BIGINT)
+           AS pos
+    FROM documents
+    """,
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 deterministic training-order shuffle (r6) — the
+    epoch-reproducible global permutation every trainer wants: order by
+    a keyed multiplicative hash (overflow-free: doc_id·1315423911 <
+    2^62 in both engines, mod 1000003; doc_id tie-break gives a total
+    order), position assigned by the two-phase
+    `operators/order.py::global_row_number` — range partition + local
+    rank + broadcast offsets, never a single-partition window. Unlike
+    `df.orderBy(rand())` the permutation is engine-, partitioning- and
+    rerun-invariant, so a resumed epoch sees the same order; at 100 TB
+    the cost is one range exchange, same as any sort. The oracle is the
+    naive global window — equality IS the scale-plan correctness
+    proof."""
+    from food_panda_etl_spark.operators.order import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", ((F.col("doc_id") * 1315423911) % 1000003).alias("__h")
+    )
+    return global_row_number(keyed, ["__h", "doc_id"], out_col="pos").select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos")
+    )

@@ -537,3 +537,93 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals = d.filter(F.col("doc_id") % 7 == 0)
     train = d.filter(F.col("doc_id") % 7 != 0)
     return ngram_contamination(train, evals, "doc_id", "text", n=5)
+
+
+def _pii_oracle() -> str:
+    """Compose the redaction oracle from operators/redact.py::PII_PATTERNS
+    (the CHUNK_WINDOW convention — pattern edits can never desync the
+    oracle). Each stage counts on, then rewrites, the previous stage's
+    text, mirroring redact_pii exactly."""
+    from food_panda_etl_spark.operators.redact import PII_PATTERNS
+
+    stages = []
+    prev_cte, prev_col = "inj", "t"
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        sq = pat.replace("'", "''")
+        carry = (", " + ", ".join(carried)) if carried else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all({prev_col}, '{sq}')) AS INT) AS n_{name}, "
+            f"regexp_replace({prev_col}, '{sq}', '{repl}', 'g') AS t{i}"
+            f"{carry} FROM {prev_cte})"
+        )
+        carried.append(f"n_{name}")
+        prev_cte, prev_col = f"s{i}", f"t{i}"
+    names = ", ".join(carried)
+    return f"""
+    WITH inj AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail.example.org now' ELSE '' END
+                || CASE WHEN doc_id % 4 = 0
+                        THEN ' call +1 555-010' || CAST(doc_id % 10 AS VARCHAR)
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.77' ELSE '' END AS t
+    FROM documents),
+    {", ".join(stages)}
+    SELECT doc_id, {names}, {prev_col} AS redacted FROM {prev_cte}
+    """
+
+
+@query("q_pii_redact", oracle=None)  # oracle injected below (needs import order)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 PII redaction (r6) — the pre-release corpus scrub: emails,
+    phone numbers, and IPs (deterministically injected per doc_id so
+    every pattern is exercised) masked by a chain of `regexp_replace`
+    stages, with per-type match counts taken against each stage's input.
+    ONE narrow codegen projection — no shuffle, no UDF; patterns use
+    only the Java-regex ∩ RE2 dialect so the DuckDB oracle's 'g'
+    replacement is byte-identical. See `operators/redact.py`."""
+    from food_panda_etl_spark.operators.redact import PII_PATTERNS, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.org now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" call +1 555-010"), (did % 10).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".77")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted, counts = redact_pii(injected)
+    return d.select(
+        "doc_id",
+        *[
+            c.cast("int").alias(f"n_{name}")
+            for c, (name, _, _) in zip(counts, PII_PATTERNS)
+        ],
+        redacted.alias("redacted"),
+    )
+
+
+# late-bound oracle: composed from PII_PATTERNS at import time
+from food_panda_etl_spark.queries import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["q_pii_redact"] = _pii_oracle()
