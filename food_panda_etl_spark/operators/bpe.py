@@ -1,0 +1,139 @@
+"""Distributed BPE tokenizer training (Sennrich et al., arXiv:1508.07909
+— the byte-pair-encoding merge learner behind GPT-2/RoBERTa-family
+vocabularies).
+
+The engine-level question is the same as k-means': can an ITERATIVE
+algorithm run Spark-first with bit-deterministic, oracle-replayable
+rounds? Structure per merge round:
+
+1. pair counting — explode adjacent symbol pairs of every word,
+   weighted by word frequency: one vocabulary-wide hash aggregation
+   (the corpus fact table is touched ONCE, up front, to build the word
+   histogram; every round after that runs on the vocabulary table,
+   which is orders of magnitude smaller than the corpus at any scale);
+2. best pair — argmax with a total-order tie-break (max frequency,
+   then lexicographically smallest pair): a ONE-ROW collect per round,
+   the same documented scalar-collect budget as k-means' centroids and
+   the CC convergence checksum;
+3. merge application — a left-to-right non-overlapping scan replacing
+   (l, r) with l||r inside every word's symbol array, as a pure
+   higher-order ``aggregate`` fold (JVM-side, no UDF). The fold
+   ("merge when the last emitted symbol is l and the current is r")
+   is equivalent to the textbook index scan because a merged token
+   l||r can never equal l (r is nonempty), so it can never trigger an
+   overlapping re-merge.
+
+Determinism: counts are integers, the argmax tie-break is total, and
+the merge scan is order-insensitive to partitioning (per-word HOF).
+The DuckDB oracle replays every round — pair-count CTE, argmax CTE,
+and the merge scan as a recursive CTE walking (remaining, emitted)
+lists — so a divergence in ANY round's choice or application is a
+driver hash mismatch. Lineage is truncated each round with a lazy
+localCheckpoint (the connected-components convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: End-of-word marker (its own symbol, per the BPE paper).
+EOW = "</w>"
+
+
+def _word_symbols(words: DataFrame) -> DataFrame:
+    """word → initial symbol array: characters plus the EOW marker."""
+    chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    return words.select(
+        "word", "freq", F.concat(chars, F.array(F.lit(EOW))).alias("syms")
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        words.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+def _apply_merge(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """One merge round: scan-replace adjacent (lhs, rhs) with lhs||rhs."""
+    merged_tok = F.lit(lhs + rhs)
+    l_lit, r_lit = F.lit(lhs), F.lit(rhs)
+    fold = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == l_lit) & (s == r_lit),
+            F.concat(
+                F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                F.array(merged_tok),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return words.select("word", "freq", fold.alias("syms"))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the whitespace-token word
+    histogram of ``df[text_col]``. Returns the merge table
+    (rank int, lhs string, rhs string, pair_freq bigint) — the
+    tokenizer artifact itself; stops early if the pair table drains.
+
+    Collect inventory: one (lhs, rhs, freq) row per round — nothing
+    else leaves the cluster. At 100 TB the fact-table cost is the one
+    word-histogram aggregation; each round then costs one pair
+    hash-agg + one narrow HOF projection over the vocabulary table."""
+    words = _word_symbols(
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    ).localCheckpoint(eager=False)
+
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.col("pair_freq").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b["lhs"], b["rhs"], int(b["pair_freq"])))
+        words = _apply_merge(words, b["lhs"], b["rhs"]).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_freq bigint"
+    )
+
+
+def bpe_vocab(df: DataFrame, text_col: str = "text", n_merges: int = 6):
+    """The companion artifact: (words-with-final-symbols, merge table).
+    Exposed for tests; the declared query ships the merge table."""
+    words = _word_symbols(
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    ).localCheckpoint(eager=False)
+    merges = bpe_train(df, text_col, n_merges)
+    for row in merges.collect():
+        words = _apply_merge(words, row["lhs"], row["rhs"]).localCheckpoint(
+            eager=False
+        )
+    return words, merges

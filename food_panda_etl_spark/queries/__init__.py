@@ -109,6 +109,7 @@ def _load_all() -> None:
         "q_jpeg_decode",
         "q_pii_redact",
         "q_shuffle_order",
+        "q_bpe_train",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

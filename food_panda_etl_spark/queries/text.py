@@ -627,3 +627,74 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 from food_panda_etl_spark.queries import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["q_pii_redact"] = _pii_oracle()
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Replay every BPE round in DuckDB: pair-count CTE + total-order
+    argmax CTE + the merge scan as a recursive CTE walking (remaining,
+    emitted) symbol lists. Generated from the same ``n_merges`` the
+    Spark side uses (the CHUNK_WINDOW convention). Non-recursive CTEs
+    are MATERIALIZED — without the hint DuckDB re-inlines each round's
+    recursion into the next and the plan goes exponential in rounds."""
+    parts = [
+        """wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word),
+    r0 AS MATERIALIZED (SELECT word, freq,
+                  list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+           FROM wf)"""
+    ]
+    selects = []
+    for k in range(n_merges):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+                  CAST(sum(freq) AS BIGINT) AS pair_freq
+           FROM r{k}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+           GROUP BY 1, 2),
+    b{k} AS MATERIALIZED (SELECT lhs, rhs, pair_freq FROM p{k}
+           ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+    s{k} AS (
+      SELECT word, freq, syms AS rem, CAST([] AS VARCHAR[]) AS done FROM r{k}
+      UNION ALL
+      SELECT word, freq,
+        CASE WHEN len(rem) >= 2 AND rem[1] = (SELECT lhs FROM b{k})
+                  AND rem[2] = (SELECT rhs FROM b{k})
+             THEN rem[3:] ELSE rem[2:] END,
+        CASE WHEN len(rem) >= 2 AND rem[1] = (SELECT lhs FROM b{k})
+                  AND rem[2] = (SELECT rhs FROM b{k})
+             THEN list_append(done, (SELECT lhs FROM b{k})
+                                    || (SELECT rhs FROM b{k}))
+             ELSE list_append(done, rem[1]) END
+      FROM s{k} WHERE len(rem) > 0),
+    r{k + 1} AS MATERIALIZED (SELECT word, freq, done AS syms
+           FROM s{k} WHERE len(rem) = 0)"""
+        )
+        selects.append(f"SELECT {k} AS rank, lhs, rhs, pair_freq FROM b{k}")
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+_BPE_MERGES = 6
+
+
+@query("q_bpe_train", oracle=_bpe_oracle(_BPE_MERGES))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 BPE tokenizer training (r6) — learn the first 6 merges of
+    a byte-pair-encoding vocabulary from the corpus word histogram
+    (Sennrich 1508.07909), the third driver-oracled ITERATIVE algorithm
+    (after k-means and connected components). The fact table is touched
+    once (word histogram); each round is one vocabulary-sized pair
+    hash-agg, a one-row argmax collect (total-order tie-break), and a
+    pure higher-order fold applying the merge — no UDFs, no fact-wide
+    iteration. The oracle replays all 6 rounds (recursive-CTE merge
+    scans), so a wrong choice OR a wrong application in any round is a
+    driver hash mismatch. See `operators/bpe.py` for the 100 TB
+    accounting and the fold≡scan equivalence argument."""
+    from food_panda_etl_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, "text", n_merges=_BPE_MERGES)
