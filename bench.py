@@ -116,6 +116,12 @@ HEADLINE = [
     "q_lm_score",
     "q_substring_dedup",
     "q_jpeg_decode",
+    # late-r6: PII redaction (narrow regex projection), deterministic
+    # training-order shuffle (one range exchange), and BPE merge
+    # learning (per-round cost is vocabulary-sized, not corpus-sized)
+    "q_pii_redact",
+    "q_shuffle_order",
+    "q_bpe_train",
 ]
 
 
