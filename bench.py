@@ -122,6 +122,7 @@ HEADLINE = [
     "q_pii_redact",
     "q_shuffle_order",
     "q_bpe_train",
+    "q_bpe_encode",
 ]
 
 

@@ -82,27 +82,19 @@ def _apply_merge(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
     return words.select("word", "freq", fold.alias("syms"))
 
 
-def bpe_train(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 6,
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges from the whitespace-token word
-    histogram of ``df[text_col]``. Returns the merge table
-    (rank int, lhs string, rhs string, pair_freq bigint) — the
-    tokenizer artifact itself; stops early if the pair table drains.
-
-    Collect inventory: one (lhs, rhs, freq) row per round — nothing
-    else leaves the cluster. At 100 TB the fact-table cost is the one
-    word-histogram aggregation; each round then costs one pair
-    hash-agg + one narrow HOF projection over the vocabulary table."""
+def _bpe_fit(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Shared fit loop: (final vocabulary DataFrame, merge list). The
+    vocabulary carried through the loop ends up with every merge already
+    applied, so callers that need the final word→symbols table (the
+    encoder) get it without re-running a single round."""
     words = _word_symbols(
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     ).localCheckpoint(eager=False)
 
-    spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         best = (
@@ -118,7 +110,25 @@ def bpe_train(
         words = _apply_merge(words, b["lhs"], b["rhs"]).localCheckpoint(
             eager=False
         )
-    return spark.createDataFrame(
+    return words, merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the whitespace-token word
+    histogram of ``df[text_col]``. Returns the merge table
+    (rank int, lhs string, rhs string, pair_freq bigint) — the
+    tokenizer artifact itself; stops early if the pair table drains.
+
+    Collect inventory: one (lhs, rhs, freq) row per round — nothing
+    else leaves the cluster. At 100 TB the fact-table cost is the one
+    word-histogram aggregation; each round then costs one pair
+    hash-agg + one narrow HOF projection over the vocabulary table."""
+    _, merges = _bpe_fit(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_freq bigint"
     )
 
@@ -126,14 +136,37 @@ def bpe_train(
 def bpe_vocab(df: DataFrame, text_col: str = "text", n_merges: int = 6):
     """The companion artifact: (words-with-final-symbols, merge table).
     Exposed for tests; the declared query ships the merge table."""
-    words = _word_symbols(
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    ).localCheckpoint(eager=False)
-    merges = bpe_train(df, text_col, n_merges)
-    for row in merges.collect():
-        words = _apply_merge(words, row["lhs"], row["rhs"]).localCheckpoint(
-            eager=False
-        )
-    return words, merges
+    words, merges = _bpe_fit(df, text_col, n_merges)
+    return words, df.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_freq bigint"
+    )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with the learned merges and return the
+    per-document BPE token count (id_col, n_bpe_tokens bigint) — the
+    train→encode round trip, and the number an LLM data pipeline
+    actually budgets with (sequence packing, mixture weighting, cost
+    estimates all key off post-BPE token counts, not whitespace counts).
+
+    The scale trick: merges are never applied to the corpus. The fit
+    loop already produced the final word→symbols table, so encoding is
+    one explode of the corpus into words plus ONE broadcast equi-join
+    against the vocabulary (word, token_count) — the corpus is touched
+    exactly twice total (histogram + encode), both times by narrow ops
+    feeding hash aggregations, and the vocabulary never shuffles."""
+    words, _ = _bpe_fit(df, text_col, n_merges)
+    vocab = words.select("word", F.size("syms").alias("n_syms"))
+    doc_words = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    return (
+        doc_words.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(F.sum("n_syms").alias("n_bpe_tokens"))
+    )

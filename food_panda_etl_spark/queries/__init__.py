@@ -110,6 +110,7 @@ def _load_all() -> None:
         "q_pii_redact",
         "q_shuffle_order",
         "q_bpe_train",
+        "q_bpe_encode",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

@@ -629,12 +629,13 @@ from food_panda_etl_spark.queries import ORACLES as _ORACLES  # noqa: E402
 _ORACLES["q_pii_redact"] = _pii_oracle()
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Replay every BPE round in DuckDB: pair-count CTE + total-order
-    argmax CTE + the merge scan as a recursive CTE walking (remaining,
-    emitted) symbol lists. Generated from the same ``n_merges`` the
-    Spark side uses (the CHUNK_WINDOW convention). Non-recursive CTEs
-    are MATERIALIZED — without the hint DuckDB re-inlines each round's
+def _bpe_cte_parts(n_merges: int) -> list[str]:
+    """The shared DuckDB replay chain: word-frequency + initial-symbol
+    CTEs, then per round a pair-count CTE, a total-order argmax CTE,
+    and the merge scan as a recursive CTE walking (remaining, emitted)
+    symbol lists. Generated from the same ``n_merges`` the Spark side
+    uses (the CHUNK_WINDOW convention). Non-recursive CTEs are
+    MATERIALIZED — without the hint DuckDB re-inlines each round's
     recursion into the next and the plan goes exponential in rounds."""
     parts = [
         """wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -644,7 +645,6 @@ def _bpe_oracle(n_merges: int) -> str:
                   list_append(regexp_extract_all(word, '.'), '</w>') AS syms
            FROM wf)"""
     ]
-    selects = []
     for k in range(n_merges):
         parts.append(
             f"""p{k} AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
@@ -669,12 +669,37 @@ def _bpe_oracle(n_merges: int) -> str:
     r{k + 1} AS MATERIALIZED (SELECT word, freq, done AS syms
            FROM s{k} WHERE len(rem) = 0)"""
         )
-        selects.append(f"SELECT {k} AS rank, lhs, rhs, pair_freq FROM b{k}")
+    return parts
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Merge-table replay: one row per round from the argmax CTEs."""
+    parts = _bpe_cte_parts(n_merges)
+    selects = [
+        f"SELECT {k} AS rank, lhs, rhs, pair_freq FROM b{k}"
+        for k in range(n_merges)
+    ]
     return (
         "WITH RECURSIVE "
         + ",\n    ".join(parts)
         + "\n    "
         + "\n    UNION ALL ".join(selects)
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode replay: join per-doc words against the final vocabulary
+    state r{n} of the same chain and sum the symbol counts."""
+    parts = _bpe_cte_parts(n_merges)
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT d.doc_id, CAST(sum(len(r.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) d
+    JOIN r{n_merges} r USING (word)
+    GROUP BY d.doc_id"""
     )
 
 
@@ -698,3 +723,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_train(d, "text", n_merges=_BPE_MERGES)
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(_BPE_MERGES))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 BPE encoding (r6) — tokenize every document with the
+    merges learned by `q_bpe_train` and emit the per-document BPE token
+    count, the number sequence packing / mixture weighting / training
+    cost estimates actually budget with. Merges are never applied to
+    the corpus: the fit's final word→symbols table IS the tokenizer,
+    and encoding is one explode + ONE broadcast equi-join against that
+    vocabulary (corpus touched exactly twice end-to-end). The oracle
+    replays the full train chain and joins the final vocabulary state,
+    so train and encode are hash-checked together."""
+    from food_panda_etl_spark.operators.bpe import bpe_encode_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_encode_counts(d, "text", n_merges=_BPE_MERGES)

@@ -110,3 +110,24 @@ def test_bpe_final_vocab_consistent(spark):
     got = {r["word"]: list(r["syms"]) for r in words_df.collect()}
     _, want = _python_bpe(texts, 6)
     assert got == want
+
+
+def test_bpe_encode_counts_match_reference(spark):
+    """Per-doc BPE token counts equal summing the reference's final
+    per-word symbol lengths over each document's words (with repeats)."""
+    from food_panda_etl_spark.operators.bpe import bpe_encode_counts
+
+    texts = ["low low lower lowest new newer", "new new newer wide wider low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_counts(df, "text", n_merges=6).collect()
+    }
+    _, words = _python_bpe(texts, 6)
+    want = {
+        i: sum(len(words[w]) for w in t.split(" "))
+        for i, t in enumerate(texts)
+    }
+    assert got == want

@@ -469,3 +469,18 @@ def test_substring_dedup_shuffles_hashes_not_grams(spark, sf_dir):
     assert "hashpartitioning(__h1" in plan
     assert "__pg.g" not in plan.split("Exchange", 1)[-1].split("\n")[0]
     assert lint_plan(df) == []
+
+
+def test_bpe_encode_vocab_join_broadcasts(spark, sf_dir):
+    """q_bpe_encode's word→token-count join must broadcast the
+    vocabulary side (the vocabulary is orders of magnitude smaller than
+    the corpus at any scale) — no SortMergeJoin, no exchange keyed on
+    `word`, so the corpus's exploded words never shuffle for the join."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_bpe_encode"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(word" not in plan
+    assert lint_plan(df) == []
