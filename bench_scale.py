@@ -461,6 +461,37 @@ def main() -> None:
         )
         d.unpersist()
 
+    # BPE (r6): training cost = ONE linear corpus histogram + rounds ×
+    # O(vocab). With the synth vocab FIXED at 5000 words, growing the
+    # corpus 4× should grow bpe_train far slower than 4× (only the
+    # histogram term scales; the per-round pair aggs run on the same
+    # 5000-row vocabulary). The encode point times the full train→encode
+    # round trip (bpe_encode_counts refits); its marginal cost over
+    # bpe_train at the same n is the encode itself (explode + broadcast
+    # vocab join + hash agg), expected near-linear in the corpus.
+    from food_panda_etl_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    curves["bpe_train"] = {}
+    curves["bpe_encode"] = {}
+    bpe_sizes = [20_000, 80_000] + ([] if quick or r5_only else [320_000])
+    if r5_only:
+        bpe_sizes = []
+    else:
+        bpe_train(synth_documents(spark, 500, None), "text", n_merges=2).count()
+    for n in bpe_sizes:
+        d = synth_documents(spark, n, None).cache()
+        d.count()
+        curves["bpe_train"][n] = timed(
+            lambda: bpe_train(d, "text", n_merges=4).count()
+        )
+        curves["bpe_encode"][n] = timed(
+            lambda: bpe_encode_counts(d, "text", n_merges=4)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        d.unpersist()
+
     out["curves"] = curves
 
     # fitted exponents over the largest consecutive pair (asymptotic end)
