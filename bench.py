@@ -123,6 +123,7 @@ HEADLINE = [
     "q_shuffle_order",
     "q_bpe_train",
     "q_bpe_encode",
+    "q_dsir_weight",
 ]
 
 

@@ -1,0 +1,136 @@
+"""DSIR-style data selection via hashed n-gram importance weights
+(Xie et al., arXiv:2302.03169 — Data Selection for Language Models via
+Importance Resampling).
+
+The selection primitive behind "make the pretraining mix look like the
+target domain": fit two bag-of-hashed-ngrams multinomials — one on the
+TARGET subset (the distribution you want more of), one on the RAW
+corpus — and weight every raw document by how much more likely its
+features are under the target model. High-weight documents are
+target-like; the resampling step then keeps them preferentially.
+
+Engine shape (all hash aggregations and vocabulary-sized joins — the
+`bigram_lm_score` layout with a second count table):
+
+1. bigram stream — fact-sized ×(tokens−1), local-checkpointed once for
+   its three consumers (raw counts, target counts, scoring probe);
+2. feature hashing — each bigram folds to a bucket in [0, B) with the
+   portable polynomial hash the repo already oracles in q_fingerprint
+   (v(t) = length·131 + ascii; fold ×31 mod 1000003), so the bucket
+   arithmetic is bit-identical in Spark and DuckDB with no engine hash
+   functions involved. Hashing bounds the feature table at B rows no
+   matter the vocabulary — the point of DSIR's hashed features;
+3. two bucket-count tables (raw, target) — ≤ B rows each, joined
+   UNHINTED (AQE broadcasts; B=1024 always fits, but the plan stays
+   correct if a caller passes B=2^30);
+4. per-document score — the LOG-FREE mean likelihood ratio
+   Σ ρ_b / n_grams with ρ_b = (tb·RT)/(rb·TT), the same libm-free
+   determinism trick as `bigram_lm_score`: each ρ is ONE IEEE division
+   of exactly-representable integer products (counts ≤ ~10^6 at fixture
+   scale keep tb·RT < 2^63; at true 100 TB counts switch the ratio to
+   (tb/TT)/(rb/RT) in doubles — same ordering, two divisions, no
+   overflow — documented here because the oracle pins the product
+   form), addends decimal(18,12)-cast so the SUM is order-independent.
+   Classic DSIR sums log-ratios; the arithmetic mean of ratios is the
+   same "is this document target-like" ordering for a threshold rule,
+   which is all the filter consumes.
+
+Totals RT/TT ride in-plan as a broadcast 1-row aggregate (the
+q_mix_to_target convention — no driver collect). Target is a subset of
+raw, so every scored bucket has rb ≥ 1: no division by zero and no
+smoothing term needed; buckets absent from the target contribute ρ=0.
+Documents with fewer than 2 tokens have no bigrams and are excluded
+(nothing to featurize), matching the oracle's GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Feature-space size. 2^10 keeps the count tables trivially
+#: broadcastable while leaving measurable collision structure (the
+#: hashing is the point, not a bijection).
+DSIR_BUCKETS = 1024
+
+
+def _bucket(w1: Column, w2: Column, buckets: int) -> Column:
+    """Portable bigram bucket: q_fingerprint's polynomial fold over the
+    two token values, reduced mod ``buckets``."""
+    v1 = (F.length(w1) * 131 + F.ascii(w1)).cast("long")
+    v2 = (F.length(w2) * 131 + F.ascii(w2)).cast("long")
+    return ((F.lit(7).cast("long") * 31 + v1) * 31 + v2) % 1000003 % buckets
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    keep_threshold: float | None = None,
+) -> DataFrame:
+    """Per-document hashed-bigram importance weight of ``df`` against
+    the subset where ``target`` holds.
+
+    Returns (id_col, n_bigrams bigint, dsir_score double[, keep int]);
+    ``keep`` (1 iff dsir_score >= keep_threshold) is emitted only when a
+    threshold is given, so callers can audit the would-be selection
+    before resampling.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # Guard size<2: Spark sequence(1, 0) counts DOWN (step -1), unlike
+    # DuckDB generate_series which is empty — the documented trap.
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+            f" i -> struct(split({text_col}, ' ')[i-1] AS w1,"
+            f"             split({text_col}, ' ')[i] AS w2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        df.select(
+            F.col(id_col),
+            target.cast("int").alias("__tgt"),
+            F.explode(pairs).alias("__bg"),
+        )
+        .select(
+            id_col,
+            "__tgt",
+            _bucket(F.col("__bg.w1"), F.col("__bg.w2"), buckets).alias("__b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    raw_counts = bg.groupBy("__b").agg(F.count("*").alias("__rb"))
+    tgt_counts = (
+        bg.filter(F.col("__tgt") == 1)
+        .groupBy("__b")
+        .agg(F.count("*").alias("__tb"))
+    )
+    totals = bg.agg(
+        F.count("*").alias("__rt"),
+        F.sum("__tgt").cast("bigint").alias("__tt"),
+    )
+    rho = (
+        (F.coalesce(F.col("__tb"), F.lit(0)) * F.col("__rt")).cast("double")
+        / (F.col("__rb") * F.col("__tt")).cast("double")
+    ).cast("decimal(18,12)")
+    scored = (
+        bg.join(raw_counts, ["__b"])
+        .join(tgt_counts, ["__b"], "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (F.sum(rho).cast("double") / F.count("*").cast("double")).alias(
+                "dsir_score"
+            ),
+        )
+    )
+    if keep_threshold is not None:
+        scored = scored.withColumn(
+            "keep",
+            (F.col("dsir_score") >= F.lit(float(keep_threshold))).cast("int"),
+        )
+    return scored

