@@ -124,6 +124,7 @@ HEADLINE = [
     "q_bpe_train",
     "q_bpe_encode",
     "q_dsir_weight",
+    "q_image_resize",
 ]
 
 

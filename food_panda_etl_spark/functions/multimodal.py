@@ -788,6 +788,73 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload", "meta").mapInPandas(fn, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, src_width int, src_height int, width int, height int, "
+    "mean_pixel double, pixels binary"
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, mode: str = "nearest"
+) -> DataFrame:
+    """Decode → resize → (typed features + resized raster), the uniform
+    thumbnail/model-input stage of a multimodal pipeline. Two modes, both
+    pure integer arithmetic so results are bit-deterministic everywhere:
+
+    - ``nearest``: out[y, x] = src[y·h // out_h, x·w // out_w] — the
+      floor index mapping, exactly replayable in SQL, which is what the
+      driver oracle checks end-to-end through the real codec path;
+    - ``area``: integer box average (sum // count over the half-open
+      box [y·h//out_h, max(+1, (y+1)·h//out_h))×[...]) — the antialiased
+      downscale real pipelines default to; unit-tested against a naive
+      Python reference.
+
+    Same Arrow-batched shape as ``decode_images``: payload bytes enter
+    the stage and only the (out_w × out_h) raster + scalar features
+    leave it, so a 100 TB media scan ships thumbnails, not originals,
+    to any downstream shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    if mode not in ("nearest", "area"):
+        raise ValueError(f"unknown resize mode {mode!r}")
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "src_width": [], "src_height": [],
+                "width": [], "height": [], "mean_pixel": [], "pixels": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = _decode_payload(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                if mode == "nearest":
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    rz = arr[np.ix_(ys, xs)]
+                else:
+                    ye = (np.arange(out_h + 1) * h) // out_h
+                    xe = (np.arange(out_w + 1) * w) // out_w
+                    rz = np.empty((out_h, out_w), dtype=np.uint8)
+                    for y in range(out_h):
+                        y0, y1 = int(ye[y]), max(int(ye[y + 1]), int(ye[y]) + 1)
+                        for x in range(out_w):
+                            x0 = int(xe[x])
+                            x1 = max(int(xe[x + 1]), x0 + 1)
+                            block = arr[y0:y1, x0:x1]
+                            rz[y, x] = int(block.sum()) // block.size
+                out["media_id"].append(mid)
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["mean_pixel"].append(float(int(rz.sum())) / rz.size)
+                out["pixels"].append(rz.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(fn, RESIZED_SCHEMA)
+
+
 FRAMES_SCHEMA = "media_id bigint, frame_no int, frame binary"
 
 

@@ -112,6 +112,7 @@ def _load_all() -> None:
         "q_bpe_train",
         "q_bpe_encode",
         "q_dsir_weight",
+        "q_image_resize",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

@@ -385,6 +385,80 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "width", "height", "mean_pixel")
 
 
+_RZ_W, _RZ_H = 4, 3
+
+
+@query(
+    "q_image_resize",
+    # Interpolated from _RZ_W/_RZ_H (the CHUNK_WINDOW convention): the
+    # nearest-neighbor index map sy=(oy*h)//H, sx=(ox*w)//W is replayed
+    # in SQL over the closed-form BMP gray formula.
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 64),
+    ix AS (
+      SELECT doc_id, w, h,
+             list_transform(
+               generate_series(0, {_RZ_W * _RZ_H} - 1),
+               o -> ((o // {_RZ_W}) * h // {_RZ_H}) * w
+                    + ((o % {_RZ_W}) * w // {_RZ_W})) AS ii
+      FROM px),
+    rz AS (
+      SELECT doc_id, w, h,
+             list_transform(
+               ii,
+               i -> (  ((doc_id * 31 + i * 7) % 256)
+                     + ((doc_id * 31 + i * 7) % 256) * 5 % 256
+                     + ((doc_id * 31 + i * 7) % 256) * 3 % 256) // 3) AS g
+      FROM ix)
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS src_width,
+           CAST(h AS INT) AS src_height,
+           CAST({_RZ_W} AS INT) AS width,
+           CAST({_RZ_H} AS INT) AS height,
+           CAST(list_sum(g) AS DOUBLE) / {_RZ_W * _RZ_H} AS mean_pixel
+    FROM rz
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal — the RESIZE stage (the brief's fourth media
+    verb, after decode / feature-extract / frame-sample): real BMP
+    payloads decode and downscale to a {_RZ_W}×{_RZ_H} thumbnail with
+    the floor-index nearest-neighbor map inside one Arrow stage; only
+    the thumbnail raster + scalar features leave it (originals never
+    cross a shuffle). The oracle replays the index map over the
+    closed-form pixel formula, so a stride, axis-order, or rounding bug
+    in the resizer is a driver hash mismatch. The integer box-average
+    ``area`` mode is the production antialiased path, unit-tested
+    against a naive reference (`tests/test_multimodal.py`)."""
+    from food_panda_etl_spark.functions.multimodal import (
+        resize_images,
+        synth_bmp_payload,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synth_bmp_payload(8 + int(i) % 9, 6 + int(i) % 5, seed=int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = d.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+    out = resize_images(media, _RZ_W, _RZ_H, mode="nearest")
+    return out.select(
+        "media_id", "src_width", "src_height", "width", "height", "mean_pixel"
+    )
+
+
 @query("q_ivf_topk", oracle=None)  # data-derived centroids → rows-only
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — the IVF ANN scale path: deterministic centroid sample →

@@ -331,3 +331,44 @@ def test_mixed_format_batch_through_spark_decode_stage(spark):
         w, h, gray = _decode_payload(payload)
         assert out[i]["width"] == w and out[i]["height"] == h
         assert out[i]["mean_pixel"] == sum(gray) / len(gray)
+
+
+def test_resize_nearest_and_area_match_naive_reference(spark):
+    """Both resize modes equal a naive Python reference on real decoded
+    BMPs: nearest = floor index map, area = integer box average
+    (sum // count over floor-edged boxes, degenerate boxes widened to 1)."""
+    from food_panda_etl_spark.functions.multimodal import (
+        _decode_payload,
+        resize_images,
+        synth_bmp_payload,
+    )
+
+    rows = [(i, synth_bmp_payload(8 + i % 9, 6 + i % 5, seed=i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    ow, oh = 4, 3
+
+    def naive(payload, mode):
+        w, h, px = _decode_payload(payload)
+        g = [[px[y * w + x] for x in range(w)] for y in range(h)]
+        out = []
+        for y in range(oh):
+            for x in range(ow):
+                if mode == "nearest":
+                    out.append(g[y * h // oh][x * w // ow])
+                else:
+                    y0, y1 = y * h // oh, max((y + 1) * h // oh, y * h // oh + 1)
+                    x0, x1 = x * w // ow, max((x + 1) * w // ow, x * w // ow + 1)
+                    block = [g[yy][xx] for yy in range(y0, y1) for xx in range(x0, x1)]
+                    out.append(sum(block) // len(block))
+        return bytes(out)
+
+    for mode in ("nearest", "area"):
+        got = {
+            r["media_id"]: r
+            for r in resize_images(df, ow, oh, mode=mode).collect()
+        }
+        for i, payload in rows:
+            want = naive(payload, mode)
+            assert bytes(got[i]["pixels"]) == want, (mode, i)
+            assert got[i]["width"] == ow and got[i]["height"] == oh
+            assert got[i]["mean_pixel"] == sum(want) / len(want)
