@@ -125,6 +125,7 @@ HEADLINE = [
     "q_bpe_encode",
     "q_dsir_weight",
     "q_image_resize",
+    "q_pps_sample",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Weighted sampling: systematic probability-proportional-to-size (PPS)
+selection — the deterministic resampling half of importance weighting
+(`operators/dsir.py` scores; this picks), and the classic survey-
+sampling primitive (Madow's systematic selection).
+
+Semantics: lay the documents end to end on a line segment of length
+T = Σw in a fixed pseudo-random order, then drop k equally spaced ticks
+(at T/k, 2T/k, …); a document is selected iff a tick lands inside its
+weight interval. Inclusion probability is exactly min(1, k·w/T) —
+proportional to weight — and exactly k rows are selected whenever every
+w < T/k (heavier "certainty units" absorb multiple ticks but appear
+once, flagged by how many ticks they absorbed).
+
+Everything is INTEGER arithmetic on a global prefix sum, so the sample
+is bit-deterministic, partitioning-invariant, and replayable in any SQL
+engine: tick membership is `(k·cum) div T > (k·(cum−w)) div T` — no
+floats, no RNG. The "random" order is the repo's keyed multiplicative
+hash (the q_shuffle_order permutation), so the systematic grid is
+decorrelated from insertion order, reruns see the same sample, and a
+resumed pipeline can re-derive it from nothing but the data.
+
+Scale shape: one range exchange for the prefix sum (the two-phase
+`global_running_sum` — never a single-partition window), one broadcast
+1-row total, then a narrow filter. k·T must stay < 2^63 for the integer
+form (fixture scales: trivially; a true 100 TB corpus with k ~ 10^6
+ticks would overflow — switch the two div operands to DECIMAL(38,0),
+same exactness, at ~1.3× the arithmetic cost, the repo's standard
+decimal insurance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.order import global_running_sum
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select ~k rows of ``df`` with probability proportional to the
+    integer ``weight_col``. Returns
+    (id_col, weight bigint, cum_weight bigint, n_ticks bigint) — only
+    selected rows; ``n_ticks`` > 1 marks certainty units that absorbed
+    several ticks (callers replicating for true with-replacement
+    semantics multiply by it)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("__w"),
+        ((F.col(id_col) * 1315423911) % 1000003).alias("__h"),
+    )
+    cum = global_running_sum(keyed, ["__h", id_col], "__w", out_col="__cum")
+    total = keyed.agg(F.sum("__w").alias("__tot"))
+    hi = F.expr(f"({int(k)} * __cum) div __tot")
+    lo = F.expr(f"({int(k)} * (__cum - __w)) div __tot")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("__ticks", (hi - lo).cast("bigint"))
+        .filter(F.col("__ticks") > 0)
+        .select(
+            id_col,
+            F.col("__w").alias("weight"),
+            F.col("__cum").cast("bigint").alias("cum_weight"),
+            F.col("__ticks").alias("n_ticks"),
+        )
+    )

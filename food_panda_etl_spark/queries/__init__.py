@@ -113,6 +113,7 @@ def _load_all() -> None:
         "q_bpe_encode",
         "q_dsir_weight",
         "q_image_resize",
+        "q_pps_sample",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

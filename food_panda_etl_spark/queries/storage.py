@@ -482,3 +482,43 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(keyed, ["__h", "doc_id"], out_col="pos").select(
         "doc_id", F.col("pos").cast("bigint").alias("pos")
     )
+
+
+_PPS_K = 25
+
+
+@query(
+    "q_pps_sample",
+    # Interpolated from _PPS_K (the CHUNK_WINDOW convention); the oracle
+    # is the naive global-window prefix sum — equality with the two-phase
+    # range-partitioned plan IS the scale-plan correctness proof.
+    oracle=f"""
+    WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wgt,
+                      (doc_id * 1315423911) % 1000003 AS h FROM documents),
+    c AS (SELECT doc_id, wgt,
+                 sum(wgt) OVER (ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM w),
+    t AS (SELECT sum(wgt) AS tot FROM w)
+    SELECT doc_id, wgt AS weight, CAST(cum AS BIGINT) AS cum_weight,
+           CAST(({_PPS_K} * cum) // tot
+                - ({_PPS_K} * (cum - wgt)) // tot AS BIGINT) AS n_ticks
+    FROM c CROSS JOIN t
+    WHERE ({_PPS_K} * cum) // tot > ({_PPS_K} * (cum - wgt)) // tot
+    """,
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 weighted sampling (r6) — systematic probability-
+    proportional-to-size selection (Madow), the deterministic
+    resampling half of DSIR-style data selection: pick ~25 documents
+    with inclusion probability exactly min(1, k·n_chars/Σn_chars) by
+    dropping k equally spaced ticks on the hash-ordered cumulative
+    weight line. Pure integer arithmetic on the two-phase global prefix
+    sum — no RNG, no floats, rerun- and partitioning-invariant; one
+    range exchange + a broadcast 1-row total at any scale. See
+    `operators/sampling.py` for the certainty-unit and overflow
+    accounting."""
+    from food_panda_etl_spark.operators.sampling import pps_systematic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return pps_systematic_sample(d, "n_chars", k=_PPS_K)

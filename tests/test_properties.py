@@ -397,3 +397,31 @@ def test_dsir_partition_invariant(spark):
             ).collect()
         }
         assert got == base
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=50),
+                     min_size=3, max_size=40),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_pps_sample_ticks_partition_exactly(spark, weights, parts):
+    """Systematic PPS invariants under any weights and partitioning:
+    Σ n_ticks over selected rows telescopes to exactly k, every selected
+    row has n_ticks >= 1, and any row with weight >= T/k (a certainty
+    unit) is always selected."""
+    from food_panda_etl_spark.operators.sampling import pps_systematic_sample
+
+    k = 7
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, n_chars long"
+    ).repartition(parts)
+    rows = pps_systematic_sample(df, "n_chars", k=k).collect()
+    total = sum(weights)
+    assert sum(r["n_ticks"] for r in rows) == k
+    assert all(r["n_ticks"] >= 1 for r in rows)
+    picked = {r["doc_id"] for r in rows}
+    for i, w in enumerate(weights):
+        if w * k >= total + k:  # strictly more than T/k in integer terms
+            assert i in picked
