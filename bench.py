@@ -126,6 +126,7 @@ HEADLINE = [
     "q_dsir_weight",
     "q_image_resize",
     "q_pps_sample",
+    "q_select_pipeline",
 ]
 
 

@@ -114,6 +114,7 @@ def _load_all() -> None:
         "q_dsir_weight",
         "q_image_resize",
         "q_pps_sample",
+        "q_select_pipeline",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

@@ -728,15 +728,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 1024
 _DSIR_KEEP = 1.0
 
-
-@query(
-    "q_dsir_weight",
-    # Interpolated from the same constants the Spark side uses so the
-    # bucket count / threshold can never desync (the CHUNK_WINDOW
-    # convention). The bucket arithmetic is q_fingerprint's portable
-    # polynomial — no engine hash functions on either side.
-    oracle=f"""
-    WITH w AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+# The DSIR CTE chain through the per-gram ratio table `s`, shared by
+# q_dsir_weight and the q_select_pipeline composite so the two oracles
+# cannot drift (the q_hybrid_rrf composed-fragment convention). Bucket
+# arithmetic is q_fingerprint's portable polynomial — no engine hash
+# functions on either side.
+_DSIR_CTES = f"""w AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
                       string_split(text, ' ') AS toks FROM documents),
     ix AS (SELECT doc_id, tgt, toks,
                   unnest(generate_series(1, len(toks) - 1)) AS i
@@ -752,7 +749,16 @@ _DSIR_KEEP = 1.0
     s AS (SELECT bg.doc_id,
             CAST(CAST(coalesce(tb, 0) * rt AS DOUBLE)
                  / CAST(rb * tt AS DOUBLE) AS DECIMAL(18,12)) AS rho
-          FROM bg JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot)
+          FROM bg JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot)"""
+
+
+@query(
+    "q_dsir_weight",
+    # Interpolated from the same constants the Spark side uses so the
+    # bucket count / threshold can never desync (the CHUNK_WINDOW
+    # convention).
+    oracle=f"""
+    WITH {_DSIR_CTES}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(rho) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dsir_score,
            CAST(CAST(sum(rho) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -779,6 +785,72 @@ def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "en",
         buckets=_DSIR_BUCKETS,
         keep_threshold=_DSIR_KEEP,
+    )
+
+
+_SEL_K = 20
+
+
+@query(
+    "q_select_pipeline",
+    # Composite oracle = the shared DSIR fragment + the PPS tail over
+    # the kept subset, so the pipeline oracle can only drift if a stage
+    # oracle drifts.
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    ds AS (SELECT doc_id,
+                  CAST(sum(rho) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS dsir_score
+           FROM s GROUP BY doc_id),
+    sel AS (SELECT doc_id, dsir_score FROM ds
+            WHERE dsir_score >= {_DSIR_KEEP}),
+    sw AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS wgt,
+                  (d.doc_id * 1315423911) % 1000003 AS h, sel.dsir_score
+           FROM documents d JOIN sel ON d.doc_id = sel.doc_id),
+    c AS (SELECT doc_id, wgt, dsir_score,
+                 sum(wgt) OVER (ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM sw),
+    t AS (SELECT sum(wgt) AS tot FROM sw)
+    SELECT doc_id, wgt AS weight, CAST(cum AS BIGINT) AS cum_weight,
+           CAST(({_SEL_K} * cum) // tot
+                - ({_SEL_K} * (cum - wgt)) // tot AS BIGINT) AS n_ticks,
+           dsir_score
+    FROM c CROSS JOIN t
+    WHERE ({_SEL_K} * cum) // tot > ({_SEL_K} * (cum - wgt)) // tot
+    """,
+)
+def q_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 data-selection composite (r6 flagship) — the DSIR paper's
+    actual two-step pipeline run end to end IN ONE HASH-MATCH: score
+    every document against the lang='en' target (hashed-bigram
+    likelihood ratios), keep the target-like half, then draw a
+    20-document systematic PPS sample from the kept subset weighted by
+    n_chars. Chaining matters: the PPS grid (total weight, hash-ordered
+    prefix sums) is computed over the FILTERED corpus, so a wrong keep
+    decision anywhere upstream shifts every tick downstream — the
+    oracle catches cross-stage wiring, not just per-stage arithmetic.
+    Scale cost = DSIR (hash aggs + ≤1024-row joins) + one range
+    exchange for the prefix sum; the final score join is sample-sized
+    and AQE-broadcast."""
+    from food_panda_etl_spark.operators.dsir import dsir_weights
+    from food_panda_etl_spark.operators.sampling import pps_systematic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        dsir_weights(
+            d,
+            F.col("lang") == "en",
+            buckets=_DSIR_BUCKETS,
+            keep_threshold=_DSIR_KEEP,
+        )
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "dsir_score")
+    )
+    seed = d.select("doc_id", "n_chars").join(kept, "doc_id")
+    samp = pps_systematic_sample(seed, "n_chars", k=_SEL_K)
+    return samp.join(kept, "doc_id").select(
+        "doc_id", "weight", "cum_weight", "n_ticks", "dsir_score"
     )
 
 
