@@ -55,16 +55,22 @@ def _load_all() -> None:
     # Import side effects populate the registries. ORDER MATTERS: the
     # correctness driver records only the first N (~50) registered
     # queries, so modules still lacking fresh driver evidence register
-    # first. Round-6 rotation (VERDICT r5 task 1, executed as written):
-    # the r3-era-evidence modules lead — analytics (whose tail
-    # q_pivot/q_unpivot/q_cube/q_percentile/q_regex_extract/q_histogram
-    # was displaced past the r5 cut), relational (11), sorts (3) — then
-    # the r4-era modules (aggregates, sql_layer, setops, storage,
-    # skew_queries, joins, windows), pushing the r5-recorded modules
-    # (llm_prep, clustering, approx_gates, text, udx, vendor_pipeline,
-    # retrieval, similarity) to the back. The expected r6 window cut
-    # (~50) lands around the skew_queries/joins boundary; joins/windows
-    # keep their r4 greens (byte-unchanged).
+    # first. Round-6 rotation (VERDICT r5 task 1, executed as written,
+    # then extended as r6 grew): 16 promoted keys lead (3 zero-evidence
+    # r5 stragglers + 11 new-in-r6 + 2 changed-in-r6), then the r3-era
+    # modules — analytics tail, relational (11), sorts (3) — then
+    # r4-era aggregates/sql_layer/setops; the cut (~50) lands exactly
+    # after setops (q_except at 49). storage/skew_queries/joins/windows
+    # keep their r4 greens (byte-unchanged, displaced by the r6-new
+    # keys — first evidence for new code outranks refreshing green
+    # evidence).
+    #
+    # R7 ROTATION PLAN: promote r7-new/changed keys first, then the
+    # r4-era modules displaced this round (storage, skew_queries,
+    # joins, windows — oldest evidence remaining), then r5-era
+    # llm_prep/clustering/approx_gates to fill ~50; text/udx/vendor/
+    # retrieval/similarity carry r5-or-r6 evidence and can close the
+    # file.
     from food_panda_etl_spark.queries import (  # noqa: F401
         analytics,
         relational,
@@ -95,6 +101,11 @@ def _load_all() -> None:
     #   - q_lm_score / q_substring_dedup / q_jpeg_decode: NEW in r6
     #     (VERDICT r5 tasks 3-5) — new code gets first evidence in its
     #     own round.
+    #   - q_pii_redact / q_shuffle_order / q_bpe_train / q_bpe_encode /
+    #     q_dsir_weight / q_image_resize / q_pps_sample /
+    #     q_select_pipeline: NEW in r6 beyond the verdict tasks (PII,
+    #     training-order shuffle, BPE train+encode, DSIR weighting,
+    #     image resize, systematic PPS, and the selection composite).
     #   - q_approx_quantile_gate / q_heavy_hitters: code CHANGED in r6
     #     (scale-safe exact rank pick, task 2; single-action recount,
     #     task 6) — their r5 greens no longer cover the bytes.
