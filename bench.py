@@ -127,6 +127,7 @@ HEADLINE = [
     "q_image_resize",
     "q_pps_sample",
     "q_select_pipeline",
+    "q_temperature_mix",
 ]
 
 

@@ -522,3 +522,82 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pps_systematic_sample(d, "n_chars", k=_PPS_K)
+
+
+_TEMP_K = 300
+
+
+@query(
+    "q_temperature_mix",
+    # Interpolated from _TEMP_K. α is fixed at 1/2 because sqrt is the
+    # one power IEEE 754 requires to be CORRECTLY ROUNDED — unlike
+    # ln/exp/pow it is bit-identical across engines, so temperature
+    # sampling at α=0.5 is oracle-exact with no log-free workaround.
+    oracle=f"""
+    WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    sq AS (SELECT lang, n_s,
+                  CAST(sqrt(CAST(n_s AS DOUBLE)) AS DECIMAL(18,9)) AS sqd
+           FROM n),
+    t AS (SELECT sum(sqd) AS tot FROM sq),
+    r AS (SELECT lang, n_s,
+                 CAST(floor(CAST({_TEMP_K} AS DOUBLE) * CAST(sqd AS DOUBLE)
+                            / CAST((SELECT tot FROM t) AS DOUBLE))
+                      AS BIGINT) AS quota
+          FROM sq),
+    r2 AS (SELECT lang, n_s, quota, (997 * quota) // n_s AS rate FROM r)
+    SELECT d.lang,
+           CAST(r2.n_s AS BIGINT) AS n_total,
+           CAST(r2.quota AS BIGINT) AS quota,
+           CAST(sum(CASE WHEN ((d.doc_id % 997) * 631) % 997 < r2.rate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN r2 USING (lang)
+    GROUP BY d.lang, r2.n_s, r2.quota
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 temperature mixture sampling (r6) — the mT5/multilingual
+    α-sampling rule: stratum quotas ∝ n_s^α with α=1/2, flattening the
+    source distribution so small strata (languages, domains) are not
+    drowned by the head. Unlike `q_mix_to_target` the weights are
+    DATA-DERIVED, not user-supplied. sqrt is IEEE-correctly-rounded —
+    the only power function that is — so quotas are bit-exact across
+    engines; the per-stratum sqrt addends are decimal-cast before the
+    order-independent SUM, membership is the same multiplicative-hash
+    bucket as the other samplers. Same 100 TB shape as q_mix_to_target:
+    one count-only scan, rates derived in-plan (broadcast, no collect),
+    narrow keep predicate — rows drop before any shuffle. Strata whose
+    quota exceeds n_s keep everything (downsampling-only; α<1 cannot
+    mint rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count("*").alias("n_s"))
+    sq = n.withColumn(
+        "__sq", F.sqrt(F.col("n_s").cast("double")).cast("decimal(18,9)")
+    )
+    tot = sq.agg(F.sum("__sq").alias("__tot"))
+    r = (
+        sq.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "quota",
+            F.floor(
+                F.lit(_TEMP_K).cast("double")
+                * F.col("__sq").cast("double")
+                / F.col("__tot").cast("double")
+            ).cast("bigint"),
+        )
+        .withColumn("rate", F.expr("(997 * quota) div n_s"))
+        .select("lang", "n_s", "quota", "rate")
+    )
+    keep = (((F.col("doc_id") % 997) * F.lit(631)) % 997 < F.col("rate")).cast(
+        "long"
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .groupBy("lang", "n_s", "quota")
+        .agg(F.sum(keep).alias("n_kept"))
+        .select(
+            "lang",
+            F.col("n_s").cast("long").alias("n_total"),
+            F.col("quota").cast("long").alias("quota"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
