@@ -89,7 +89,16 @@ def dsir_weights(
             f"             split({text_col}, ' ')[i] AS w2))"
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = (
+    # The fact-sized bigram stream collapses IMMEDIATELY to per-(doc,
+    # bucket) counts — everything downstream (raw counts, target
+    # counts, totals, the scoring joins, the per-doc mean) derives from
+    # this compressed table, so the checkpointed object and both join
+    # inputs are bounded by docs × min(buckets, grams-per-doc). The
+    # per-doc sum Σcnt·ρ is EXACT decimal multiplication of the shared
+    # per-bucket ρ, bit-identical to summing ρ once per gram row (what
+    # the SQL oracle does) — compression changes the plan, not one bit
+    # of the result.
+    dbg = (
         df.select(
             F.col(id_col),
             target.cast("int").alias("__tgt"),
@@ -100,32 +109,39 @@ def dsir_weights(
             "__tgt",
             _bucket(F.col("__bg.w1"), F.col("__bg.w2"), buckets).alias("__b"),
         )
+        .groupBy(id_col, "__tgt", "__b")
+        .agg(F.count("*").alias("__cnt"))
         .localCheckpoint(eager=False)
     )
-    raw_counts = bg.groupBy("__b").agg(F.count("*").alias("__rb"))
+    raw_counts = dbg.groupBy("__b").agg(F.sum("__cnt").alias("__rb"))
     tgt_counts = (
-        bg.filter(F.col("__tgt") == 1)
+        dbg.filter(F.col("__tgt") == 1)
         .groupBy("__b")
-        .agg(F.count("*").alias("__tb"))
+        .agg(F.sum("__cnt").alias("__tb"))
     )
-    totals = bg.agg(
-        F.count("*").alias("__rt"),
-        F.sum("__tgt").cast("bigint").alias("__tt"),
+    totals = dbg.agg(
+        F.sum("__cnt").alias("__rt"),
+        F.sum(F.col("__tgt") * F.col("__cnt")).cast("bigint").alias("__tt"),
     )
     rho = (
         (F.coalesce(F.col("__tb"), F.lit(0)) * F.col("__rt")).cast("double")
         / (F.col("__rb") * F.col("__tt")).cast("double")
     ).cast("decimal(18,12)")
     scored = (
-        bg.join(raw_counts, ["__b"])
+        dbg.join(raw_counts, ["__b"])
         .join(tgt_counts, ["__b"], "left")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            (F.sum(rho).cast("double") / F.count("*").cast("double")).alias(
-                "dsir_score"
-            ),
+            F.sum("__cnt").cast("bigint").alias("n_bigrams"),
+            # cnt must enter the product as a NARROW decimal: bigint
+            # promotes to decimal(20,0) and 20+18+1 > 38 makes Spark
+            # round the product's scale (silent low-bit loss). At
+            # decimal(8,0) the product is decimal(27,12) — exact.
+            (
+                F.sum(F.col("__cnt").cast("decimal(8,0)") * rho).cast("double")
+                / F.sum("__cnt").cast("double")
+            ).alias("dsir_score"),
         )
     )
     if keep_threshold is not None:
