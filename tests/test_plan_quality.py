@@ -484,3 +484,26 @@ def test_bpe_encode_vocab_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(word" not in plan
     assert lint_plan(df) == []
+
+
+def test_dsir_payload_never_shuffles(spark, sf_dir):
+    """q_dsir_weight's exchanges must carry bucket ids and counts, never
+    document text or token arrays — the bigram stream collapses to
+    per-(doc, bucket) counts BEFORE its first shuffle, so the fact-wide
+    payload stays inside the scan stage."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_dsir_weight"](spark, sf_dir)
+    plan = explain_formatted(df)
+    for ex_tail in plan.split("Exchange")[1:]:
+        first_line = ex_tail.split("\n")[0]
+        assert "text#" not in first_line, first_line
+    assert lint_plan(df) == []
+
+
+def test_select_pipeline_plan_clean(spark, sf_dir):
+    """The DSIR→PPS composite must stay cartesian-free (its only
+    nominal cross joins are broadcast 1-row scalar tables) and lint
+    clean end to end."""
+    df = QUERIES["q_select_pipeline"](spark, sf_dir)
+    assert lint_plan(df) == []
