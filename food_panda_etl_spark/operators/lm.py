@@ -69,24 +69,34 @@ def bigram_lm_score(
             f"             split({text_col}, ' ')[i] AS w2))"
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = (
+    # The fact-sized bigram stream collapses to per-(doc, bigram) counts
+    # before its first shuffle (the operators/dsir.py compression): the
+    # count tables, both scoring joins, and the per-doc mean all run on
+    # the compressed table. Σcnt·p in exact decimal ≡ p summed once per
+    # gram row (what the SQL oracle does) — cnt enters the product as
+    # decimal(8,0) because a bigint factor promotes to decimal(20,0)
+    # and 20+18+1 > 38 makes Spark silently round the product's scale.
+    dbg = (
         df.select(F.col(id_col), F.explode(pairs).alias("__bg"))
         .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("__cnt"))
         .localCheckpoint(eager=False)
     )
-    cbig = bg.groupBy("w1", "w2").agg(F.count("*").alias("__cbig"))
-    cctx = bg.groupBy("w1").agg(F.count("*").alias("__cctx"))
+    cbig = dbg.groupBy("w1", "w2").agg(F.sum("__cnt").alias("__cbig"))
+    cctx = dbg.groupBy("w1").agg(F.sum("__cnt").alias("__cctx"))
     p = (
         F.col("__cbig").cast("double") / F.col("__cctx").cast("double")
     ).cast("decimal(18,12)")
     scored = (
-        bg.join(cbig, ["w1", "w2"])
+        dbg.join(cbig, ["w1", "w2"])
         .join(cctx, ["w1"])
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("__cnt").cast("bigint").alias("n_bigrams"),
             (
-                F.sum(p).cast("double") / F.count("*").cast("double")
+                F.sum(F.col("__cnt").cast("decimal(8,0)") * p).cast("double")
+                / F.sum("__cnt").cast("double")
             ).alias("lm_score"),
         )
     )
