@@ -128,6 +128,7 @@ HEADLINE = [
     "q_pps_sample",
     "q_select_pipeline",
     "q_temperature_mix",
+    "q_embed_outlier",
 ]
 
 

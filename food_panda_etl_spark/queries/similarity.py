@@ -694,6 +694,60 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_outlier",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             embedding
+      FROM embeddings),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+      FROM ex GROUP BY label, i),
+    d AS (
+      SELECT ex.vec_id, ex.label,
+             CAST(SUM(CAST((CAST(embedding[ex.i] AS DOUBLE) - c)
+                           * (CAST(embedding[ex.i] AS DOUBLE) - c)
+                           AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+      GROUP BY ex.vec_id, ex.label)
+    SELECT vec_id, label, dist2
+    FROM d ORDER BY dist2 DESC, vec_id LIMIT 20
+    """,
+)
+def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 embedding outlier QA (r6) — the top-20 vectors farthest
+    from their own class centroid (squared euclidean), the standard
+    screen for mislabeled / corrupt / out-of-distribution embeddings
+    before centroid-based ops (SemDeDup cells, nearest-class-mean,
+    drift monitors) trust the labels. Float determinism WITHOUT a
+    fixed-order fold: each squared diff is one IEEE op on identical
+    operands, quantized to DECIMAL(18,12) before the order-independent
+    SUM (a binary double can never land on the non-dyadic 0.5e-12 tie),
+    so posexplode + hash-agg — the shuffle-friendly plan — is still
+    bit-exact. Scale shape: centroids are |labels|·dim rows (broadcast
+    join); partial aggregation collapses each vector's dims map-side;
+    top-20 is a TakeOrdered, never a global sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("c")
+    )
+    diff = F.col("v").cast("double") - F.col("c")
+    d = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((diff * diff).cast("decimal(18,12)")).cast("double").alias("dist2"))
+    )
+    return d.orderBy(F.desc("dist2"), "vec_id").limit(20)
+
+
+@query(
     "q_quantize_embed",
     oracle="""
     WITH m AS (
