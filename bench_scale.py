@@ -461,6 +461,28 @@ def main() -> None:
         )
         d.unpersist()
 
+    # DSIR (r6): hashed-bigram importance weighting should be LINEAR in
+    # the corpus — the only fact-sized work is the bigram projection and
+    # its collapse to per-(doc, bucket) counts; the count tables are
+    # bucket-bounded and the totals are a 1-row broadcast. Target = the
+    # deterministic doc_id%3==0 third of the synthetic corpus.
+    from food_panda_etl_spark.operators.dsir import dsir_weights
+
+    curves["dsir"] = {}
+    dsir_sizes = [20_000, 80_000] + ([] if quick or r5_only else [320_000])
+    if r5_only:
+        dsir_sizes = []
+    for n in dsir_sizes:
+        d = synth_documents(spark, n, None).cache()
+        d.count()
+        curves["dsir"][n] = timed(
+            lambda: dsir_weights(d, F.col("doc_id") % 3 == 0)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        d.unpersist()
+
     # BPE (r6): training cost = ONE linear corpus histogram + rounds ×
     # O(vocab). With the synth vocab FIXED at 5000 words, growing the
     # corpus 4× should grow bpe_train far slower than 4× (only the
