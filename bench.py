@@ -129,6 +129,7 @@ HEADLINE = [
     "q_select_pipeline",
     "q_temperature_mix",
     "q_embed_outlier",
+    "q_corpus_stats",
 ]
 
 

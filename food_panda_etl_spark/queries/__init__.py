@@ -56,8 +56,8 @@ def _load_all() -> None:
     # correctness driver records only the first N (~50) registered
     # queries, so modules still lacking fresh driver evidence register
     # first. Round-6 rotation (VERDICT r5 task 1, executed as written,
-    # then extended as r6 grew): 18 promoted keys lead (3 zero-evidence
-    # r5 stragglers + 13 new-in-r6 + 2 changed-in-r6), then the r3-era
+    # then extended as r6 grew): 19 promoted keys lead (3 zero-evidence
+    # r5 stragglers + 14 new-in-r6 + 2 changed-in-r6), then the r3-era
     # modules — analytics tail, relational (11), sorts (3) — then
     # r4-era aggregates/sql_layer/setops; the cut (~50) lands exactly
     # after setops (q_except at 49). storage/skew_queries/joins/windows
@@ -103,10 +103,11 @@ def _load_all() -> None:
     #     own round.
     #   - q_pii_redact / q_shuffle_order / q_bpe_train / q_bpe_encode /
     #     q_dsir_weight / q_image_resize / q_pps_sample /
-    #     q_select_pipeline / q_temperature_mix / q_embed_outlier: NEW in r6 beyond the verdict tasks (PII,
+    #     q_select_pipeline / q_temperature_mix / q_embed_outlier / q_corpus_stats: NEW in r6 beyond the verdict tasks (PII,
     #     training-order shuffle, BPE train+encode, DSIR weighting,
     #     image resize, systematic PPS, the selection composite, and
-    #     mT5-style temperature mixing, embedding outlier QA).
+    #     mT5-style temperature mixing, embedding outlier QA, the
+    #     corpus statistics card).
     #   - q_approx_quantile_gate / q_heavy_hitters: code CHANGED in r6
     #     (scale-safe exact rank pick, task 2; single-action recount,
     #     task 6) — their r5 greens no longer cover the bytes.
@@ -129,6 +130,7 @@ def _load_all() -> None:
         "q_select_pipeline",
         "q_temperature_mix",
         "q_embed_outlier",
+        "q_corpus_stats",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

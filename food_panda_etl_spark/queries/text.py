@@ -869,3 +869,88 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_encode_counts(d, "text", n_merges=_BPE_MERGES)
+
+
+@query(
+    "q_corpus_stats",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             len(string_split(text, ' ')) AS ntok,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                                x -> CAST(length(x) * 131 + ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000003) AS fp
+      FROM documents),
+    a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(ntok) AS DOUBLE) AS n_tokens,
+             CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_tokens,
+             CAST(count(DISTINCT fp) AS DOUBLE) AS n_unique_fp,
+             CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pct_short,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pct_en,
+             CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pct_zh
+      FROM t)
+    SELECT 'n_docs' AS metric, n_docs AS value FROM a
+    UNION ALL SELECT 'n_tokens', n_tokens FROM a
+    UNION ALL SELECT 'mean_tokens', mean_tokens FROM a
+    UNION ALL SELECT 'n_unique_fp', n_unique_fp FROM a
+    UNION ALL SELECT 'pct_short', pct_short FROM a
+    UNION ALL SELECT 'pct_en', pct_en FROM a
+    UNION ALL SELECT 'pct_zh', pct_zh FROM a
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 corpus statistics card (r6) — the summary a pipeline
+    publishes with every dataset release (docs, token mass, mean
+    length, content uniqueness, short-doc and language fractions) as
+    ONE narrow scan + ONE aggregation, unpivoted to (metric, value)
+    rows with `stack`. Uniqueness counts DISTINCT portable rolling-hash
+    fingerprints (the q_fingerprint polynomial) rather than distinct
+    text — the payload never enters the distinct shuffle, the 100 TB
+    version of `count(DISTINCT text)`. Every value is an integer count
+    or one IEEE division of integer-derived doubles — bit-exact with no
+    decimal machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    token_vals = F.transform(
+        tokens_col(), lambda t: (F.length(t) * 131 + F.ascii(t)).cast("long")
+    )
+    fp = F.aggregate(
+        token_vals, F.lit(7).cast("long"), lambda acc, x: (acc * 31 + x) % 1000003
+    )
+    a = d.select(
+        F.size(tokens_col()).alias("ntok"),
+        F.col("n_chars"),
+        F.col("lang"),
+        fp.alias("fp"),
+    ).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("ntok").cast("double").alias("n_tokens"),
+        (F.sum("ntok").cast("double") / F.count("*").cast("double")).alias(
+            "mean_tokens"
+        ),
+        F.countDistinct("fp").cast("double").alias("n_unique_fp"),
+        (
+            F.sum((F.col("n_chars") < 100).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("pct_short"),
+        (
+            F.sum((F.col("lang") == "en").cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("pct_en"),
+        (
+            F.sum((F.col("lang") == "zh").cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("pct_zh"),
+    )
+    return a.selectExpr(
+        "stack(7, 'n_docs', n_docs, 'n_tokens', n_tokens,"
+        " 'mean_tokens', mean_tokens, 'n_unique_fp', n_unique_fp,"
+        " 'pct_short', pct_short, 'pct_en', pct_en, 'pct_zh', pct_zh)"
+        " as (metric, value)"
+    )
