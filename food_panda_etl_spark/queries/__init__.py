@@ -59,15 +59,15 @@ def _load_all() -> None:
     # then extended as r6 grew): 19 promoted keys lead (3 zero-evidence
     # r5 stragglers + 14 new-in-r6 + 2 changed-in-r6), then the r3-era
     # modules — analytics tail, relational (11), sorts (3) — then
-    # r4-era aggregates/sql_layer/setops; the cut (~50) lands exactly
-    # after setops (q_except at 49). storage/skew_queries/joins/windows
+    # r4-era aggregates/sql_layer; the cut (~50) lands after
+    # q_tpch_q5 (pos 49). setops/storage/skew_queries/joins/windows
     # keep their r4 greens (byte-unchanged, displaced by the r6-new
     # keys — first evidence for new code outranks refreshing green
     # evidence).
     #
     # R7 ROTATION PLAN: promote r7-new/changed keys first, then the
-    # r4-era modules displaced this round (storage, skew_queries,
-    # joins, windows — oldest evidence remaining), then r5-era
+    # r4-era modules displaced this round (setops, storage,
+    # skew_queries, joins, windows — oldest evidence remaining), then r5-era
     # llm_prep/clustering/approx_gates to fill ~50; text/udx/vendor/
     # retrieval/similarity carry r5-or-r6 evidence and can close the
     # file.
