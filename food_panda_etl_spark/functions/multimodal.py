@@ -827,6 +827,17 @@ def resize_images(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, px = _decode_payload(bytes(payload))
+                if w == 0 or h == 0:
+                    # degrade like decode_images, never kill the task:
+                    # a zero-area raster resizes to an empty thumbnail
+                    out["media_id"].append(mid)
+                    out["src_width"].append(w)
+                    out["src_height"].append(h)
+                    out["width"].append(out_w)
+                    out["height"].append(out_h)
+                    out["mean_pixel"].append(0.0)
+                    out["pixels"].append(b"")
+                    continue
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
                 if mode == "nearest":
                     ys = (np.arange(out_h) * h) // out_h

@@ -42,8 +42,19 @@ EOW = "</w>"
 
 
 def _word_symbols(words: DataFrame) -> DataFrame:
-    """word → initial symbol array: characters plus the EOW marker."""
-    chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    """word → initial symbol array: characters plus the EOW marker.
+
+    Characters come from explicit substring indexing, NOT a regex `.`
+    scan: `.` silently drops line terminators, and Java (Spark) and
+    RE2-class (DuckDB) engines disagree on WHICH terminators (\\r,
+    \\u0085, \\u2028...), so regex-split symbols diverge across engines
+    on such input. substring(word, i, 1) has identical per-character
+    semantics everywhere. Guard length=0: Spark sequence(1, 0) counts
+    DOWN (the documented trap), so empty words map to [] + EOW."""
+    chars = F.when(
+        F.length("word") > 0,
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    ).otherwise(F.array().cast("array<string>"))
     return words.select(
         "word", "freq", F.concat(chars, F.array(F.lit(EOW))).alias("syms")
     )

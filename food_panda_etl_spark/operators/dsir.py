@@ -30,7 +30,7 @@ Engine shape (all hash aggregations and vocabulary-sized joins — the
    scale keep tb·RT < 2^63; at true 100 TB counts switch the ratio to
    (tb/TT)/(rb/RT) in doubles — same ordering, two divisions, no
    overflow — documented here because the oracle pins the product
-   form), addends decimal(18,12)-cast so the SUM is order-independent.
+   form), addends decimal(28,10)-cast so the SUM is order-independent.
    Classic DSIR sums log-ratios; the arithmetic mean of ratios is the
    same "is this document target-like" ordering for a threshold rule,
    which is all the filter consumes.
@@ -78,17 +78,8 @@ def dsir_weights(
     threshold is given, so callers can audit the would-be selection
     before resampling.
     """
-    toks = F.split(F.col(text_col), " ")
-    # Guard size<2: Spark sequence(1, 0) counts DOWN (step -1), unlike
-    # DuckDB generate_series which is empty — the documented trap.
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-            f" i -> struct(split({text_col}, ' ')[i-1] AS w1,"
-            f"             split({text_col}, ' ')[i] AS w2))"
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    from food_panda_etl_spark.operators.lm import bigram_pairs
+
     # The fact-sized bigram stream collapses IMMEDIATELY to per-(doc,
     # bucket) counts — everything downstream (raw counts, target
     # counts, totals, the scoring joins, the per-doc mean) derives from
@@ -102,7 +93,7 @@ def dsir_weights(
         df.select(
             F.col(id_col),
             target.cast("int").alias("__tgt"),
-            F.explode(pairs).alias("__bg"),
+            F.explode(bigram_pairs(text_col)).alias("__bg"),
         )
         .select(
             id_col,
@@ -123,10 +114,15 @@ def dsir_weights(
         F.sum("__cnt").alias("__rt"),
         F.sum(F.col("__tgt") * F.col("__cnt")).cast("bigint").alias("__tt"),
     )
+    # ρ quantizes to DECIMAL(28,10): range up to 10^18 covers the
+    # likelihood-ratio ceiling RT/TT even for targets as rare as one
+    # bigram in 10^18 (a narrower (18,12) would silently NULL the MOST
+    # target-like buckets whenever the target is < ~1e-6 of the corpus
+    # — exactly the rare-domain case DSIR exists for).
     rho = (
         (F.coalesce(F.col("__tb"), F.lit(0)) * F.col("__rt")).cast("double")
         / (F.col("__rb") * F.col("__tt")).cast("double")
-    ).cast("decimal(18,12)")
+    ).cast("decimal(28,10)")
     scored = (
         dbg.join(raw_counts, ["__b"])
         .join(tgt_counts, ["__b"], "left")
@@ -135,11 +131,14 @@ def dsir_weights(
         .agg(
             F.sum("__cnt").cast("bigint").alias("n_bigrams"),
             # cnt must enter the product as a NARROW decimal: bigint
-            # promotes to decimal(20,0) and 20+18+1 > 38 makes Spark
-            # round the product's scale (silent low-bit loss). At
-            # decimal(8,0) the product is decimal(27,12) — exact.
+            # promotes to decimal(20,0), overflowing precision 38 and
+            # making Spark silently round the product's scale. At
+            # decimal(9,0) the product is decimal(38,10) — exact. The
+            # 10^9 cap is provably safe: __cnt is a single document's
+            # count of ONE bigram, bounded far below 10^9 by Spark's
+            # 2 GB string-value ceiling.
             (
-                F.sum(F.col("__cnt").cast("decimal(8,0)") * rho).cast("double")
+                F.sum(F.col("__cnt").cast("decimal(9,0)") * rho).cast("double")
                 / F.sum("__cnt").cast("double")
             ).alias("dsir_score"),
         )

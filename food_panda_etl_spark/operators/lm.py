@@ -37,8 +37,26 @@ one per-document aggregation: no window over the fact, no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def bigram_pairs(text_col: str) -> Column:
+    """Adjacent whitespace-token pairs of ``text_col`` as
+    array<struct<w1,w2>> — the shared tokenization of the LM and DSIR
+    scorers (one definition so the two can never drift). Guard size<2:
+    Spark sequence(1, 0) counts DOWN (step defaults to -1), unlike
+    DuckDB generate_series which is empty — the documented cross-engine
+    trap."""
+    toks = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+            f" i -> struct(split({text_col}, ' ')[i-1] AS w1,"
+            f"             split({text_col}, ' ')[i] AS w2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
 def bigram_lm_score(
@@ -56,28 +74,17 @@ def bigram_lm_score(
     a flag so callers can audit what a filter would remove before
     removing it).
     """
-    toks = F.split(F.col(text_col), " ")
-    # 0-based Spark arrays: pairs (i-1, i) for i in 1..size-1. Guard
-    # size<2: Spark sequence(1, 0) counts DOWN (step defaults to -1),
-    # unlike DuckDB generate_series which is empty — the documented
-    # cross-engine trap.
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-            f" i -> struct(split({text_col}, ' ')[i-1] AS w1,"
-            f"             split({text_col}, ' ')[i] AS w2))"
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     # The fact-sized bigram stream collapses to per-(doc, bigram) counts
     # before its first shuffle (the operators/dsir.py compression): the
     # count tables, both scoring joins, and the per-doc mean all run on
     # the compressed table. Σcnt·p in exact decimal ≡ p summed once per
     # gram row (what the SQL oracle does) — cnt enters the product as
-    # decimal(8,0) because a bigint factor promotes to decimal(20,0)
-    # and 20+18+1 > 38 makes Spark silently round the product's scale.
+    # decimal(19,0) (the full bigint range; 19+18+1 = 38 keeps the
+    # product exact) because a raw bigint factor promotes to
+    # decimal(20,0) and 20+18+1 > 38 makes Spark silently round the
+    # product's scale.
     dbg = (
-        df.select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        df.select(F.col(id_col), F.explode(bigram_pairs(text_col)).alias("__bg"))
         .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
         .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("__cnt"))
@@ -95,7 +102,7 @@ def bigram_lm_score(
         .agg(
             F.sum("__cnt").cast("bigint").alias("n_bigrams"),
             (
-                F.sum(F.col("__cnt").cast("decimal(8,0)") * p).cast("double")
+                F.sum(F.col("__cnt").cast("decimal(19,0)") * p).cast("double")
                 / F.sum("__cnt").cast("double")
             ).alias("lm_score"),
         )

@@ -642,7 +642,9 @@ def _bpe_cte_parts(n_merges: int) -> list[str]:
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       GROUP BY word),
     r0 AS MATERIALIZED (SELECT word, freq,
-                  list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+                  list_append(
+                    list_transform(generate_series(1, length(word)),
+                                   i -> word[i:i]), '</w>') AS syms
            FROM wf)"""
     ]
     for k in range(n_merges):
@@ -748,7 +750,7 @@ _DSIR_CTES = f"""w AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
     tot AS (SELECT count(*) AS rt, CAST(sum(tgt) AS BIGINT) AS tt FROM bg),
     s AS (SELECT bg.doc_id,
             CAST(CAST(coalesce(tb, 0) * rt AS DOUBLE)
-                 / CAST(rb * tt AS DOUBLE) AS DECIMAL(18,12)) AS rho
+                 / CAST(rb * tt AS DOUBLE) AS DECIMAL(28,10)) AS rho
           FROM bg JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot)"""
 
 
@@ -837,6 +839,9 @@ def q_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from food_panda_etl_spark.operators.sampling import pps_systematic_sample
 
     d = load_table(spark, sf_dir, "documents")
+    # kept feeds both the sampler input and the final score join;
+    # checkpoint it so the DSIR scoring aggregation executes once
+    # (the bm25-tf / llm-prep survivor-lineage convention).
     kept = (
         dsir_weights(
             d,
@@ -846,6 +851,7 @@ def q_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("keep") == 1)
         .select("doc_id", "dsir_score")
+        .localCheckpoint(eager=False)
     )
     seed = d.select("doc_id", "n_chars").join(kept, "doc_id")
     samp = pps_systematic_sample(seed, "n_chars", k=_SEL_K)

@@ -131,3 +131,20 @@ def test_bpe_encode_counts_match_reference(spark):
         for i, t in enumerate(texts)
     }
     assert got == want
+
+
+def test_bpe_symbols_keep_line_terminators(spark):
+    """Regression: characters come from substring indexing, not a regex
+    '.' scan — '.' drops line terminators, and Java vs RE2 engines even
+    disagree on WHICH, so words containing \\n or \\r must still match
+    the pure-Python [*w] reference exactly."""
+    from food_panda_etl_spark.operators.bpe import bpe_vocab
+
+    texts = ["a\nb a\nb c\rd", "a\nb x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    words_df, _ = bpe_vocab(df, "text", n_merges=2)
+    got = {r["word"]: list(r["syms"]) for r in words_df.collect()}
+    want_merges, want = _python_bpe(texts, 2)
+    assert got == want

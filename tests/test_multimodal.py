@@ -372,3 +372,21 @@ def test_resize_nearest_and_area_match_naive_reference(spark):
             assert bytes(got[i]["pixels"]) == want, (mode, i)
             assert got[i]["width"] == ow and got[i]["height"] == oh
             assert got[i]["mean_pixel"] == sum(want) / len(want)
+
+
+def test_resize_zero_area_degrades(spark):
+    """A zero-area raster must resize to an empty thumbnail, not kill
+    the task (the decode_images degradation convention)."""
+    from food_panda_etl_spark.functions.multimodal import (
+        resize_images,
+        synth_image_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(0, synth_image_payload(0, 5, seed=1)),
+         (1, synth_image_payload(6, 4, seed=2))],
+        "media_id bigint, payload binary",
+    )
+    got = {r["media_id"]: r for r in resize_images(df, 4, 3).collect()}
+    assert bytes(got[0]["pixels"]) == b"" and got[0]["mean_pixel"] == 0.0
+    assert len(bytes(got[1]["pixels"])) == 12

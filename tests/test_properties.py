@@ -378,13 +378,13 @@ def test_dsir_boundary_scores(spark):
     assert got[1] == 0.0
 
 
-def test_dsir_partition_invariant(spark):
+def test_dsir_partition_invariant(spark, sf_dir):
     """Scores are independent of the input partitioning (hash-agg +
     join plan, no order-sensitive float sums: addends are decimal-cast)."""
     from food_panda_etl_spark.operators.dsir import dsir_weights
     from food_panda_etl_spark.tables import load_table
 
-    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = load_table(spark, sf_dir, "documents")
     base = {
         r["doc_id"]: (r["n_bigrams"], r["dsir_score"].hex())
         for r in dsir_weights(d, F.col("lang") == "en").collect()
