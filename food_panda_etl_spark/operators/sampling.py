@@ -41,15 +41,20 @@ def pps_systematic_sample(
     weight_col: str,
     k: int,
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Select ~k rows of ``df`` with probability proportional to the
     integer ``weight_col``. Returns
-    (id_col, weight bigint, cum_weight bigint, n_ticks bigint) — only
-    selected rows; ``n_ticks`` > 1 marks certainty units that absorbed
-    several ticks (callers replicating for true with-replacement
-    semantics multiply by it)."""
+    (id_col, *carry_cols, weight bigint, cum_weight bigint,
+    n_ticks bigint) — only selected rows; ``n_ticks`` > 1 marks
+    certainty units that absorbed several ticks (callers replicating
+    for true with-replacement semantics multiply by it). ``carry_cols``
+    ride through the prefix sum unchanged, so composites keep their
+    upstream scores without a re-join (and without re-executing the
+    upstream pipeline that produced them)."""
     keyed = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col(weight_col).cast("bigint").alias("__w"),
         ((F.col(id_col) * 1315423911) % 1000003).alias("__h"),
     )
@@ -63,6 +68,7 @@ def pps_systematic_sample(
         .filter(F.col("__ticks") > 0)
         .select(
             id_col,
+            *carry_cols,
             F.col("__w").alias("weight"),
             F.col("__cum").cast("bigint").alias("cum_weight"),
             F.col("__ticks").alias("n_ticks"),

@@ -839,9 +839,6 @@ def q_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from food_panda_etl_spark.operators.sampling import pps_systematic_sample
 
     d = load_table(spark, sf_dir, "documents")
-    # kept feeds both the sampler input and the final score join;
-    # checkpoint it so the DSIR scoring aggregation executes once
-    # (the bm25-tf / llm-prep survivor-lineage convention).
     kept = (
         dsir_weights(
             d,
@@ -851,11 +848,15 @@ def q_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("keep") == 1)
         .select("doc_id", "dsir_score")
-        .localCheckpoint(eager=False)
     )
     seed = d.select("doc_id", "n_chars").join(kept, "doc_id")
-    samp = pps_systematic_sample(seed, "n_chars", k=_SEL_K)
-    return samp.join(kept, "doc_id").select(
+    # dsir_score rides through the sampler as a carry column, so the
+    # DSIR scoring aggregation appears exactly once in the plan — no
+    # re-join, no re-execution.
+    samp = pps_systematic_sample(
+        seed, "n_chars", k=_SEL_K, carry_cols=("dsir_score",)
+    )
+    return samp.select(
         "doc_id", "weight", "cum_weight", "n_ticks", "dsir_score"
     )
 
