@@ -130,6 +130,7 @@ HEADLINE = [
     "q_temperature_mix",
     "q_embed_outlier",
     "q_corpus_stats",
+    "q_incremental_agg",
 ]
 
 

@@ -56,8 +56,8 @@ def _load_all() -> None:
     # correctness driver records only the first N (~50) registered
     # queries, so modules still lacking fresh driver evidence register
     # first. Round-6 rotation (VERDICT r5 task 1, executed as written,
-    # then extended as r6 grew): 19 promoted keys lead (3 zero-evidence
-    # r5 stragglers + 14 new-in-r6 + 2 changed-in-r6), then the r3-era
+    # then extended as r6 grew): 20 promoted keys lead (3 zero-evidence
+    # r5 stragglers + 15 new-in-r6 + 2 changed-in-r6), then the r3-era
     # modules — analytics tail, relational (11), sorts (3) — then
     # r4-era aggregates/sql_layer; the cut (~50) lands after
     # q_tpch_q5 (pos 49). setops/storage/skew_queries/joins/windows
@@ -103,11 +103,11 @@ def _load_all() -> None:
     #     own round.
     #   - q_pii_redact / q_shuffle_order / q_bpe_train / q_bpe_encode /
     #     q_dsir_weight / q_image_resize / q_pps_sample /
-    #     q_select_pipeline / q_temperature_mix / q_embed_outlier / q_corpus_stats: NEW in r6 beyond the verdict tasks (PII,
+    #     q_select_pipeline / q_temperature_mix / q_embed_outlier / q_corpus_stats / q_incremental_agg: NEW in r6 beyond the verdict tasks (PII,
     #     training-order shuffle, BPE train+encode, DSIR weighting,
     #     image resize, systematic PPS, the selection composite, and
     #     mT5-style temperature mixing, embedding outlier QA, the
-    #     corpus statistics card).
+    #     corpus statistics card, incremental aggregate maintenance).
     #   - q_approx_quantile_gate / q_heavy_hitters: code CHANGED in r6
     #     (scale-safe exact rank pick, task 2; single-action recount,
     #     task 6) — their r5 greens no longer cover the bytes.
@@ -131,6 +131,7 @@ def _load_all() -> None:
         "q_temperature_mix",
         "q_embed_outlier",
         "q_corpus_stats",
+        "q_incremental_agg",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

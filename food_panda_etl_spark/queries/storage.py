@@ -601,3 +601,73 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_kept").cast("long").alias("n_kept"),
         )
     )
+
+
+@query(
+    "q_incremental_agg",
+    # The oracle is the DIRECT aggregation of the new snapshot — the
+    # q_upsert convention: equality proves maintenance ≡ recompute.
+    oracle="""
+    WITH new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DOUBLE) + 1.0
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM new GROUP BY o_orderstatus
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 incremental aggregate maintenance (r6) — materialized-view
+    refresh from CDC: fold the `snapshot_diff` manifest (the
+    q_snapshot_diff fixtures: every 97th key added, every 89th removed,
+    every 7th price bumped) into the OLD snapshot's per-status
+    (count, sum) aggregate with retraction/insertion deltas — the fact
+    table is never re-aggregated; the refresh is change-proportional.
+    Values are DECIMAL(18,2)-quantized so decimal sums are associative
+    and the maintained aggregate equals the direct recompute of the new
+    snapshot BIT-FOR-BIT — which is exactly what the oracle checks
+    (the q_upsert identity-proof convention, aggregate edition). See
+    `operators/diff.py::incremental_agg_refresh` for the streaming
+    update-mode analogy and 100 TB accounting."""
+    from food_panda_etl_spark.operators.diff import (
+        incremental_agg_refresh,
+        snapshot_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    qold = old.withColumn("__val", F.col("o_totalprice").cast("decimal(18,2)"))
+    qnew = new.withColumn("__val", F.col("o_totalprice").cast("decimal(18,2)"))
+    old_agg = qold.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("cnt"), F.sum("__val").alias("total")
+    )
+    manifest = snapshot_diff(
+        old, new, keys=["o_orderkey"]
+    )
+    refreshed = incremental_agg_refresh(
+        old_agg,
+        manifest,
+        qold,
+        qnew,
+        keys=["o_orderkey"],
+        group_col="o_orderstatus",
+        value_col="__val",
+    )
+    return refreshed.select(
+        "o_orderstatus",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("total").cast("double").alias("total"),
+    )

@@ -74,3 +74,46 @@ def test_upsert_applies_diff_back_to_new(spark):
     )
     want = sorted(tuple(r) for r in new.collect())
     assert got == want
+
+
+def test_incremental_agg_refresh_group_moves_and_vanishes(spark):
+    """The retraction/insertion fold must handle the two tricky CDC
+    cases: a changed row whose GROUP moved (retraction and insertion
+    land in different groups) and a group whose count reaches zero
+    (must disappear from the refreshed aggregate). Maintained result
+    must equal the direct recompute of the new snapshot."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.diff import (
+        incremental_agg_refresh,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 5), (3, "B", 2), (4, "C", 7)],
+        "k long, g string, v long",
+    )
+    new = spark.createDataFrame(
+        # k1 moved A->B, k3 value changed, k4 (the only C) removed,
+        # k5 added into a brand-new group D
+        [(1, "B", 10), (2, "A", 5), (3, "B", 9), (5, "D", 1)],
+        "k long, g string, v long",
+    )
+    old_agg = old.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("cnt"), F.sum("v").alias("total")
+    )
+    got = {
+        r["g"]: (r["cnt"], r["total"])
+        for r in incremental_agg_refresh(
+            old_agg, snapshot_diff(old, new, keys=["k"]), old, new,
+            keys=["k"], group_col="g", value_col="v",
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["cnt"], r["total"])
+        for r in new.groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("cnt"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
+    assert "C" not in got and got["D"] == (1, 1)
