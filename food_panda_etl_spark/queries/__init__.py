@@ -60,7 +60,8 @@ def _load_all() -> None:
     # r5 stragglers + 15 new-in-r6 + 2 changed-in-r6), then the r3-era
     # modules — analytics tail, relational (11), sorts (3) — then
     # r4-era aggregates/sql_layer; the cut (~50) lands after
-    # q_tpch_q5 (pos 49). setops/storage/skew_queries/joins/windows
+    # q_exists_subquery (pos 49; q_tpch_q5 is first out, r4-green).
+    # setops/storage/skew_queries/joins/windows
     # keep their r4 greens (byte-unchanged, displaced by the r6-new
     # keys — first evidence for new code outranks refreshing green
     # evidence).
