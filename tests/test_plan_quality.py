@@ -507,3 +507,51 @@ def test_select_pipeline_plan_clean(spark, sf_dir):
     clean end to end."""
     df = QUERIES["q_select_pipeline"](spark, sf_dir)
     assert lint_plan(df) == []
+
+
+def test_pps_sample_plan_range_partitioned(spark, sf_dir):
+    """q_pps_sample's prefix sum must be the two-phase range-partitioned
+    scheme — a RangePartitioning exchange and NO single-partition window
+    (lint would flag one) — and the total must broadcast, not shuffle."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_pps_sample"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "rangepartitioning" in plan.lower()
+    assert lint_plan(df) == []
+
+
+def test_temperature_mix_rate_table_broadcasts(spark, sf_dir):
+    """q_temperature_mix's keep predicate must join the in-plan rate
+    table via broadcast — the fact rows never shuffle for the join."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    df = QUERIES["q_temperature_mix"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert lint_plan(df) == []
+
+
+def test_corpus_stats_single_scan(spark, sf_dir):
+    """q_corpus_stats promises the dataset card in ONE scan: exactly one
+    parquet scan node (the count-distinct expand reuses it) and no text
+    payload in any exchange (uniqueness shuffles fingerprints)."""
+    from food_panda_etl_spark.plans.lint import explain_formatted
+
+    import re
+
+    df = QUERIES["q_corpus_stats"](spark, sf_dir)
+    plan = explain_formatted(df)
+    # formatted plans print each node twice (tree + detail section);
+    # count distinct scan NODES via their detail headers
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scan_nodes) == 1, scan_nodes
+    for ex_tail in plan.split("Exchange")[1:]:
+        assert "text#" not in ex_tail.split("\n")[0]
+    assert lint_plan(df) == []
+
+
+def test_incremental_agg_plan_clean(spark, sf_dir):
+    """The CDC aggregate refresh must lint clean (its nominal cross join
+    is the broadcast total; the manifest joins are key-equi)."""
+    assert lint_plan(QUERIES["q_incremental_agg"](spark, sf_dir)) == []
