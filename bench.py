@@ -131,6 +131,8 @@ HEADLINE = [
     "q_embed_outlier",
     "q_corpus_stats",
     "q_incremental_agg",
+    "q_tpch_q1",
+    "q_tpch_q6",
 ]
 
 

@@ -196,3 +196,68 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, n_name
         """
     )
+
+
+_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                     * (1 - CAST(l_discount AS DOUBLE))
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                     * (1 - CAST(l_discount AS DOUBLE))
+                     * (1 + CAST(l_tax AS DOUBLE))
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_tpch_q1", oracle=_TPCH_Q1)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — THE canonical scan-heavy
+    single-table aggregation: one full lineitem pass, 8 aggregates over
+    2 grouping columns. The identical SQL string is both the Spark query
+    and the oracle. Determinism per the registry conventions: plain
+    money sums in DECIMAL(18,2); the disc_price/charge addends are 1-2
+    IEEE multiplications of identical doubles (fixed left-assoc
+    parenthesization) quantized to DECIMAL(18,6) before the
+    order-independent SUM; averages divide the exact decimal sums in
+    double space. At 100 TB this is the pure-scan benchmark: predicate
+    pushed to parquet, partial aggregation collapses to
+    |flags×statuses| rows per mapper, the exchange is KB-sized."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_TPCH_Q1)
+
+
+_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                     * CAST(l_discount AS DOUBLE)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+
+@query("q_tpch_q6", oracle=_TPCH_Q6)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — the selective-scan
+    benchmark: three pushed-down predicates, one decimal-quantized
+    product sum, a single output row. The discount bounds are written
+    CAST(0.05 AS DOUBLE) in BOTH engines because a bare 0.05 is DOUBLE
+    in Spark but DECIMAL(3,2) in DuckDB — the documented literal trap —
+    and a decimal-vs-double comparison can disagree at the boundary."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_TPCH_Q6)
