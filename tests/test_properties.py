@@ -425,3 +425,22 @@ def test_pps_sample_ticks_partition_exactly(spark, weights, parts):
     for i, w in enumerate(weights):
         if w * k >= total + k:  # strictly more than T/k in integer terms
             assert i in picked
+
+
+def test_temperature_mix_flattens_distribution(spark, sf_dir):
+    """α=1/2 quota shares must sit strictly between uniform and the raw
+    count shares for every stratum (the definition of flattening), and
+    per-stratum keeps can never exceed availability."""
+    from food_panda_etl_spark.queries import QUERIES
+
+    rows = QUERIES["q_temperature_mix"](spark, sf_dir).collect()
+    n_tot = sum(r["n_total"] for r in rows)
+    q_tot = sum(r["quota"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        raw_share = r["n_total"] / n_tot
+        q_share = r["quota"] / q_tot
+        lo, hi = sorted((raw_share, 1.0 / k))
+        # floor() can nudge a share a hair past the open bound
+        assert lo - 0.02 <= q_share <= hi + 0.02, (r["lang"], q_share, lo, hi)
+        assert r["n_kept"] <= r["n_total"]
