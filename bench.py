@@ -133,6 +133,7 @@ HEADLINE = [
     "q_incremental_agg",
     "q_tpch_q1",
     "q_tpch_q6",
+    "q_nfc_normalize",
 ]
 
 

@@ -56,12 +56,13 @@ def _load_all() -> None:
     # correctness driver records only the first N (~50) registered
     # queries, so modules still lacking fresh driver evidence register
     # first. Round-6 rotation (VERDICT r5 task 1, executed as written,
-    # then extended as r6 grew): 22 promoted keys lead (3 zero-evidence
-    # r5 stragglers + 17 new-in-r6 + 2 changed-in-r6), then the r3-era
+    # then extended as r6 grew): 23 promoted keys lead (3 zero-evidence
+    # r5 stragglers + 18 new-in-r6 + 2 changed-in-r6), then the r3-era
     # modules — analytics tail, relational (11), sorts (3) — then
     # r4-era aggregates/sql_layer; the cut (~50) lands after
-    # q_tpch_q3 (pos 49; grouping_sets/exists/tpch_q5 are first out,
-    # all r4-green). setops/storage/skew_queries/joins/windows
+    # q_scalar_subquery (pos 49; tpch_q3/grouping_sets/exists/tpch_q5
+    # are first out, all r4-green).
+    # setops/storage/skew_queries/joins/windows
     # keep their r4 greens (byte-unchanged, displaced by the r6-new
     # keys — first evidence for new code outranks refreshing green
     # evidence).
@@ -104,13 +105,13 @@ def _load_all() -> None:
     #     own round.
     #   - q_pii_redact / q_shuffle_order / q_bpe_train / q_bpe_encode /
     #     q_dsir_weight / q_image_resize / q_pps_sample /
-    #     q_select_pipeline / q_temperature_mix / q_embed_outlier / q_corpus_stats / q_incremental_agg / q_tpch_q1 / q_tpch_q6: NEW
-    #     in r6 beyond the verdict tasks (PII,
+    #     q_select_pipeline / q_temperature_mix / q_embed_outlier / q_corpus_stats / q_incremental_agg / q_tpch_q1 / q_tpch_q6 / q_nfc_normalize:
+    #     NEW in r6 beyond the verdict tasks (PII,
     #     training-order shuffle, BPE train+encode, DSIR weighting,
     #     image resize, systematic PPS, the selection composite, and
     #     mT5-style temperature mixing, embedding outlier QA, the
     #     corpus statistics card, incremental aggregate maintenance, and
-    #     the TPC-H Q1/Q6 scan benchmarks).
+    #     the TPC-H Q1/Q6 scan benchmarks, Unicode NFC normalization).
     #   - q_approx_quantile_gate / q_heavy_hitters: code CHANGED in r6
     #     (scale-safe exact rank pick, task 2; single-action recount,
     #     task 6) — their r5 greens no longer cover the bytes.
@@ -137,6 +138,7 @@ def _load_all() -> None:
         "q_incremental_agg",
         "q_tpch_q1",
         "q_tpch_q6",
+        "q_nfc_normalize",
         "q_approx_quantile_gate",
         "q_heavy_hitters",
     ]

@@ -961,3 +961,53 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'pct_short', pct_short, 'pct_en', pct_en, 'pct_zh', pct_zh)"
         " as (metric, value)"
     )
+
+
+@query(
+    "q_nfc_normalize",
+    # chr(769)=U+0301 combining acute, chr(233)=é composed,
+    # chr(778)=U+030A combining ring — the suffix mix makes `changed`
+    # a real split (decomposed suffixes normalize, the composed one
+    # does not), the injected-observability convention.
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text[1:20] || CASE doc_id % 3
+               WHEN 0 THEN 'e' || chr(769)
+               WHEN 1 THEN chr(233)
+               ELSE 'A' || chr(778) END AS s
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(s) AS INT) AS n_before,
+           CAST(length(nfc_normalize(s)) AS INT) AS n_after,
+           CAST(s <> nfc_normalize(s) AS INT) AS changed
+    FROM raw
+    """,
+)
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Unicode NFC normalization (r6) — the canonicalization
+    every dedup/fingerprint pipeline runs before hashing: codepoint
+    variants of identical text ("é" vs "e"+U+0301) must hash the same
+    or exact dedup silently misses. No JVM built-in exists, so this is
+    a justified Arrow-batched pandas_udf (`functions/textnorm.py`);
+    the oracle is DuckDB's independent `nfc_normalize` — the driver
+    hash proves Python's unicodedata and DuckDB implement canonical
+    composition identically. The corpus is ASCII, so each doc gets a
+    deterministic suffix (two decomposed, one composed) making both
+    the length change and the changed flag observable splits. Pure
+    narrow projection — no shuffle at any scale."""
+    from food_panda_etl_spark.functions.textnorm import nfc
+
+    d = load_table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(F.lit("é"), F.lit("é"), F.lit("Å")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    raw = F.concat(F.substring("text", 1, 20), suffix)
+    out = d.select("doc_id", raw.alias("__s"), nfc(raw).alias("__n"))
+    return out.select(
+        "doc_id",
+        F.length("__s").cast("int").alias("n_before"),
+        F.length("__n").cast("int").alias("n_after"),
+        (F.col("__s") != F.col("__n")).cast("int").alias("changed"),
+    )

@@ -444,3 +444,23 @@ def test_temperature_mix_flattens_distribution(spark, sf_dir):
         # floor() can nudge a share a hair past the open bound
         assert lo - 0.02 <= q_share <= hi + 0.02, (r["lang"], q_share, lo, hi)
         assert r["n_kept"] <= r["n_total"]
+
+
+def test_unicode_normalization_forms(spark):
+    """NFC composes combining sequences without folding compatibility
+    characters; NFKC additionally folds ligatures/width variants — and
+    both must be idempotent."""
+    from food_panda_etl_spark.functions.textnorm import nfc, nfkc
+
+    rows = [(0, "é"), (1, "ﬁle"), (2, "ｆｕｌｌ"), (3, "é")]
+    df = spark.createDataFrame(rows, "i long, s string")
+    out = {
+        r["i"]: (r["c"], r["k"])
+        for r in df.select(
+            "i", nfc(F.col("s")).alias("c"), nfkc(F.col("s")).alias("k")
+        ).collect()
+    }
+    assert out[0] == ("é", "é")          # composed by both
+    assert out[1] == ("ﬁle", "file")  # ligature folds only under NFKC
+    assert out[2][0] == "ｆｕｌｌ" and out[2][1] == "full"
+    assert out[3] == ("é", "é")          # idempotent on already-NFC
