@@ -50,8 +50,14 @@ def pps_systematic_sample(
     certainty units that absorbed several ticks (callers replicating
     for true with-replacement semantics multiply by it). ``carry_cols``
     ride through the prefix sum unchanged, so composites keep their
-    upstream scores without a re-join (and without re-executing the
-    upstream pipeline that produced them)."""
+    upstream scores without a re-join.
+
+    NB for composite callers: the prefix-sum machinery references
+    ``df`` three times (per-partition totals, offsets, main pass) plus
+    the grand-total aggregate — a cheap scan re-executes harmlessly,
+    but an EXPENSIVE upstream pipeline should be lazily checkpointed
+    before being passed in (see q_select_pipeline; measured 5.0 → 3.6 s
+    at sf0.1)."""
     keyed = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],

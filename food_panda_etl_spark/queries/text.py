@@ -849,10 +849,16 @@ def q_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep") == 1)
         .select("doc_id", "dsir_score")
     )
-    seed = d.select("doc_id", "n_chars").join(kept, "doc_id")
-    # dsir_score rides through the sampler as a carry column, so the
-    # DSIR scoring aggregation appears exactly once in the plan — no
-    # re-join, no re-execution.
+    # dsir_score rides through the sampler as a carry column (no
+    # re-join), and the seed is lazily checkpointed because the
+    # sampler's prefix-sum machinery references its input three times
+    # (per-partition totals, offsets, main pass) — without the
+    # checkpoint the whole DSIR subtree re-executes per reference.
+    seed = (
+        d.select("doc_id", "n_chars")
+        .join(kept, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     samp = pps_systematic_sample(
         seed, "n_chars", k=_SEL_K, carry_cols=("dsir_score",)
     )
