@@ -436,3 +436,51 @@ def test_dedup_state_eviction_readmits_old_key(spark, out_dir):
         [(r["event_id"],) for b in batches for r in b], "event_id long"
     )
     assert streaming_dedup(batch_df, ["event_id"]).count() == 3
+
+
+def test_stream_static_enrich_equals_batch(spark, out_dir):
+    """Stream-static left enrichment must equal the batch join on the
+    same fixture, keep events with unknown keys (NULL attributes), and
+    run without watermarks or state."""
+    from food_panda_etl_spark.streaming.ops import enrich_stream
+
+    src = _write_files(
+        out_dir,
+        [
+            [_event(1, "2024-01-01 10:00:00", user=1),
+             _event(2, "2024-01-01 10:05:00", user=2)],
+            [_event(3, "2024-01-01 10:10:00", user=3),   # no dim row
+             _event(4, "2024-01-01 10:15:00", user=1)],
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (9, "unused")],
+        "user_id long, segment string",
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).json(src)
+    out = os.path.join(out_dir, "enrich_out")
+    q = (
+        enrich_stream(stream, dim)
+        .select("event_id", "user_id", "segment")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(out_dir, "enrich_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["user_id"], r["segment"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.read.schema(schema).json(src)
+    want = {
+        r["event_id"]: (r["user_id"], r["segment"])
+        for r in enrich_stream(batch, dim)
+        .select("event_id", "user_id", "segment")
+        .collect()
+    }
+    assert got == want
+    assert got[3] == (3, None)   # unknown key kept, attribute NULL
+    assert got[1] == (1, "gold") and got[4] == (1, "gold")
