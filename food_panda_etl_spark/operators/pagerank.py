@@ -1,0 +1,83 @@
+"""Distributed PageRank over a DataFrame edge list — the fourth
+iterative algorithm in the engine (after connected components, k-means,
+and BPE training), and the centrality primitive a curation pipeline
+uses where `components.py` picks min-id representatives: inside a
+near-duplicate cluster, keep the most LINKED-TO document (the one other
+pages/documents reference), not an arbitrary id.
+
+Per power-iteration round (GraphX PageRank semantics on DataFrames):
+
+1. contributions — edges ⋈ current ranks ⋈ out-degrees, each edge
+   carries rank/outdeg to its destination: one keyed equi-join pair,
+   both sides hash-partitioned on the edge key;
+2. new ranks — one hash aggregation of contributions per destination,
+   then the damping blend (1−d)/N + d·Σ — a left join back onto the
+   node set so sink-only nodes keep receiving the teleport term.
+
+Determinism (the repo's float-sum convention): each contribution is one
+IEEE division of a rank double by an integer-derived degree double,
+quantized to DECIMAL(18,12) before the order-independent SUM — so every
+round is bit-identical under ANY partitioning (property-tested), the
+same discipline that makes k-means rounds oracle-replayable. Dangling
+mass (nodes with no out-edges) is dropped rather than redistributed —
+the common simplification; ranks then sum to < 1, which is fine for the
+RANKING use (tests pin the exact choice against an independent Python
+reference implementing the same variant).
+
+Collect inventory: the node count N (one scalar) — the k-means
+centroid-budget convention. Lineage is truncated every round with a
+lazy localCheckpoint (the connected-components convention), so round k
+does not replay rounds 1..k−1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Ranks after ``n_iter`` power-iteration rounds.
+
+    Returns (id_col, rank double). ``edges`` is directed; parallel
+    edges contribute multiply (pre-`distinct` them if unwanted)."""
+    n = nodes.count()
+    outdeg = edges.groupBy(src_col).agg(F.count("*").alias("__deg"))
+    ranks = nodes.select(
+        F.col(id_col), F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=False)
+    teleport = F.lit((1.0 - damping) / n)
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges[src_col] == ranks[id_col])
+            .join(outdeg, src_col)
+            .select(
+                F.col(dst_col).alias("__to"),
+                (
+                    F.col("rank") / F.col("__deg").cast("double")
+                ).cast("decimal(18,12)").alias("__c"),
+            )
+            .groupBy("__to")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes[id_col] == contribs["__to"], "left")
+            .select(
+                F.col(id_col),
+                (
+                    teleport
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__in").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
