@@ -1,0 +1,87 @@
+"""Pointwise mutual information over sliding-window token co-occurrence
+— the classic corpus-association operator (collocation mining, phrase
+detection, word2vec-era embedding preprocessing): which token pairs
+occur together far more often than chance?
+
+Engine shape:
+
+1. pair generation — for each position i, the pairs (tok[i], tok[i+j])
+   for j = 1..window, produced by one NARROW higher-order projection
+   (flatten of per-position transforms) — no self-join on position, no
+   shuffle before counting; the generated stream is fact-sized × window;
+2. counts — one pair hash-agg and one unigram hash-agg;
+3. association — classic PMI is log(C(ab)·T / (C(a)·C(b))). The log is
+   monotone, so the engine ranks by the RATIO C(ab)·T / (C(a)·C(b))
+   instead (the repo's log-free determinism convention): numerator and
+   denominator are exact integer products (C ≤ ~10^9 and T ≤ ~10^9 at
+   fixture scales keeps both < 2^63; at true corpus scale divide the
+   doubles (C(ab)/T) / ((C(a)/T)·(C(b)/T)) — same ordering), the ratio
+   is ONE IEEE division, bit-identical in any engine;
+4. pruning — a min-count floor (PMI is notoriously noisy on rare pairs)
+   and a top-k by (ratio, pair) total order.
+
+Unigram joins are vocabulary-sized and unhinted (AQE broadcasts when
+they fit — the q_tfidf/q_bm25 reasoning). Pairs are UNORDERED: (a, b)
+is canonicalized to a <= b at generation, so "new york" and "york new"
+accumulate together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` token pairs by the log-free PMI ratio.
+
+    Returns (w1, w2, pair_cnt bigint, ratio double) with w1 <= w2,
+    ordered by (ratio DESC, w1, w2) — a total order, so the LIMIT is
+    deterministic."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"""flatten(transform(split({text_col}, ' '),
+                 (t, i) -> filter(transform(sequence(1, {int(window)}),
+                    j -> CASE WHEN i + j < size(split({text_col}, ' '))
+                         THEN struct(
+                           least(t, split({text_col}, ' ')[i + j]) AS a,
+                           greatest(t, split({text_col}, ' ')[i + j]) AS b)
+                         ELSE NULL END),
+                    p -> p IS NOT NULL)))"""
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pg = df.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.a").alias("w1"), F.col("__p.b").alias("w2")
+    ).localCheckpoint(eager=False)
+    pc = pg.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
+    # unigram occurrences counted over the SAME pair stream (each token
+    # occurrence appears once per pair it joins), keeping numerator and
+    # denominator on one consistent sample space
+    ug = (
+        pg.select(F.explode(F.array("w1", "w2")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("__u"))
+    )
+    total = pg.agg(F.count("*").alias("__t"))
+    u1 = ug.select(F.col("w").alias("w1"), F.col("__u").alias("__u1"))
+    u2 = ug.select(F.col("w").alias("w2"), F.col("__u").alias("__u2"))
+    ratio = (F.col("pair_cnt") * F.col("__t")).cast("double") / (
+        F.col("__u1") * F.col("__u2")
+    ).cast("double")
+    return (
+        pc.filter(F.col("pair_cnt") >= int(min_count))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "pair_cnt", ratio.alias("ratio"))
+        .orderBy(F.desc("ratio"), "w1", "w2")
+        .limit(int(k))
+    )

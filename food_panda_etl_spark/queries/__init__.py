@@ -67,9 +67,9 @@ def _load_all() -> None:
     # keys — first evidence for new code outranks refreshing green
     # evidence).
     #
-    # R7 ROTATION PLAN: declare + promote a q_pagerank query
-    # (operators/pagerank.py landed r6 with property tests only — the
-    # window was full) and other r7-new/changed keys first, then the
+    # R7 ROTATION PLAN: declare + promote q_pagerank and q_pmi queries
+    # (operators/pagerank.py + operators/pmi.py landed r6 with property
+    # tests only — the window was full) and other r7-new/changed keys first, then the
     # r4-era modules displaced this round (setops, storage,
     # skew_queries, joins, windows — oldest evidence remaining), then r5-era
     # llm_prep/clustering/approx_gates to fill ~50; text/udx/vendor/
