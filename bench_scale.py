@@ -483,6 +483,55 @@ def main() -> None:
         )
         d.unpersist()
 
+    # PageRank (r6): per round one keyed equi-join pair + one hash agg
+    # — expected linear in |edges| at fixed rounds. Synthetic digraph:
+    # 4 hash-derived out-edges per node.
+    from food_panda_etl_spark.operators.pagerank import pagerank
+
+    curves["pagerank"] = {}
+    pr_sizes = [20_000, 80_000] + ([] if quick or r5_only else [320_000])
+    if r5_only:
+        pr_sizes = []
+    for n in pr_sizes:
+        nodes = spark.range(n).select(F.col("id"))
+        edges = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("src"),
+                F.explode(
+                    F.array(*[
+                        F.pmod(F.xxhash64(F.col("id") * 4 + j), F.lit(n))
+                        for j in range(4)
+                    ])
+                ).alias("dst"),
+            )
+            .cache()
+        )
+        edges.count()
+        curves["pagerank"][n] = timed(
+            lambda: pagerank(nodes, edges, n_iter=3)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        edges.unpersist()
+
+    # PMI (r6): pair generation is a narrow projection ×window, then
+    # two hash aggs + vocabulary joins — expected near-linear.
+    from food_panda_etl_spark.operators.pmi import pmi_pairs
+
+    curves["pmi"] = {}
+    for n in pr_sizes:
+        d = synth_documents(spark, n, None).cache()
+        d.count()
+        curves["pmi"][n] = timed(
+            lambda: pmi_pairs(d, window=3, min_count=5, k=50)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        d.unpersist()
+
     # BPE (r6): training cost = ONE linear corpus histogram + rounds ×
     # O(vocab). With the synth vocab FIXED at 5000 words, growing the
     # corpus 4× should grow bpe_train far slower than 4× (only the

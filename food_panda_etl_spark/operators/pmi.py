@@ -44,33 +44,47 @@ def pmi_pairs(
     Returns (w1, w2, pair_cnt bigint, ratio double) with w1 <= w2,
     ordered by (ratio DESC, w1, w2) — a total order, so the LIMIT is
     deterministic."""
-    toks = F.split(F.col(text_col), " ")
+    # materialize the token array BEFORE the lambdas capture it: a
+    # split() expression inside a higher-order lambda re-evaluates per
+    # element (the quadratic trap operators/dedup.py::_shingles and
+    # queries/text.py document — re-splitting tokens×window times per
+    # doc measured 30 s vs 3 s at 20k docs)
+    with_toks = df.select(F.split(F.col(text_col), " ").alias("__toks"))
     pairs = F.when(
-        F.size(toks) >= 2,
+        F.size(F.col("__toks")) >= 2,
         F.expr(
-            f"""flatten(transform(split({text_col}, ' '),
+            f"""flatten(transform(__toks,
                  (t, i) -> filter(transform(sequence(1, {int(window)}),
-                    j -> CASE WHEN i + j < size(split({text_col}, ' '))
+                    j -> CASE WHEN i + j < size(__toks)
                          THEN struct(
-                           least(t, split({text_col}, ' ')[i + j]) AS a,
-                           greatest(t, split({text_col}, ' ')[i + j]) AS b)
+                           least(t, __toks[i + j]) AS a,
+                           greatest(t, __toks[i + j]) AS b)
                          ELSE NULL END),
                     p -> p IS NOT NULL)))"""
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    pg = df.select(F.explode(pairs).alias("__p")).select(
+    pg = with_toks.select(F.explode(pairs).alias("__p")).select(
         F.col("__p.a").alias("w1"), F.col("__p.b").alias("w2")
-    ).localCheckpoint(eager=False)
-    pc = pg.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
-    # unigram occurrences counted over the SAME pair stream (each token
-    # occurrence appears once per pair it joins), keeping numerator and
-    # denominator on one consistent sample space
-    ug = (
-        pg.select(F.explode(F.array("w1", "w2")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("__u"))
     )
-    total = pg.agg(F.count("*").alias("__t"))
+    # the fact×window pair stream has exactly ONE consumer (the pair
+    # count) — never cached; unigram masses and the grand total derive
+    # from the vocabulary²-bounded count table, which is what gets the
+    # lazy checkpoint for its three consumers (the DSIR/LM compression
+    # pattern — checkpointing the 48M-row raw stream instead measured
+    # 76 s vs 13 s at 320k docs)
+    pc = (
+        pg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    # unigram occurrences over the SAME pair sample space (each token
+    # occurrence counts once per pair it joins)
+    ug = (
+        pc.select(F.explode(F.array("w1", "w2")).alias("w"), "pair_cnt")
+        .groupBy("w")
+        .agg(F.sum("pair_cnt").alias("__u"))
+    )
+    total = pc.agg(F.sum("pair_cnt").alias("__t"))
     u1 = ug.select(F.col("w").alias("w1"), F.col("__u").alias("__u1"))
     u2 = ug.select(F.col("w").alias("w2"), F.col("__u").alias("__u2"))
     ratio = (F.col("pair_cnt") * F.col("__t")).cast("double") / (
