@@ -17,9 +17,14 @@ Scale shape — the part worth copying:
   corpus size. ONE exchange per iteration total.
 - Determinism: distances are fixed-order double folds (zip_with over the
   vector and a literal array), ties broken by cell id via lexicographic
-  struct-least; centroid means quantize addends to DECIMAL(18,9) (exact,
-  order-independent — the repo's standard cross-engine float-sum
-  convention). Every iteration is therefore bit-identical across engines
+  struct-least; centroid means quantize addends onto the 1e-9 INTEGER
+  grid — round(v·1e9) as BIGINT, half-away-from-zero in both engines —
+  then sum exactly. NOT a decimal cast: float32-sourced values are
+  short-mantissa dyadics whose decimal expansions CAN terminate exactly
+  on a ...5 at digit 10 (e.g. 0.1494140625), and Spark (HALF_UP) vs
+  DuckDB (HALF_EVEN) break that decimal-cast tie differently — a real
+  sf0.1 hash mismatch; round() on the identical double has identical
+  tie semantics everywhere. Every iteration is bit-identical across engines
   and any partitioning, which is what lets a DuckDB oracle replay the
   same rounds and hash-match the result.
 - The JVM zip_with fold is interpreted (HOFs don't codegen) — the
@@ -129,8 +134,13 @@ def lloyd_refine(
             .groupBy("cell", "dim")
             .agg(
                 (
-                    F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast(
-                        "double"
+                    (
+                        F.sum(
+                            F.round(
+                                F.col("v").cast("double") * 1000000000.0
+                            ).cast("bigint")
+                        ).cast("double")
+                        / F.lit(1000000000.0)
                     )
                     / F.count("*").cast("double")
                 ).alias("c")

@@ -5,8 +5,11 @@ bit-for-bit.
 
 Why that works (operators/kmeans.py): distances are fixed-order double
 folds against literal centroids, argmin ties break on cell id, centroid
-means quantize addends to DECIMAL(18,9) — every round's output doubles
-are therefore identical in both engines, so the fixpoint-free finite
+means quantize addends onto the 1e-9 integer grid (round(v·1e9) as
+BIGINT — identical tie semantics in both engines, unlike a decimal cast
+whose HALF_UP/HALF_EVEN difference fires on float32 dyadics that
+terminate on a decimal ...5) — every round's output doubles are
+therefore identical in both engines, so the fixpoint-free finite
 iteration is exactly replayable in SQL.
 """
 
@@ -70,7 +73,10 @@ def _kmeans_ctes(k: int, iters: int) -> list[str]:
         ctes.append(
             f"""m{r} AS (
       SELECT cell, CAST(j - 1 AS INT) AS dim,
-             CAST(SUM(CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             (CAST(SUM(CAST(round(CAST(embedding[j] AS DOUBLE)
+                                  * CAST(1000000000 AS DOUBLE)) AS BIGINT))
+                   AS DOUBLE)
+              / CAST(1000000000 AS DOUBLE))
                / CAST(count(*) AS DOUBLE) AS c
       FROM e{r} GROUP BY cell, j)"""
         )

@@ -665,7 +665,10 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(i - 1 AS INT) AS dim,
-           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           (CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+                                 * CAST(1000000000 AS DOUBLE)) AS BIGINT))
+                  AS DOUBLE)
+             / CAST(1000000000 AS DOUBLE))
              / CAST(count(*) AS DOUBLE) AS centroid
     FROM ex
     GROUP BY label, i
@@ -678,16 +681,25 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     value) then ONE hash aggregation — partial aggregation collapses each
     mapper's contribution to |labels|·dim rows before the shuffle, so the
     exchange is KB-sized regardless of corpus size; the vectors
-    themselves never shuffle. Addends quantize to DECIMAL(18,9) before
-    summing (exact, order-independent); a binary double can never land
-    exactly on a 1e-9 rounding tie (0.5e-9 is not dyadic), so the
-    quantization itself is engine-agnostic — the repo's standard
-    cross-engine float-sum convention."""
+    themselves never shuffle. Addends quantize onto the 1e-9 INTEGER
+    grid — round(v·1e9) as BIGINT, identical half-away-from-zero ties
+    in both engines — then sum exactly. A decimal(18,9) cast is NOT
+    engine-agnostic here: float32-sourced values are short-mantissa
+    dyadics whose decimal expansion can terminate exactly on a ...5 at
+    digit 10 (0.1494140625 does), and Spark HALF_UP vs DuckDB HALF_EVEN
+    break that tie differently — a real sf0.1 mismatch, fixed r6."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
     return ex.groupBy("label", "dim").agg(
         (
-            F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double") * 1000000000.0).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.lit(1000000000.0)
+            )
             / F.count("*").cast("double")
         ).alias("centroid")
     )
@@ -703,8 +715,11 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings),
     cent AS (
       SELECT label, i,
-             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
-                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+             (CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+                                 * CAST(1000000000 AS DOUBLE)) AS BIGINT))
+                   AS DOUBLE)
+              / CAST(1000000000 AS DOUBLE))
+             / CAST(count(*) AS DOUBLE) AS c
       FROM ex GROUP BY label, i),
     d AS (
       SELECT ex.vec_id, ex.label,
@@ -734,7 +749,14 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = e.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
     cent = ex.groupBy("label", "dim").agg(
         (
-            F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double") * 1000000000.0).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.lit(1000000000.0)
+            )
             / F.count("*").cast("double")
         ).alias("c")
     )
