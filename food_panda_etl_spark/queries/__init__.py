@@ -20,6 +20,15 @@ Determinism conventions (SURVEY.md §7 "hard parts"):
   differs by 1 ulp after cast. Keep summed scales small and magnitudes
   bounded; multi-moment statistics (corr/covar assembled from big
   moments) are NOT oracle-safe — don't declare them oracled.
+- Double→decimal addend casts are safe ONLY for full-mantissa doubles
+  (products, divisions, sqrt — their decimal expansions cannot
+  terminate on the rounding digit). FLOAT32-sourced values are
+  short-mantissa dyadics that CAN terminate exactly on a ...5 at the
+  tie digit (0.1494140625 at scale 9), and Spark (HALF_UP) vs DuckDB
+  (HALF_EVEN) break that tie differently — found by an sf0.1 sweep,
+  r6. For raw float32 columns quantize on the INTEGER grid instead:
+  CAST(round(v·1e9) AS BIGINT), one rounding with identical
+  half-away-from-zero semantics in both engines, then sum exactly.
 - Temporal outputs: strings (date_format/strftime) or integer epochs.
 - Ranking windows: always a total order (unique tie-break column).
 - Int widths: explicit CASTs so Spark and DuckDB agree (INT vs BIGINT).
