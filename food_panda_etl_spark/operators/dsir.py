@@ -30,7 +30,9 @@ Engine shape (all hash aggregations and vocabulary-sized joins — the
    scale keep tb·RT < 2^63; at true 100 TB counts switch the ratio to
    (tb/TT)/(rb/RT) in doubles — same ordering, two divisions, no
    overflow — documented here because the oracle pins the product
-   form), addends decimal(28,10)-cast so the SUM is order-independent.
+   form), addends quantized onto the 1e-10 integer grid (round(ρ·1e10)
+   as BIGINT — identical tie semantics in both engines, unlike a
+   decimal cast) so the SUM is exact and order-independent.
    Classic DSIR sums log-ratios; the arithmetic mean of ratios is the
    same "is this document target-like" ordering for a threshold rule,
    which is all the filter consumes.
@@ -85,10 +87,10 @@ def dsir_weights(
     # counts, totals, the scoring joins, the per-doc mean) derives from
     # this compressed table, so the checkpointed object and both join
     # inputs are bounded by docs × min(buckets, grams-per-doc). The
-    # per-doc sum Σcnt·ρ is EXACT decimal multiplication of the shared
-    # per-bucket ρ, bit-identical to summing ρ once per gram row (what
-    # the SQL oracle does) — compression changes the plan, not one bit
-    # of the result.
+    # per-doc sum Σcnt·ρ is EXACT integer multiplication of the shared
+    # per-bucket ρ grid value, bit-identical to summing ρ once per gram
+    # row (what the SQL oracle does) — compression changes the plan,
+    # not one bit of the result.
     dbg = (
         df.select(
             F.col(id_col),
@@ -114,15 +116,21 @@ def dsir_weights(
         F.sum("__cnt").alias("__rt"),
         F.sum(F.col("__tgt") * F.col("__cnt")).cast("bigint").alias("__tt"),
     )
-    # ρ quantizes to DECIMAL(28,10): range up to 10^18 covers the
-    # likelihood-ratio ceiling RT/TT even for targets as rare as one
-    # bigram in 10^18 (a narrower (18,12) would silently NULL the MOST
-    # target-like buckets whenever the target is < ~1e-6 of the corpus
+    # ρ quantizes onto the 1e-10 INTEGER grid — round(ρ·1e10) as BIGINT
+    # — not a decimal cast: an integer ratio CAN be a dyadic landing
+    # exactly on the decimal tie digit where Spark (HALF_UP) and DuckDB
+    # (HALF_EVEN) diverge (the r6 centroid lesson). The bigint grid
+    # also covers the likelihood-ratio ceiling RT/TT up to ~10^8 for
+    # rare targets (grid ≤ 1e18; a decimal(18,12) would have silently
+    # NULLed the MOST target-like buckets below target fraction ~1e-6
     # — exactly the rare-domain case DSIR exists for).
-    rho = (
-        (F.coalesce(F.col("__tb"), F.lit(0)) * F.col("__rt")).cast("double")
-        / (F.col("__rb") * F.col("__tt")).cast("double")
-    ).cast("decimal(28,10)")
+    rho = F.round(
+        (
+            (F.coalesce(F.col("__tb"), F.lit(0)) * F.col("__rt")).cast("double")
+            / (F.col("__rb") * F.col("__tt")).cast("double")
+        )
+        * 10000000000.0
+    ).cast("bigint")
     scored = (
         dbg.join(raw_counts, ["__b"])
         .join(tgt_counts, ["__b"], "left")
@@ -130,15 +138,14 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(
             F.sum("__cnt").cast("bigint").alias("n_bigrams"),
-            # cnt must enter the product as a NARROW decimal: bigint
-            # promotes to decimal(20,0), overflowing precision 38 and
-            # making Spark silently round the product's scale. At
-            # decimal(9,0) the product is decimal(38,10) — exact. The
-            # 10^9 cap is provably safe: __cnt is a single document's
-            # count of ONE bigram, bounded far below 10^9 by Spark's
-            # 2 GB string-value ceiling.
+            # cnt·grid stays in int64 for any realistic per-(doc,
+            # bucket) count (cnt bounded far below 10^9 by the 2 GB
+            # string ceiling; grid ≤ ~1e10·ratio)
             (
-                F.sum(F.col("__cnt").cast("decimal(9,0)") * rho).cast("double")
+                (
+                    F.sum(F.col("__cnt") * rho).cast("double")
+                    / F.lit(10000000000.0)
+                )
                 / F.sum("__cnt").cast("double")
             ).alias("dsir_score"),
         )

@@ -92,9 +92,17 @@ def bigram_lm_score(
     )
     cbig = dbg.groupBy("w1", "w2").agg(F.sum("__cnt").alias("__cbig"))
     cctx = dbg.groupBy("w1").agg(F.sum("__cnt").alias("__cctx"))
-    p = (
-        F.col("__cbig").cast("double") / F.col("__cctx").cast("double")
-    ).cast("decimal(18,12)")
+    # p quantizes onto the 1e-12 INTEGER grid — round(p·1e12) as BIGINT
+    # — not a decimal cast: an integer ratio cbig/cctx CAN be a dyadic
+    # with exactly 13 fractional bits (1/8192 = 0.0001220703125), which
+    # lands exactly on the scale-12 decimal tie where Spark (HALF_UP)
+    # and DuckDB (HALF_EVEN) diverge; round() on the identical double
+    # has identical tie semantics everywhere (the r6 centroid lesson).
+    # Grid products stay in int64: grid ≤ 1e12 (p ≤ 1) × cnt ≤ ~1e6.
+    p_grid = F.round(
+        (F.col("__cbig").cast("double") / F.col("__cctx").cast("double"))
+        * 1000000000000.0
+    ).cast("bigint")
     scored = (
         dbg.join(cbig, ["w1", "w2"])
         .join(cctx, ["w1"])
@@ -102,7 +110,10 @@ def bigram_lm_score(
         .agg(
             F.sum("__cnt").cast("bigint").alias("n_bigrams"),
             (
-                F.sum(F.col("__cnt").cast("decimal(19,0)") * p).cast("double")
+                (
+                    F.sum(F.col("__cnt") * p_grid).cast("double")
+                    / F.lit(1000000000000.0)
+                )
                 / F.sum("__cnt").cast("double")
             ).alias("lm_score"),
         )

@@ -16,9 +16,13 @@ Per power-iteration round (GraphX PageRank semantics on DataFrames):
 
 Determinism (the repo's float-sum convention): each contribution is one
 IEEE division of a rank double by an integer-derived degree double,
-quantized to DECIMAL(18,12) before the order-independent SUM — so every
-round is bit-identical under ANY partitioning (property-tested), the
-same discipline that makes k-means rounds oracle-replayable. Dangling
+quantized onto the 1e-12 INTEGER grid (round(c·1e12) as BIGINT —
+identical half-away-from-zero tie semantics in both engines; a decimal
+cast is NOT safe here because round-1 contributions are dyadic integer
+ratios that can land exactly on the decimal tie digit) before the exact
+integer SUM — so every round is bit-identical under ANY partitioning
+(property-tested), the same discipline that makes k-means rounds
+oracle-replayable. Dangling
 mass (nodes with no out-edges) is dropped rather than redistributed —
 the common simplification; ranks then sum to < 1, which is fine for the
 RANKING use (tests pin the exact choice against an independent Python
@@ -56,14 +60,22 @@ def pagerank(
     ).localCheckpoint(eager=False)
     teleport = F.lit((1.0 - damping) / n)
     for _ in range(n_iter):
+        # contributions quantize onto the 1e-12 INTEGER grid —
+        # round(c·1e12) as BIGINT, identical half-away ties in both
+        # engines — NOT a decimal cast: round-1 contributions are
+        # integer ratios 1/(N·deg), dyadic whenever N·deg is a power of
+        # two, and a dyadic with exactly 13 fractional bits lands on
+        # the scale-12 decimal tie where HALF_UP and HALF_EVEN diverge
+        # (the r6 centroid lesson, applied before the r7 oracle lands).
         contribs = (
             edges.join(ranks, edges[src_col] == ranks[id_col])
             .join(outdeg, src_col)
             .select(
                 F.col(dst_col).alias("__to"),
-                (
-                    F.col("rank") / F.col("__deg").cast("double")
-                ).cast("decimal(18,12)").alias("__c"),
+                F.round(
+                    (F.col("rank") / F.col("__deg").cast("double"))
+                    * 1000000000000.0
+                ).cast("bigint").alias("__c"),
             )
             .groupBy("__to")
             .agg(F.sum("__c").alias("__in"))
@@ -75,7 +87,10 @@ def pagerank(
                 (
                     teleport
                     + F.lit(damping)
-                    * F.coalesce(F.col("__in").cast("double"), F.lit(0.0))
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0)).cast("double")
+                        / F.lit(1000000000000.0)
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)

@@ -390,14 +390,15 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb AS (SELECT w1, w2, count(*) AS cbig FROM bg GROUP BY w1, w2),
     cu AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY w1),
     s AS (SELECT bg.doc_id,
-                 CAST(CAST(cbig AS DOUBLE) / CAST(cctx AS DOUBLE)
-                      AS DECIMAL(18,12)) AS p
+                 CAST(round((CAST(cbig AS DOUBLE) / CAST(cctx AS DOUBLE))
+                            * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS pg
           FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1))
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm_score,
-           CAST(CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.033
-                AS INT) AS keep
+           (CAST(sum(pg) AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+             / CAST(count(*) AS DOUBLE) AS lm_score,
+           CAST((CAST(sum(pg) AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+                / CAST(count(*) AS DOUBLE) >= 0.033 AS INT) AS keep
     FROM s GROUP BY doc_id
     """,
 )
@@ -749,8 +750,9 @@ _DSIR_CTES = f"""w AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
     tc AS (SELECT b, count(*) AS tb FROM bg WHERE tgt = 1 GROUP BY b),
     tot AS (SELECT count(*) AS rt, CAST(sum(tgt) AS BIGINT) AS tt FROM bg),
     s AS (SELECT bg.doc_id,
-            CAST(CAST(coalesce(tb, 0) * rt AS DOUBLE)
-                 / CAST(rb * tt AS DOUBLE) AS DECIMAL(28,10)) AS rho
+            CAST(round((CAST(coalesce(tb, 0) * rt AS DOUBLE)
+                        / CAST(rb * tt AS DOUBLE))
+                       * CAST(10000000000 AS DOUBLE)) AS BIGINT) AS rho
           FROM bg JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot)"""
 
 
@@ -762,9 +764,10 @@ _DSIR_CTES = f"""w AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
     oracle=f"""
     WITH {_DSIR_CTES}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(rho) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dsir_score,
-           CAST(CAST(sum(rho) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                >= {_DSIR_KEEP} AS INT) AS keep
+           (CAST(sum(rho) AS DOUBLE) / CAST(10000000000 AS DOUBLE))
+             / CAST(count(*) AS DOUBLE) AS dsir_score,
+           CAST((CAST(sum(rho) AS DOUBLE) / CAST(10000000000 AS DOUBLE))
+                / CAST(count(*) AS DOUBLE) >= {_DSIR_KEEP} AS INT) AS keep
     FROM s GROUP BY doc_id
     """,
 )
@@ -801,8 +804,8 @@ _SEL_K = 20
     oracle=f"""
     WITH {_DSIR_CTES},
     ds AS (SELECT doc_id,
-                  CAST(sum(rho) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                    AS dsir_score
+                  (CAST(sum(rho) AS DOUBLE) / CAST(10000000000 AS DOUBLE))
+                    / CAST(count(*) AS DOUBLE) AS dsir_score
            FROM s GROUP BY doc_id),
     sel AS (SELECT doc_id, dsir_score FROM ds
             WHERE dsir_score >= {_DSIR_KEEP}),

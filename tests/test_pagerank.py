@@ -12,21 +12,24 @@ from hypothesis import strategies as st
 
 
 def _python_pagerank(n, edges, damping=0.85, n_iter=10):
-    """Independent reference: contributions quantized to 12 decimal
-    places (half-up, matching Spark's decimal cast) and summed exactly,
-    mirroring the operator's determinism discipline."""
+    """Independent reference: contributions quantized onto the 1e-12
+    integer grid — round half-away-from-zero of the IEEE double
+    (rank/deg)·1e12, matching Spark's round() and DuckDB's — summed as
+    exact integers, mirroring the operator's determinism discipline.
+    (Python's builtin round() is banker's — HALF_EVEN — so the
+    reference rounds via Decimal HALF_UP on the exact double value.)"""
     ranks = {i: 1.0 / n for i in range(n)}
     outdeg: dict[int, int] = {}
     for s, _ in edges:
         outdeg[s] = outdeg.get(s, 0) + 1
-    q = Decimal("0.000000000001")
+    one = Decimal(1)
     for _ in range(n_iter):
-        incoming = {i: Decimal(0) for i in range(n)}
+        incoming = {i: 0 for i in range(n)}
         for s, d in edges:
-            c = Decimal(ranks[s] / outdeg[s]).quantize(q, ROUND_HALF_UP)
-            incoming[d] += c
+            x = ranks[s] / outdeg[s] * 1e12
+            incoming[d] += int(Decimal(x).quantize(one, ROUND_HALF_UP))
         ranks = {
-            i: (1.0 - damping) / n + damping * float(incoming[i])
+            i: (1.0 - damping) / n + damping * (float(incoming[i]) / 1e12)
             for i in range(n)
         }
     return ranks
