@@ -20,8 +20,6 @@ document before the hash-based operators take over JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
@@ -44,9 +42,3 @@ def nfkc(s):  # type: ignore[no-untyped-def]
     return s.map(
         lambda x: unicodedata.normalize("NFKC", x) if x is not None else None
     )
-
-
-def normalized_fingerprint_input(col: Column) -> Column:
-    """The canonical pre-hash projection: NFC first, so codepoint-level
-    variants of the same text can never produce distinct fingerprints."""
-    return nfc(col)

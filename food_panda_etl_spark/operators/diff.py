@@ -30,6 +30,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    keep_images: bool = False,
 ) -> DataFrame:
     """Key-level diff of two snapshots with identical schemas.
 
@@ -41,6 +42,11 @@ def snapshot_diff(
     are returned coalesced, so the output is a complete change manifest.
 
     ``compare_cols`` defaults to every non-key column of ``old``.
+    With ``keep_images`` the manifest also carries the before/after
+    images ``old_<c>`` / ``new_<c>`` of every compare column (NULL on
+    the absent side) — what a real CDC stream ships, and what lets
+    downstream consumers (``incremental_agg_refresh``) stay
+    change-proportional instead of re-joining the full snapshots.
     """
     compare_cols = list(
         compare_cols
@@ -71,7 +77,16 @@ def snapshot_diff(
     return (
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*keys, "change_type")
+        .select(
+            *keys,
+            "change_type",
+            *(
+                [F.col(f"__o_{c}").alias(f"old_{c}") for c in compare_cols]
+                + [F.col(f"__n_{c}").alias(f"new_{c}") for c in compare_cols]
+                if keep_images
+                else []
+            ),
+        )
     )
 
 
@@ -118,8 +133,9 @@ def upsert_snapshot(
 def incremental_agg_refresh(
     old_agg: DataFrame,
     manifest: DataFrame,
-    old: DataFrame,
-    new: DataFrame,
+    old: DataFrame | None = None,
+    new: DataFrame | None = None,
+    *,
     keys: Sequence[str],
     group_col: str,
     value_col: str,
@@ -143,30 +159,52 @@ def incremental_agg_refresh(
     Exactness contract: ``value_col`` must already be quantized (e.g.
     DECIMAL(18,2)) so sums are associative — then maintained ≡
     recomputed BIT-FOR-BIT, which is what the declared query's oracle
-    (a direct aggregation of the new snapshot) proves. Scale shape: the
-    two value lookups join the manifest (change-sized) against the
-    snapshots on their keys; the fact table is never re-aggregated —
-    the whole refresh is change-proportional, the point of keeping a
-    materialized aggregate at 100 TB."""
+    (a direct aggregation of the new snapshot) proves. Scale shape:
+    with an image-carrying manifest (``snapshot_diff(keep_images=True)``
+    or a real CDC stream with before/after images) the refresh touches
+    NOTHING but the manifest — genuinely change-proportional; when the
+    manifest has keys only, the images are recovered by joining the
+    (change-sized) manifest against the two snapshots, which re-scans
+    them once. NULL group keys merge null-safely."""
     keys = list(keys)
-    minus = (
-        manifest.filter(F.col("change_type").isin("removed", "changed"))
-        .join(old, keys)
-        .select(
-            F.col(group_col).alias("__g"),
+    has_images = f"old_{group_col}" in manifest.columns
+    if has_images:
+        # change-proportional path: the manifest already carries
+        # before/after images (snapshot_diff keep_images=True, or a
+        # real CDC stream) — no snapshot re-join at all
+        minus = manifest.filter(
+            F.col("change_type").isin("removed", "changed")
+        ).select(
+            F.col(f"old_{group_col}").alias("__g"),
             F.lit(-1).cast("bigint").alias("__dc"),
-            (-F.col(value_col)).alias("__dv"),
+            (-F.col(f"old_{value_col}")).alias("__dv"),
         )
-    )
-    plus = (
-        manifest.filter(F.col("change_type").isin("added", "changed"))
-        .join(new, keys)
-        .select(
-            F.col(group_col).alias("__g"),
+        plus = manifest.filter(
+            F.col("change_type").isin("added", "changed")
+        ).select(
+            F.col(f"new_{group_col}").alias("__g"),
             F.lit(1).cast("bigint").alias("__dc"),
-            F.col(value_col).alias("__dv"),
+            F.col(f"new_{value_col}").alias("__dv"),
         )
-    )
+    else:
+        minus = (
+            manifest.filter(F.col("change_type").isin("removed", "changed"))
+            .join(old, keys)
+            .select(
+                F.col(group_col).alias("__g"),
+                F.lit(-1).cast("bigint").alias("__dc"),
+                (-F.col(value_col)).alias("__dv"),
+            )
+        )
+        plus = (
+            manifest.filter(F.col("change_type").isin("added", "changed"))
+            .join(new, keys)
+            .select(
+                F.col(group_col).alias("__g"),
+                F.lit(1).cast("bigint").alias("__dc"),
+                F.col(value_col).alias("__dv"),
+            )
+        )
     delta = (
         minus.unionByName(plus)
         .groupBy("__g")
@@ -174,7 +212,11 @@ def incremental_agg_refresh(
     )
     zero_v = F.lit(0).cast(delta.schema["__dsum"].dataType)
     return (
-        old_agg.join(delta, old_agg[group_col] == delta["__g"], "full_outer")
+        # null-safe: a NULL group key is a legitimate aggregate row and
+        # must MERGE with its delta, not survive the full-outer unmatched
+        old_agg.join(
+            delta, old_agg[group_col].eqNullSafe(delta["__g"]), "full_outer"
+        )
         .select(
             F.coalesce(F.col(group_col), F.col("__g")).alias(group_col),
             (

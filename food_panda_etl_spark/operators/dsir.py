@@ -138,12 +138,22 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(
             F.sum("__cnt").cast("bigint").alias("n_bigrams"),
-            # cnt·grid stays in int64 for any realistic per-(doc,
-            # bucket) count (cnt bounded far below 10^9 by the 2 GB
-            # string ceiling; grid ≤ ~1e10·ratio)
+            # the cnt·grid product runs in DECIMAL, not int64: for a
+            # rare target the grid value approaches 1e18 (ratio ~1e8 ·
+            # 1e10) and an int64 product would silently wrap at cnt ≥
+            # 10 — exactly the most target-like documents. decimal(9,0)
+            # × decimal(19,0) = decimal(29,0): exact (both factors are
+            # integers, so the decimal conversion itself cannot round),
+            # and the decimal SUM holds to 1e38. Hard ceiling that
+            # remains: ratio > ~9.2e8 overflows the rho grid itself
+            # (documented above; switch to the divided-doubles ratio
+            # form at that scale).
             (
                 (
-                    F.sum(F.col("__cnt") * rho).cast("double")
+                    F.sum(
+                        F.col("__cnt").cast("decimal(9,0)")
+                        * rho.cast("decimal(19,0)")
+                    ).cast("double")
                     / F.lit(10000000000.0)
                 )
                 / F.sum("__cnt").cast("double")

@@ -14,9 +14,11 @@ exp(−1/n·Σ ln p) — libm ``ln``/``exp`` rounding differs across engines,
 so the score here is the LOG-FREE arithmetic mean of the bigram
 conditional probabilities, Σ p(wᵢ|wᵢ₋₁) / n. Each
 p = C(w₁w₂)/C(w₁·) is one IEEE division of integer-derived doubles
-(bit-identical everywhere); addends are cast to DECIMAL(18,12) before
-the SUM (order-independent); the final mean is one division of identical
-operands. Monotone in the same direction as likelihood — unusual
+(bit-identical everywhere); addends quantize onto the 1e-12 INTEGER
+grid — round(p·1e12) as BIGINT, identical tie semantics in both engines
+(a decimal cast is tie-unsafe for dyadic ratios like 1/8192; see the
+registry conventions) — and sum exactly; the final mean is one division
+of identical operands. Monotone in the same direction as likelihood — unusual
 documents score low — which is all a threshold filter needs.
 
 Trained on the scored corpus itself (self-scoring), every scored bigram
@@ -77,12 +79,9 @@ def bigram_lm_score(
     # The fact-sized bigram stream collapses to per-(doc, bigram) counts
     # before its first shuffle (the operators/dsir.py compression): the
     # count tables, both scoring joins, and the per-doc mean all run on
-    # the compressed table. Σcnt·p in exact decimal ≡ p summed once per
-    # gram row (what the SQL oracle does) — cnt enters the product as
-    # decimal(19,0) (the full bigint range; 19+18+1 = 38 keeps the
-    # product exact) because a raw bigint factor promotes to
-    # decimal(20,0) and 20+18+1 > 38 makes Spark silently round the
-    # product's scale.
+    # the compressed table. Σcnt·p_grid in exact integer/decimal
+    # arithmetic ≡ p summed once per gram row (what the SQL oracle
+    # does) — compression changes the plan, not one bit of the result.
     dbg = (
         df.select(F.col(id_col), F.explode(bigram_pairs(text_col)).alias("__bg"))
         .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
@@ -109,9 +108,17 @@ def bigram_lm_score(
         .groupBy(id_col)
         .agg(
             F.sum("__cnt").cast("bigint").alias("n_bigrams"),
+            # decimal product (10,0)×(13,0)=(24,0): exact — both
+            # factors are integers so the conversion cannot round — and
+            # immune to the int64 wrap a bigint product hits at
+            # cnt·grid ≥ 2^63 (cnt ~1e7 × grid ≤ 1e12, reachable for a
+            # near-2GB single-token spam document)
             (
                 (
-                    F.sum(F.col("__cnt") * p_grid).cast("double")
+                    F.sum(
+                        F.col("__cnt").cast("decimal(10,0)")
+                        * p_grid.cast("decimal(13,0)")
+                    ).cast("double")
                     / F.lit(1000000000000.0)
                 )
                 / F.sum("__cnt").cast("double")

@@ -44,6 +44,11 @@ def pmi_pairs(
     Returns (w1, w2, pair_cnt bigint, ratio double) with w1 <= w2,
     ordered by (ratio DESC, w1, w2) — a total order, so the LIMIT is
     deterministic."""
+    if window < 1:
+        raise ValueError(
+            f"window must be >= 1, got {window} (Spark sequence(1, 0) "
+            "counts DOWN and would emit distance-0 self-pairs)"
+        )
     # materialize the token array BEFORE the lambdas capture it: a
     # split() expression inside a higher-order lambda re-evaluates per
     # element (the quadratic trap operators/dedup.py::_shingles and

@@ -654,14 +654,17 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_agg = qold.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("cnt"), F.sum("__val").alias("total")
     )
+    # keep_images=True: the manifest carries before/after images, so
+    # the refresh never re-joins the snapshots (change-proportional)
     manifest = snapshot_diff(
-        old, new, keys=["o_orderkey"]
+        qold.select("o_orderkey", "o_orderstatus", "__val"),
+        qnew.select("o_orderkey", "o_orderstatus", "__val"),
+        keys=["o_orderkey"],
+        keep_images=True,
     )
     refreshed = incremental_agg_refresh(
         old_agg,
         manifest,
-        qold,
-        qnew,
         keys=["o_orderkey"],
         group_col="o_orderstatus",
         value_col="__val",

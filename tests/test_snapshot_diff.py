@@ -117,3 +117,47 @@ def test_incremental_agg_refresh_group_moves_and_vanishes(spark):
     }
     assert got == want
     assert "C" not in got and got["D"] == (1, 1)
+
+
+def test_incremental_agg_refresh_null_group_and_image_manifest(spark):
+    """NULL group keys must MERGE with their delta (null-safe fold), and
+    the keep_images manifest path must equal both the snapshot-join path
+    and the direct recompute."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.diff import (
+        incremental_agg_refresh,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None, 10), (2, None, 5), (3, "B", 2)],
+        "k long, g string, v long",
+    )
+    new = spark.createDataFrame(
+        # one NULL-group row changes value, one is removed, B unchanged
+        [(1, None, 11), (3, "B", 2)],
+        "k long, g string, v long",
+    )
+    old_agg = old.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("cnt"), F.sum("v").alias("total")
+    )
+    want = {
+        r["g"]: (r["cnt"], r["total"])
+        for r in new.groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("cnt"), F.sum("v").alias("total"))
+        .collect()
+    }
+    for manifest, args in (
+        (snapshot_diff(old, new, keys=["k"]), (old, new)),
+        (snapshot_diff(old, new, keys=["k"], keep_images=True), ()),
+    ):
+        got = {
+            r["g"]: (r["cnt"], r["total"])
+            for r in incremental_agg_refresh(
+                old_agg, manifest, *args,
+                keys=["k"], group_col="g", value_col="v",
+            ).collect()
+        }
+        assert got == want, got
+    assert want[None] == (1, 11)
