@@ -115,6 +115,27 @@ def dsir_weights(
     totals = dbg.agg(
         F.sum("__cnt").alias("__rt"),
         F.sum(F.col("__tgt") * F.col("__cnt")).cast("bigint").alias("__tt"),
+    ).select(
+        "__rt",
+        # ADVICE r6: an empty target (the predicate matched no document
+        # with >= 2 tokens) leaves __tt = 0 — every rho would divide by
+        # zero and every dsir_score would silently become NULL, so a
+        # downstream resample would keep nothing with no error surfaced.
+        # Fail loudly in-plan instead. The guard lives INSIDE the
+        # consumed column (not a prunable side column), so column
+        # pruning cannot elide it; it also fires when dbg is empty
+        # (sum → NULL → the WHEN is false).
+        F.when(F.col("__tt") > 0, F.col("__tt"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "dsir_weights: target predicate matched no bigrams "
+                    "(no target document has >= 2 tokens) — importance "
+                    "ratios are undefined"
+                )
+            )
+        )
+        .alias("__tt"),
     )
     # ρ quantizes onto the 1e-10 INTEGER grid — round(ρ·1e10) as BIGINT
     # — not a decimal cast: an integer ratio CAN be a dyadic landing
@@ -141,17 +162,21 @@ def dsir_weights(
             # the cnt·grid product runs in DECIMAL, not int64: for a
             # rare target the grid value approaches 1e18 (ratio ~1e8 ·
             # 1e10) and an int64 product would silently wrap at cnt ≥
-            # 10 — exactly the most target-like documents. decimal(9,0)
-            # × decimal(19,0) = decimal(29,0): exact (both factors are
+            # 10 — exactly the most target-like documents. decimal(10,0)
+            # × decimal(19,0) = decimal(30,0): exact (both factors are
             # integers, so the decimal conversion itself cannot round),
-            # and the decimal SUM holds to 1e38. Hard ceiling that
+            # and the decimal SUM holds to 1e38. The count factor is
+            # decimal(10,0) — lm.py's headroom convention (ADVICE r6:
+            # 9,0 silently NULLed a per-(doc,bucket) count >= 1e9, a
+            # tighter ceiling than the analogous LM path on exactly the
+            # pathological-giant-document case). Hard ceiling that
             # remains: ratio > ~9.2e8 overflows the rho grid itself
             # (documented above; switch to the divided-doubles ratio
             # form at that scale).
             (
                 (
                     F.sum(
-                        F.col("__cnt").cast("decimal(9,0)")
+                        F.col("__cnt").cast("decimal(10,0)")
                         * rho.cast("decimal(19,0)")
                     ).cast("double")
                     / F.lit(10000000000.0)

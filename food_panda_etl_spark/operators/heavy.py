@@ -57,6 +57,17 @@ def heavy_hitters(
     (k = slack/fraction counters) so boundary items are never lost to
     MG undercount; 2 is already conservative (the guarantee needs 1).
 
+    NULL-key contract (ADVICE r6): a genuine NULL in ``col`` is
+    UNREPORTABLE — NULL is reserved as the marker-row key (and pandas
+    ``value_counts`` drops NaN), so a column whose heaviest value is
+    NULL emits no candidate for it, while NULL rows still count in the
+    N denominator. This matches the declared-query oracles (SQL
+    ``count(*) ... GROUP BY col`` groups NULLs, but every declared
+    caller feeds a non-nullable key); callers with nullable keys that
+    need NULL reported should pre-aggregate it separately
+    (``df.filter(col.isNull()).count()`` is one scan) or map NULL to a
+    sentinel value before calling.
+
     Plan shape: one narrow mapInPandas pass emitting ≤ k+1 rows per
     partition (k candidate keys plus one NULL-keyed marker row carrying
     the partition's row count — the total rides along with the summary,

@@ -52,8 +52,21 @@ def pagerank(
     """Ranks after ``n_iter`` power-iteration rounds.
 
     Returns (id_col, rank double). ``edges`` is directed; parallel
-    edges contribute multiply (pre-`distinct` them if unwanted)."""
+    edges contribute multiply (pre-`distinct` them if unwanted).
+
+    Endpoint contract (ADVICE r6): every edge endpoint must appear in
+    ``nodes``. An edge whose src is absent is silently dropped (the
+    contribution join is inner on ranks), and one whose dst is absent
+    sends its mass nowhere (the rank rebuild is a left join FROM
+    nodes) — both skew ranks with no signal, so callers derive the node
+    set from the edge list (`edges.select(src).union(dst).distinct()`)
+    when they cannot guarantee closure. Raises on an empty node set."""
     n = nodes.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: nodes is empty — ranks are undefined "
+            "(derive nodes from the edge endpoints if needed)"
+        )
     outdeg = edges.groupBy(src_col).agg(F.count("*").alias("__deg"))
     ranks = nodes.select(
         F.col(id_col), F.lit(1.0 / n).alias("rank")

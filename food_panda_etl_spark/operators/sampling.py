@@ -58,10 +58,26 @@ def pps_systematic_sample(
     but an EXPENSIVE upstream pipeline should be lazily checkpointed
     before being passed in (see q_select_pipeline; measured 5.0 → 3.6 s
     at sf0.1)."""
+    # ADVICE r6: a negative (or NULL) weight would silently corrupt the
+    # sample — Spark's `div` truncates toward zero while DuckDB's `//`
+    # floors, so a negative cumulative interval diverges across engines
+    # and breaks the tick-membership invariant. Fail loudly in-plan
+    # (the guard is the consumed column itself, pruning-proof); zero
+    # weights are fine — an empty interval is never selected.
+    w_raw = F.col(weight_col).cast("bigint")
     keyed = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.col(weight_col).cast("bigint").alias("__w"),
+        F.when(w_raw >= 0, w_raw)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"pps_systematic_sample: {weight_col} must be a "
+                    "non-negative non-NULL integer weight"
+                )
+            )
+        )
+        .alias("__w"),
         ((F.col(id_col) * 1315423911) % 1000003).alias("__h"),
     )
     cum = global_running_sum(keyed, ["__h", id_col], "__w", out_col="__cum")

@@ -464,3 +464,67 @@ def test_unicode_normalization_forms(spark):
     assert out[1] == ("ﬁle", "file")  # ligature folds only under NFKC
     assert out[2][0] == "ｆｕｌｌ" and out[2][1] == "full"
     assert out[3] == ("é", "é")          # idempotent on already-NFC
+
+
+def test_dsir_empty_target_raises(spark):
+    """ADVICE r6: an empty target (predicate matches no document with
+    >= 2 tokens) must fail loudly in-plan, not silently NULL every
+    score."""
+    import pytest
+
+    from food_panda_etl_spark.operators.dsir import dsir_weights
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc", 0), (1, "dd ee", 0)],
+        "doc_id long, text string, tgt int",
+    )
+    with pytest.raises(Exception, match="target predicate matched no bigrams"):
+        dsir_weights(df, F.col("tgt") == 1).collect()
+    # one-token target docs contribute no bigrams -> still empty target
+    df2 = spark.createDataFrame(
+        [(0, "aa bb cc", 0), (1, "solo", 1)],
+        "doc_id long, text string, tgt int",
+    )
+    with pytest.raises(Exception, match="target predicate matched no bigrams"):
+        dsir_weights(df2, F.col("tgt") == 1).collect()
+
+
+def test_pps_negative_or_null_weight_raises(spark):
+    """ADVICE r6: negative weights diverge across engines (div truncates
+    vs // floors) and NULL weights corrupt the prefix sum — both must
+    fail loudly in-plan instead of silently corrupting the sample."""
+    import pytest
+
+    from food_panda_etl_spark.operators.sampling import pps_systematic_sample
+
+    neg = spark.createDataFrame(
+        [(0, 5), (1, -3), (2, 7)], "doc_id long, n_chars long"
+    )
+    with pytest.raises(Exception, match="non-negative non-NULL"):
+        pps_systematic_sample(neg, "n_chars", k=2).collect()
+    nul = spark.createDataFrame(
+        [(0, 5), (1, None), (2, 7)], "doc_id long, n_chars long"
+    )
+    with pytest.raises(Exception, match="non-negative non-NULL"):
+        pps_systematic_sample(nul, "n_chars", k=2).collect()
+    # zero weights stay legal: empty interval, never selected
+    zero = spark.createDataFrame(
+        [(0, 5), (1, 0), (2, 7)], "doc_id long, n_chars long"
+    )
+    picked = {
+        r["doc_id"] for r in pps_systematic_sample(zero, "n_chars", k=3).collect()
+    }
+    assert 1 not in picked and picked
+
+
+def test_pagerank_empty_nodes_raises(spark):
+    """ADVICE r6: an empty node set is a caller bug (ranks undefined),
+    not a ZeroDivisionError deep in the teleport term."""
+    import pytest
+
+    from food_panda_etl_spark.operators.pagerank import pagerank
+
+    nodes = spark.createDataFrame([], "id long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="nodes is empty"):
+        pagerank(nodes, edges)
