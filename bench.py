@@ -134,7 +134,47 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q6",
     "q_nfc_normalize",
+    # round-7 additions: PageRank power iteration over the supplier
+    # co-occurrence digraph, PMI collocation mining, triangle counting,
+    # the fastText-style hashed linear quality classifier, and the two
+    # event-analytics staples (funnel, cohort retention).
+    "q_pagerank",
+    "q_pmi",
+    "q_triangle_count",
+    "q_quality_classifier",
+    "q_funnel",
+    "q_retention",
 ]
+
+# Bench coverage accounting (VERDICT r6 task 7): 86 of the 135 declared
+# keys are timed above. The 49 excluded, by category:
+# (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
+#     whose runtime is plan-construction overhead, not data flow —
+#     q_project q_ceil_div q_case_when q_null_handling q_epoch_cast
+#     q_date_parts q_string_funcs q_math_funcs q_json_extract
+#     q_limit_offset q_rank q_pivot q_unpivot q_cube q_rollup
+#     q_grouping_sets q_histogram q_percentile q_regex_extract q_map_funcs
+#     q_udaf q_to_json q_exists_subquery q_intersect q_except — each
+#     family keeps a timed representative (q_sort_multi, q_filter_range,
+#     q_tpch_q1/q3/q5/q6, q_lag_lead, q_union_all, q_scalar_subquery);
+# (b) 12 approx variants + their gates where the timed key is a strict
+#     superset or the gate itself runs the variant plus its exact
+#     reference — q_approx_distinct(+_gate) q_cosine_topk_lsh
+#     q_cosine_lsh_gate q_ivf_topk q_ivf_gate q_embed_neardup_lsh
+#     q_embed_lsh_gate q_minhash_gate q_simhash_gate q_dedup_keep_rep
+#     (+_lsh; q_dedup_components_lsh IS timed and contains keep-rep's CC)
+#     — the timed q_approx_quantile_gate represents the gate family's
+#     cost shape;
+# (c) 3 joins whose shape is already timed at identical cost class
+#     (q_anti_join≈q_semi_join, q_nullsafe_join≈q_left_join,
+#     q_asof_join≈q_range_join — all measured in BENCH_r01-r04 eras);
+# (d) q_ngram_jaccard (exact all-pairs — the documented non-scale path;
+#     q_minhash_neardup is its scale replacement and IS timed) and
+#     q_partition_prune (rewrites a partitioned dataset each run — a
+#     sink exercise, at odds with the no-disk-write rule);
+# (e) 7 fixture-bound unit probes that don't scale with sf
+#     (q_image_decode q_binary_meta q_array_size q_vector_norm
+#     q_vendor_enrich q_quality_score q_text_clean).
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
