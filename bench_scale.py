@@ -532,6 +532,40 @@ def main() -> None:
         )
         d.unpersist()
 
+    # Label propagation (r7 build-ahead): per round one keyed equi-join
+    # + one (dst, label) hash agg + a per-node argmax — expected linear
+    # in |edges| at fixed rounds (the PageRank cost shape plus the
+    # WindowGroupLimit-able argmax). Same synthetic digraph as pagerank;
+    # 4 seed labels.
+    from food_panda_etl_spark.operators.labelprop import label_propagation
+
+    curves["labelprop"] = {}
+    for n in pr_sizes:
+        nodes = spark.range(n).select(
+            F.col("id"), (F.col("id") % 4).alias("label")
+        )
+        edges = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("src"),
+                F.explode(
+                    F.array(*[
+                        F.pmod(F.xxhash64(F.col("id") * 4 + j), F.lit(n))
+                        for j in range(4)
+                    ])
+                ).alias("dst"),
+            )
+            .cache()
+        )
+        edges.count()
+        curves["labelprop"][n] = timed(
+            lambda: label_propagation(nodes, edges, n_iter=3)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        edges.unpersist()
+
     # BPE (r6): training cost = ONE linear corpus histogram + rounds ×
     # O(vocab). With the synth vocab FIXED at 5000 words, growing the
     # corpus 4× should grow bpe_train far slower than 4× (only the

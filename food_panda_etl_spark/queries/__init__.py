@@ -88,8 +88,10 @@ def _load_all() -> None:
     #   47-50 r5-era fillers: q_llm_prep + three approx gates.
     # After r7 nothing in the ledger sits on pre-r5 evidence.
     #
-    # R8 ROTATION PLAN: promote r8-new/changed keys first, then the
-    # r5-era evidence displaced longest (remaining approx_gates:
+    # R8 ROTATION PLAN: declare + promote q_labelprop first
+    # (operators/labelprop.py landed r7 with property tests — the
+    # window was full) and other r8-new/changed keys, then the r5-era
+    # evidence displaced longest (remaining approx_gates:
     # cosine_lsh/ivf/dedup_components_lsh/approx_distinct_gate/
     # dedup_keep_rep_lsh; clustering; text r5 keys; udx; vendor;
     # retrieval; similarity r5 keys), then the r6-era block (the r6

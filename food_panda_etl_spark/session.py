@@ -54,6 +54,13 @@ def get_spark(
         # Partitioned-sink hygiene at scale: never let one task own a
         # thousand partitions' writers.
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # Driver heap: local-mode executors share the driver JVM, whose
+        # default (~1 GiB) is sized for a thin cluster driver, not for
+        # 32 executor threads plus accumulated localCheckpoint blocks —
+        # an 88-query sf0.1 drive OOM-killed the JVM under the default
+        # (r7). Only read at JVM launch; a no-op on an already-running
+        # session; overridable via extra_conf / SPARK_GRAFT_DRIVER_MEM.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
     if extra_conf:
         conf.update(extra_conf)
