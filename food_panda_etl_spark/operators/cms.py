@@ -1,0 +1,108 @@
+"""Count-min sketch over a key column — the mergeable point-frequency
+summary (Cormode & Muthukrishnan, J. Algorithms 2005) that answers
+"roughly how often does key k occur?" in O(width·depth) space no matter
+the key cardinality. The complement of `operators/heavy.py`:
+Misra-Gries finds WHICH keys are frequent; CMS answers point queries
+about ANY key (join-cardinality hints, per-key rate limiting, feature
+hashing diagnostics) with a one-sided error — estimates NEVER
+underestimate, and overshoot by more than 2N/width on a given row with
+probability ≤ 1/2 per row, driven to 1/2^depth by taking the min.
+
+Engine shape (everything is hash aggregation — no UDFs, no sketches in
+driver memory):
+
+1. sketch build — each row increments depth cells (d, h_d(k)): one
+   narrow depth-way explode + ONE (d, b) hash aggregation. The sketch
+   IS a DataFrame of ≤ width·depth rows — mergeable by construction
+   (CMS cells are counters: the partial aggregates Spark's map side
+   already computes ARE partial sketches; union+re-agg merges sketches
+   across corpora for free);
+2. estimate — probe keys join the sketch on the same depth cell keys;
+   the estimate is min over d: one ≤(width·depth)-row join (broadcast
+   at any realistic geometry) + one per-key MIN aggregation.
+
+Determinism: the row hashes are multiplicative integer hashes on the
+portable grid (distinct odd multipliers per depth row, mod 1000003 —
+the q_fingerprint/q_shuffle_order constant family, no engine hash
+functions), so the sketch, the estimates, and the error bounds are
+bit-identical in any engine — the declared query (slated r8) can
+hash-match the FULL sketch replay in DuckDB, not just a gate verdict.
+
+Scale: the fact table is touched once, shuffling (depth, bucket) int
+pairs; width·depth bounds state regardless of key cardinality (the
+point of CMS — a billion-key stream still summarizes into the same
+4×1024 cells). Key column must be integral (LLM-pipeline keys are
+hashes/ids; string keys pre-fold with the portable polynomial).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Per-depth odd multipliers on the 1000003 grid (the repo's portable
+#: multiplicative-hash family; pairwise-distinct, all coprime to 2^64).
+_MULTS = (1315423911, 2654435761, 2246822519, 3266489917,
+          668265263, 374761393, 2166136261, 40503)
+
+_P = 1000003
+
+
+def _cell(key_col, d: int, width: int):
+    """Depth-d bucket of an integral key: ((k+1)·A_d) mod 1000003 mod
+    width — +1 keeps key 0 off the fixed point of every multiplier."""
+    return ((key_col.cast("long") + 1) * _MULTS[d]) % _P % width
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Build the (d, b, cnt) sketch table — ≤ width·depth rows.
+
+    Rows with a NULL key are skipped (count them separately if NULL
+    mass matters — the heavy_hitters NULL contract)."""
+    if not 1 <= depth <= len(_MULTS):
+        raise ValueError(f"depth must be in [1, {len(_MULTS)}], got {depth}")
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    k = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("d"), _cell(k, d, width).alias("b"))
+        for d in range(depth)
+    ])
+    return (
+        df.filter(k.isNotNull())
+        .select(F.explode(cells).alias("__c"))
+        .groupBy(F.col("__c.d").alias("d"), F.col("__c.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` against a sketch
+    built with the SAME (width, depth). Returns (col, est bigint);
+    est >= the true count always (one-sided error), with absent cells
+    counting 0 (a key hashing only to untouched cells genuinely never
+    occurred)."""
+    k = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("d"), _cell(k, d, width).alias("b"))
+        for d in range(depth)
+    ])
+    probe_cells = probes.select(col, F.explode(cells).alias("__c")).select(
+        col, F.col("__c.d").alias("d"), F.col("__c.b").alias("b")
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["d", "b"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

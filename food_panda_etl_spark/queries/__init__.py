@@ -88,9 +88,11 @@ def _load_all() -> None:
     #   47-50 r5-era fillers: q_llm_prep + three approx gates.
     # After r7 nothing in the ledger sits on pre-r5 evidence.
     #
-    # R8 ROTATION PLAN: declare + promote q_labelprop first
-    # (operators/labelprop.py landed r7 with property tests — the
-    # window was full) and other r8-new/changed keys, then the r5-era
+    # R8 ROTATION PLAN: declare + promote q_labelprop and q_cms_counts
+    # first (operators/labelprop.py + operators/cms.py landed r7 with
+    # property tests — the window was full; labelprop over the co-supply
+    # backbone with s_nationkey seed labels, CMS over l_partkey with a
+    # full-sketch-replay oracle) and other r8-new/changed keys, then the r5-era
     # evidence displaced longest (remaining approx_gates:
     # cosine_lsh/ivf/dedup_components_lsh/approx_distinct_gate/
     # dedup_keep_rep_lsh; clustering; text r5 keys; udx; vendor;
