@@ -49,9 +49,16 @@ _P = 1000003
 
 
 def _cell(key_col, d: int, width: int):
-    """Depth-d bucket of an integral key: ((k+1)·A_d) mod 1000003 mod
-    width — +1 keeps key 0 off the fixed point of every multiplier."""
-    return ((key_col.cast("long") + 1) * _MULTS[d]) % _P % width
+    """Depth-d bucket of an integral key: ((k mod P)+1)·A_d mod P mod
+    width — the key is reduced mod P BEFORE the multiply so the product
+    stays ≤ 1000003·A_max ≈ 3.3e15 < 2^63 for ANY int64 key (hash/id
+    keys span the full range; an unreduced multiply silently wraps in
+    Spark and overflows outright in DuckDB/ANSI). pmod keeps negative
+    keys on the same non-negative residue grid as Python's %. +1 keeps
+    key 0 off the fixed point of every multiplier."""
+    return (
+        (F.pmod(key_col.cast("long"), F.lit(_P)) + 1) * _MULTS[d]
+    ) % _P % width
 
 
 def cms_sketch(
@@ -66,8 +73,11 @@ def cms_sketch(
     mass matters — the heavy_hitters NULL contract)."""
     if not 1 <= depth <= len(_MULTS):
         raise ValueError(f"depth must be in [1, {len(_MULTS)}], got {depth}")
-    if width < 1:
-        raise ValueError(f"width must be >= 1, got {width}")
+    if not 1 <= width <= _P:
+        # effective buckets come from a mod-P residue, so width > P
+        # would silently deliver a P-wide sketch with a worse error
+        # bound than the caller asked for
+        raise ValueError(f"width must be in [1, {_P}], got {width}")
     k = F.col(col)
     cells = F.array(*[
         F.struct(F.lit(d).alias("d"), _cell(k, d, width).alias("b"))
@@ -92,7 +102,14 @@ def cms_estimate(
     built with the SAME (width, depth). Returns (col, est bigint);
     est >= the true count always (one-sided error), with absent cells
     counting 0 (a key hashing only to untouched cells genuinely never
-    occurred)."""
+    occurred).
+
+    NULL probes are dropped, mirroring the build side: NULL rows never
+    enter the sketch (`cms_sketch` filters them — the heavy_hitters
+    NULL-key contract), so a NULL estimate would read as "never
+    occurred" while NULL mass may dominate the sketched column; count
+    NULLs separately if they matter."""
+    probes = probes.filter(F.col(col).isNotNull())
     k = F.col(col)
     cells = F.array(*[
         F.struct(F.lit(d).alias("d"), _cell(k, d, width).alias("b"))

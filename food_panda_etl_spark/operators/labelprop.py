@@ -65,6 +65,11 @@ def label_propagation(
         raise ValueError(
             "label_propagation: nodes is empty — labels are undefined"
         )
+    # every round's vote join references edges — derive a (possibly
+    # expensive) upstream edge lineage once, not n_iter times (the
+    # pagerank convention: a window-derived edge list measured 5.5 vs
+    # 4.0 s at sf0.1 there)
+    edges = edges.localCheckpoint(eager=False)
     labels = nodes.select(
         F.col(id_col), F.col(label_col)
     ).localCheckpoint(eager=False)

@@ -63,12 +63,14 @@ def pps_systematic_sample(
     # floors, so a negative cumulative interval diverges across engines
     # and breaks the tick-membership invariant. Fail loudly in-plan
     # (the guard is the consumed column itself, pruning-proof); zero
-    # weights are fine — an empty interval is never selected.
-    w_raw = F.col(weight_col).cast("bigint")
+    # weights are fine — an empty interval is never selected. The guard
+    # tests the RAW column, not the bigint cast: a fractional negative
+    # like -0.5 truncates to 0 and would slip past a post-cast check.
+    w_raw = F.col(weight_col)
     keyed = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.when(w_raw >= 0, w_raw)
+        F.when(w_raw >= 0, w_raw.cast("bigint"))
         .otherwise(
             F.raise_error(
                 F.lit(

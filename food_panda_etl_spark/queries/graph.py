@@ -199,9 +199,13 @@ _TRI_TOPK_EDGES = 2000
 
 @query(
     "q_triangle_count",
+    # os feeds the pair self-join twice and e has FIVE consumers (the
+    # wedge-close triple + node/edge counts) — MATERIALIZED, or DuckDB
+    # re-inlines the quadratic co-occurrence join per reference (the
+    # _PR_EDGES_SQL convention above).
     oracle=f"""
-    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-    e AS (SELECT sa, sb FROM (
+    WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS MATERIALIZED (SELECT sa, sb FROM (
             SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
                    count(*) AS support
             FROM os a JOIN os b

@@ -20,7 +20,7 @@ def _python_cms(keys, width, depth):
     cells: Counter = Counter()
     for k in keys:
         for d in range(depth):
-            cells[(d, ((k + 1) * _MULTS[d]) % _P % width)] += 1
+            cells[(d, ((k % _P) + 1) * _MULTS[d] % _P % width)] += 1
     return cells
 
 
@@ -28,7 +28,7 @@ def _python_est(cells, k, width, depth):
     from food_panda_etl_spark.operators.cms import _MULTS, _P
 
     return min(
-        cells.get((d, ((k + 1) * _MULTS[d]) % _P % width), 0)
+        cells.get((d, ((k % _P) + 1) * _MULTS[d] % _P % width), 0)
         for d in range(depth)
     )
 
@@ -39,8 +39,16 @@ SET = settings(max_examples=5, deadline=None,
 
 @SET
 @given(
-    keys=st.lists(st.integers(min_value=0, max_value=200),
-                  min_size=1, max_size=60),
+    # full-int64 keys (hash/id domain), including negatives: the mod-P
+    # pre-reduction must keep Spark's pmod grid equal to Python's %
+    # with no int64 wrap anywhere
+    keys=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=-(2**62), max_value=2**62),
+        ),
+        min_size=1, max_size=60,
+    ),
     parts=st.integers(min_value=1, max_value=5),
     width=st.sampled_from([8, 32, 1024]),
 )
