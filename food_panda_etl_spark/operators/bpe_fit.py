@@ -98,11 +98,20 @@ def bpe_fit_driver(
             break
         _, (lhs, rhs), c = best
         merges.append((rank, lhs, rhs, int(c)))
-        # rescan ONLY the words containing the merged pair; after the
-        # scan no (lhs, rhs) adjacency can remain (fold invariant), so
-        # its count telescopes to zero via the decrements.
+        # rescan ONLY the words still containing the merged pair; after
+        # the scan no (lhs, rhs) adjacency can remain (fold invariant),
+        # so its count telescopes to zero via the decrements. occurs is
+        # an over-approximation (a later merge may have destroyed the
+        # adjacency without the word leaving the set), so stale entries
+        # are SKIPPED before any Counter churn — at a 32k-merge fit the
+        # stale fraction grows every round and the dead decrement/
+        # re-increment work would dominate the loop.
         for w in list(occurs.pop((lhs, rhs), ())):
             syms, freq = words[w]
+            if not any(
+                a == lhs and b == rhs for a, b in zip(syms, syms[1:])
+            ):
+                continue
             for a, b in zip(syms, syms[1:]):
                 pair_freq[(a, b)] -= freq
             new = _scan_merge(syms, lhs, rhs)

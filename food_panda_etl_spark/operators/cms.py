@@ -45,19 +45,28 @@ from pyspark.sql import functions as F
 _MULTS = (1315423911, 2654435761, 2246822519, 3266489917,
           668265263, 374761393, 2166136261, 40503)
 
+#: Per-depth additive constants: the hash must be AFFINE
+#: ((k·A_d + B_d) mod P), not purely multiplicative — a multiplicative
+#: hash has a universal fixed point (the residue that maps the product
+#: to 0 mod P lands in bucket 0 at EVERY depth, voiding the
+#: min-over-depths independence for that residue class). With distinct
+#: B_d, two depths agree on a key's bucket only on pair-specific
+#: residues, never universally.
+_ADDS = (402653189, 805306457, 201326611, 100663319,
+         50331653, 25165843, 12582917, 6291469)
+
 _P = 1000003
 
 
 def _cell(key_col, d: int, width: int):
-    """Depth-d bucket of an integral key: ((k mod P)+1)·A_d mod P mod
-    width — the key is reduced mod P BEFORE the multiply so the product
-    stays ≤ 1000003·A_max ≈ 3.3e15 < 2^63 for ANY int64 key (hash/id
-    keys span the full range; an unreduced multiply silently wraps in
-    Spark and overflows outright in DuckDB/ANSI). pmod keeps negative
-    keys on the same non-negative residue grid as Python's %. +1 keeps
-    key 0 off the fixed point of every multiplier."""
+    """Depth-d bucket of an integral key: ((k mod P)·A_d + B_d) mod P
+    mod width — the key is reduced mod P BEFORE the multiply so the
+    product stays ≤ 1000003·A_max + B ≈ 3.3e15 < 2^63 for ANY int64 key
+    (hash/id keys span the full range; an unreduced multiply silently
+    wraps in Spark and overflows outright in DuckDB/ANSI). pmod keeps
+    negative keys on the same non-negative residue grid as Python's %."""
     return (
-        (F.pmod(key_col.cast("long"), F.lit(_P)) + 1) * _MULTS[d]
+        F.pmod(key_col.cast("long"), F.lit(_P)) * _MULTS[d] + _ADDS[d]
     ) % _P % width
 
 

@@ -65,12 +65,16 @@ def pps_systematic_sample(
     # (the guard is the consumed column itself, pruning-proof); zero
     # weights are fine — an empty interval is never selected. The guard
     # tests the RAW column, not the bigint cast: a fractional negative
-    # like -0.5 truncates to 0 and would slip past a post-cast check.
+    # like -0.5 truncates to 0 and would slip past a post-cast check —
+    # and rejects NaN explicitly (Spark orders NaN GREATER than every
+    # number, so `NaN >= 0` is true, and the non-ANSI bigint cast would
+    # silently turn it into weight 0).
     w_raw = F.col(weight_col)
+    w_ok = (w_raw >= 0) & ~F.isnan(w_raw.cast("double"))
     keyed = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.when(w_raw >= 0, w_raw.cast("bigint"))
+        F.when(w_ok, w_raw.cast("bigint"))
         .otherwise(
             F.raise_error(
                 F.lit(

@@ -6,10 +6,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from food_panda_etl_spark.operators.classifier import CLF_BUCKETS as _CLF_BUCKETS
 from food_panda_etl_spark.queries import query
 from food_panda_etl_spark.tables import load_table
-
-_CLF_BUCKETS = 1024
 
 
 @query(

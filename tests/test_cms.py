@@ -15,20 +15,20 @@ from hypothesis import strategies as st
 
 
 def _python_cms(keys, width, depth):
-    from food_panda_etl_spark.operators.cms import _MULTS, _P
+    from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P
 
     cells: Counter = Counter()
     for k in keys:
         for d in range(depth):
-            cells[(d, ((k % _P) + 1) * _MULTS[d] % _P % width)] += 1
+            cells[(d, ((k % _P) * _MULTS[d] + _ADDS[d]) % _P % width)] += 1
     return cells
 
 
 def _python_est(cells, k, width, depth):
-    from food_panda_etl_spark.operators.cms import _MULTS, _P
+    from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P
 
     return min(
-        cells.get((d, ((k % _P) + 1) * _MULTS[d] % _P % width), 0)
+        cells.get((d, ((k % _P) * _MULTS[d] + _ADDS[d]) % _P % width), 0)
         for d in range(depth)
     )
 
@@ -114,6 +114,22 @@ def test_cms_merges_by_union(spark):
         ).collect()
     }
     assert whole == merged
+
+
+def test_cms_no_universal_fixed_point(spark):
+    """The affine hash must NOT send any single residue class to the
+    same bucket at every depth (the flaw of a purely multiplicative
+    hash, whose degenerate residue collapses min-over-depths to one
+    shared cell). Checked for the residues that are fixed points of the
+    multiplicative form (0 and P-1) and a sample of others."""
+    from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P
+
+    depth, width = 4, 1024
+    for r in (0, _P - 1, 1, 12345, 999999):
+        buckets = {
+            (r * _MULTS[d] + _ADDS[d]) % _P % width for d in range(depth)
+        }
+        assert len(buckets) > 1, f"residue {r} collapses to one bucket"
 
 
 def test_cms_validates_geometry(spark):

@@ -95,7 +95,6 @@ def test_funnel_strictness_and_window_hand_case(spark, monkeypatch):
     convert (strict >), conversions outside 24 h do NOT convert, and
     the chain orders by event time regardless of input order."""
     import food_panda_etl_spark.queries.funnel as fu
-    import food_panda_etl_spark.tables as tables
 
     rows = [
         # user 1: full conversion within windows

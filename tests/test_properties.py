@@ -528,3 +528,18 @@ def test_pagerank_empty_nodes_raises(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="nodes is empty"):
         pagerank(nodes, edges)
+
+
+def test_pps_nan_weight_raises(spark):
+    """Spark orders NaN greater than every number, so a `>= 0` guard
+    alone would admit NaN and the non-ANSI bigint cast would silently
+    zero it — the guard must reject NaN explicitly."""
+    import pytest
+
+    from food_panda_etl_spark.operators.sampling import pps_systematic_sample
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, float("nan")), (2, 7.0)], "doc_id long, n_chars double"
+    )
+    with pytest.raises(Exception, match="non-negative non-NULL"):
+        pps_systematic_sample(df, "n_chars", k=2).collect()
