@@ -566,6 +566,26 @@ def main() -> None:
         )
         edges.unpersist()
 
+    # Count-min sketch (r7 build-ahead): ONE depth-way explode + ONE
+    # (d, b) hash agg — expected linear in rows with a width·depth-
+    # bounded output no matter the key cardinality (the point of CMS).
+    from food_panda_etl_spark.operators.cms import cms_estimate, cms_sketch
+
+    curves["cms"] = {}
+    for n in pr_sizes:
+        keys = spark.range(n).select(
+            (F.xxhash64(F.col("id")) % 50021).alias("k")
+        ).cache()
+        keys.count()
+        probes = spark.range(100).select(F.col("id").alias("k"))
+        curves["cms"][n] = timed(
+            lambda: cms_estimate(
+                cms_sketch(keys, "k", width=1024, depth=4),
+                probes, "k", width=1024, depth=4,
+            ).write.format("noop").mode("overwrite").save()
+        )
+        keys.unpersist()
+
     # BPE (r6): training cost = ONE linear corpus histogram + rounds ×
     # O(vocab). With the synth vocab FIXED at 5000 words, growing the
     # corpus 4× should grow bpe_train far slower than 4× (only the
