@@ -135,18 +135,22 @@ HEADLINE = [
     "q_tpch_q6",
     "q_nfc_normalize",
     # round-7 additions: PageRank power iteration over the supplier
-    # co-occurrence digraph, PMI collocation mining, triangle counting,
-    # the fastText-style hashed linear quality classifier, and the two
-    # event-analytics staples (funnel, cohort retention).
+    # co-occurrence digraph, PMI collocation mining, triangle counting
+    # and label propagation on the co-supply backbone, the count-min
+    # sketch replay, the fastText-style hashed linear quality
+    # classifier, and the two event-analytics staples (funnel, cohort
+    # retention).
     "q_pagerank",
     "q_pmi",
     "q_triangle_count",
+    "q_labelprop",
+    "q_cms_counts",
     "q_quality_classifier",
     "q_funnel",
     "q_retention",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 86 of the 135 declared
+# Bench coverage accounting (VERDICT r6 task 7): 88 of the 137 declared
 # keys are timed above. The 49 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —

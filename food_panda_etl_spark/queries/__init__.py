@@ -67,34 +67,31 @@ def _load_all() -> None:
     #
     # R7 ROTATION (VERDICT r6 tasks 1-3, executed as amended by the
     # judge): the 50-slot window is, in order —
-    #   1-6   NEW in r7: q_pagerank + q_pmi (operators landed r6 with
+    #   1-8   NEW in r7: q_pagerank + q_pmi (operators landed r6 with
     #         property tests; first driver evidence now), then
-    #         q_triangle_count, q_quality_classifier (VERDICT task 3),
+    #         q_triangle_count, q_labelprop, q_cms_counts (operators
+    #         also new in r7), q_quality_classifier (VERDICT task 3),
     #         q_funnel, q_retention.
-    #   7-11  judge-mandated RE-RECORDS: q_kmeans, q_semantic_dedup,
+    #   9-13  judge-mandated RE-RECORDS: q_kmeans, q_semantic_dedup,
     #         q_embed_centroid (r6 integer-grid quantization, 0b80096),
     #         q_snapshot_diff, q_upsert (r6 null-safe fold, 68c8f7c) —
     #         byte-changed after their r4/r5 greens; judge re-oracled
     #         all five green at sf0.01, contract wants the driver hash.
-    #   12-15 byte-changed THIS round (ADVICE r6 guards): q_dsir_weight
+    #   14-17 byte-changed THIS round (ADVICE r6 guards): q_dsir_weight
     #         + q_select_pipeline (dsir empty-target raise + decimal
-    #         widening), q_pps_sample (negative-weight raise),
+    #         widening), q_pps_sample (negative/NaN-weight raise),
     #         q_heavy_hitters (NULL-key contract docs in heavy.py).
-    #   16-46 the 31 r4-era greens (VERDICT task 2 — oldest evidence):
+    #   18-48 the 31 r4-era greens (VERDICT task 2 — oldest evidence):
     #         sql_layer tail (tpch_q3, grouping_sets, exists_subquery,
     #         tpch_q5), setops (3), storage r4 keys (partition_prune,
     #         train_split, stratified_sample, pack_chunks, zorder),
     #         skew (2), joins (9), windows (8).
-    #   47-50 r5-era fillers: q_llm_prep + three approx gates.
+    #   49-50 r5-era fillers: q_llm_prep + q_minhash_gate.
     # After r7 nothing in the ledger sits on pre-r5 evidence.
     #
-    # R8 ROTATION PLAN: declare + promote q_labelprop and q_cms_counts
-    # first (operators/labelprop.py + operators/cms.py landed r7 with
-    # property tests — the window was full; labelprop over the co-supply
-    # backbone with s_nationkey seed labels, CMS over l_partkey with a
-    # full-sketch-replay oracle) and other r8-new/changed keys, then the r5-era
-    # evidence displaced longest (remaining approx_gates:
-    # cosine_lsh/ivf/dedup_components_lsh/approx_distinct_gate/
+    # R8 ROTATION PLAN: promote r8-new/changed keys first, then the
+    # r5-era evidence displaced longest (approx_gates: simhash/
+    # embed_lsh/cosine_lsh/ivf/dedup_components_lsh/approx_distinct/
     # dedup_keep_rep_lsh; clustering; text r5 keys; udx; vendor;
     # retrieval; similarity r5 keys), then the r6-era block (the r6
     # window head), keeping every key's latest evidence ≤ 2 rounds old.
@@ -102,6 +99,7 @@ def _load_all() -> None:
         graph,
         quality,
         funnel,
+        sketch,
         analytics,
         relational,
         sorts,
@@ -130,6 +128,8 @@ def _load_all() -> None:
         "q_pagerank",
         "q_pmi",
         "q_triangle_count",
+        "q_labelprop",
+        "q_cms_counts",
         "q_quality_classifier",
         "q_funnel",
         "q_retention",
@@ -176,11 +176,12 @@ def _load_all() -> None:
         "q_tumbling_window",
         "q_sliding_window",
         "q_session_window",
-        # r5-era fillers
+        # r5-era fillers (q_simhash_gate / q_embed_lsh_gate were slated
+        # here but gave their slots to q_labelprop / q_cms_counts —
+        # first evidence for NEW queries outranks refreshing green
+        # r5 evidence; both gates stay r5-green, byte-unchanged)
         "q_llm_prep",
         "q_minhash_gate",
-        "q_simhash_gate",
-        "q_embed_lsh_gate",
     ]
     snapshot = dict(QUERIES)
     QUERIES.clear()

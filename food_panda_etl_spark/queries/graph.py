@@ -197,14 +197,13 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_TOPK_EDGES = 2000
 
 
-@query(
-    "q_triangle_count",
-    # os feeds the pair self-join twice and e has FIVE consumers (the
-    # wedge-close triple + node/edge counts) — MATERIALIZED, or DuckDB
-    # re-inlines the quadratic co-occurrence join per reference (the
-    # _PR_EDGES_SQL convention above).
-    oracle=f"""
-    WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+# The shared backbone CTE fragment (os + e), reused verbatim by the
+# q_triangle_count and q_labelprop oracles so the two cannot drift (the
+# _DSIR_CTES convention). os feeds the pair self-join twice and e has
+# multiple consumers in both oracles — MATERIALIZED, or DuckDB
+# re-inlines the quadratic co-occurrence join per reference (the
+# _PR_EDGES_SQL convention above).
+_BACKBONE_SQL = f"""os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     e AS MATERIALIZED (SELECT sa, sb FROM (
             SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
                    count(*) AS support
@@ -212,7 +211,39 @@ _TRI_TOPK_EDGES = 2000
               ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
             GROUP BY a.l_suppkey, b.l_suppkey)
           ORDER BY support DESC, sa, sb
-          LIMIT {_TRI_TOPK_EDGES})
+          LIMIT {_TRI_TOPK_EDGES})"""
+
+
+def _cosupply_backbone(li: DataFrame) -> DataFrame:
+    """The top-K strong co-supply edge list (sa < sb), shared by
+    q_triangle_count and q_labelprop — one definition (mirrored by
+    _BACKBONE_SQL on the oracle side) so the two graph queries can
+    never drift. Lazily checkpointed: both callers fan it into
+    multiple consumers."""
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"),
+            F.col("b.l_suppkey").alias("sb"),
+        )
+        .agg(F.count("*").alias("__support"))
+        .orderBy(F.desc("__support"), "sa", "sb")
+        .limit(_TRI_TOPK_EDGES)
+        .select("sa", "sb")
+        .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_BACKBONE_SQL}
     SELECT
       (SELECT CAST(count(*) AS BIGINT) FROM
          (SELECT sa AS s FROM e UNION SELECT sb FROM e)) AS n_nodes,
@@ -238,27 +269,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is one (n_nodes, n_edges, n_triangles) row — pure integers,
     exact in any engine."""
     li = load_table(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("sa"),
-            F.col("b.l_suppkey").alias("sb"),
-        )
-        .agg(F.count("*").alias("__support"))
-        .orderBy(F.desc("__support"), "sa", "sb")
-        .limit(_TRI_TOPK_EDGES)
-        .select("sa", "sb")
-        # three self-join consumers (e1/e2/e3) + the node/edge counts:
-        # derive the edge list once, not five times (lazy — the
-        # heavy_hitters convention, no executor cache pinning)
-        .localCheckpoint(eager=False)
-    )
+    # five consumers (e1/e2/e3 wedge join + node/edge counts): the
+    # shared backbone helper derives the edge list once (lazy — the
+    # heavy_hitters convention, no executor cache pinning)
+    e = _cosupply_backbone(li)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.sb") == F.col("e2.sa"))
@@ -280,4 +294,82 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.crossJoin(F.broadcast(edges_n))
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+_LP_ITERS = 3
+
+
+def _labelprop_oracle(iters: int) -> str:
+    """Chained-CTE replay of the synchronous majority-vote rounds over
+    the symmetrized backbone: round r's votes join round r−1's labels,
+    the argmax is the (count DESC, label ASC) row_number pick — the
+    operator's total order — and isolated nodes carry their label via
+    the left-join coalesce."""
+    ctes = [
+        _BACKBONE_SQL,
+        """ed AS MATERIALIZED (
+          SELECT sa AS src, sb AS dst FROM e
+          UNION ALL SELECT sb, sa FROM e)""",
+        """l0 AS (SELECT s_suppkey AS id, s_nationkey AS label
+                  FROM supplier)""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""v{r} AS (
+          SELECT ed.dst AS id, l.label, count(*) AS cnt
+          FROM ed JOIN l{r - 1} l ON ed.src = l.id
+          GROUP BY ed.dst, l.label)"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+          SELECT id, label FROM (
+            SELECT id, label,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM v{r}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""l{r} AS (
+          SELECT l.id, coalesce(b.label, l.label) AS label
+          FROM l{r - 1} l LEFT JOIN b{r} b USING (id))"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT id AS s_suppkey, label FROM l{iters}
+    """
+
+
+@query("q_labelprop", oracle=_labelprop_oracle(_LP_ITERS))
+def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 label propagation (r7) — which national cluster dominates
+    each supplier's strong co-supply neighborhood: seed every supplier
+    with its own s_nationkey, symmetrize the top-2000 backbone
+    (`_cosupply_backbone` — the q_triangle_count edge set), and run 3
+    synchronous majority-vote rounds (`operators/labelprop.py`: one
+    keyed equi-join + one (dst, label) hash agg + a total-order argmax
+    per round; integers end to end). Synchronous BY DESIGN so the
+    oracle can replay every round as chained CTEs — a single diverged
+    vote, tie-break, or carry in any round is a driver hash mismatch.
+    The label distribution genuinely moves (sf0.01: only 10/100
+    suppliers still carry their own nation label after 3 rounds) — a
+    real spread, not a fixpoint."""
+    from food_panda_etl_spark.operators.labelprop import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    e = _cosupply_backbone(li)
+    edges = e.select(
+        F.col("sa").alias("src"), F.col("sb").alias("dst")
+    ).unionAll(e.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+    nodes = sup.select(
+        F.col("s_suppkey"), F.col("s_nationkey").alias("label")
+    )
+    return label_propagation(
+        nodes,
+        edges,
+        n_iter=_LP_ITERS,
+        id_col="s_suppkey",
+        label_col="label",
     )

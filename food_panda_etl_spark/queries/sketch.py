@@ -1,0 +1,86 @@
+"""Declared count-min-sketch query (r7) — the full sketch replay, not
+just a gate verdict: the oracle rebuilds the identical 4×1024 cell
+table with the same affine mod-P hashes, so estimates, exact counts,
+and the never-underestimate flags must all hash-match bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.tables import load_table
+
+_CMS_WIDTH = 1024
+_CMS_DEPTH = 4
+_CMS_PROBES = 100
+
+# (d, A_d, B_d) rows interpolated from the operator's constants so the
+# oracle's hash family can never drift from the Spark side.
+_DM_VALUES = ", ".join(
+    f"({d}, {_MULTS[d]}, {_ADDS[d]})" for d in range(_CMS_DEPTH)
+)
+
+
+@query(
+    "q_cms_counts",
+    oracle=f"""
+    WITH dm AS (SELECT * FROM (VALUES {_DM_VALUES}) AS t(d, a, c)),
+    sk AS MATERIALIZED (
+      SELECT d, ((l_partkey % {_P}) * a + c) % {_P} % {_CMS_WIDTH} AS b,
+             count(*) AS cnt
+      FROM lineitem CROSS JOIN dm
+      GROUP BY d, ((l_partkey % {_P}) * a + c) % {_P} % {_CMS_WIDTH}),
+    pr AS (SELECT unnest(generate_series(1, {_CMS_PROBES})) AS k),
+    pc AS (SELECT k, d, ((k % {_P}) * a + c) % {_P} % {_CMS_WIDTH} AS b
+           FROM pr CROSS JOIN dm),
+    est AS (SELECT k, min(coalesce(cnt, 0)) AS est
+            FROM pc LEFT JOIN sk USING (d, b) GROUP BY k),
+    ex AS (SELECT l_partkey AS k, count(*) AS exact_cnt FROM lineitem
+           WHERE l_partkey BETWEEN 1 AND {_CMS_PROBES} GROUP BY l_partkey)
+    SELECT CAST(est.k AS BIGINT) AS k,
+           CAST(est.est AS BIGINT) AS est,
+           CAST(coalesce(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+           CAST(est.est >= coalesce(ex.exact_cnt, 0) AS INT) AS never_under
+    FROM est LEFT JOIN ex USING (k)
+    """,
+)
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 count-min sketch (r7) — point-frequency estimates for 100
+    probe part keys against a 4×1024 sketch of the lineitem part-key
+    stream (`operators/cms.py`): one depth-way explode + one (d, b)
+    hash agg builds the width·depth-bounded sketch whatever the key
+    cardinality, the probe estimate is a broadcast cell join + per-key
+    MIN, and the exact recount audits the one-sided guarantee
+    (never_under must be 1 on every row — CMS cannot underestimate).
+    The oracle replays the FULL sketch with the same affine mod-P hash
+    family (constants interpolated from the operator), so every cell
+    count, estimate, and flag must agree bit-for-bit. At sf0.01 the 20k
+    part keys into 1024 buckets produce real collisions (estimates
+    strictly above exact counts on most probes) — a real sketch regime,
+    not a collision-free toy."""
+    from food_panda_etl_spark.operators.cms import cms_estimate, cms_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = cms_sketch(li, "l_partkey", width=_CMS_WIDTH, depth=_CMS_DEPTH)
+    probes = spark.range(1, _CMS_PROBES + 1).select(F.col("id").alias("k"))
+    est = cms_estimate(sk, probes, "k", width=_CMS_WIDTH, depth=_CMS_DEPTH)
+    exact = (
+        li.filter(
+            (F.col("l_partkey") >= 1) & (F.col("l_partkey") <= _CMS_PROBES)
+        )
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "k", "left")
+        .select(
+            "k",
+            "est",
+            F.coalesce(F.col("exact_cnt"), F.lit(0)).alias("exact_cnt"),
+            (F.col("est") >= F.coalesce(F.col("exact_cnt"), F.lit(0)))
+            .cast("int")
+            .alias("never_under"),
+        )
+    )

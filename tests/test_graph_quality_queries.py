@@ -19,6 +19,8 @@ from food_panda_etl_spark.queries import QUERIES
         "q_pagerank",
         "q_pmi",
         "q_triangle_count",
+        "q_labelprop",
+        "q_cms_counts",
         "q_quality_classifier",
         "q_funnel",
         "q_retention",
