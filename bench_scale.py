@@ -572,9 +572,13 @@ def main() -> None:
     from food_panda_etl_spark.operators.cms import cms_estimate, cms_sketch
 
     curves["cms"] = {}
-    for n in pr_sizes:
+    cms_sizes = pr_sizes + ([1_280_000] if pr_sizes else [])
+    for n in cms_sizes:
+        # pmod, not % — Spark % keeps the dividend sign, which would
+        # double the documented 50k-key cardinality on xxhash64's
+        # negative half
         keys = spark.range(n).select(
-            (F.xxhash64(F.col("id")) % 50021).alias("k")
+            F.pmod(F.xxhash64(F.col("id")), F.lit(50021)).alias("k")
         ).cache()
         keys.count()
         probes = spark.range(100).select(F.col("id").alias("k"))
