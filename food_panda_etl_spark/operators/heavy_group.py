@@ -1,0 +1,116 @@
+"""Group-wise exact heavy hitters: per-group Misra-Gries partition
+summaries + exact per-group verification — `operators/heavy.py`
+stratified by a group key. The corpus-curation question it answers:
+"which tokens exceed f of EACH LANGUAGE's stream?" (or per source, per
+shard) — where the global operator would drown minority groups under
+the majority group's vocabulary.
+
+Same two-phase shape as the global operator, with every piece keyed by
+group:
+
+1. summaries — one narrow mapInPandas pass keeps ≤ k counters PER
+   (partition, group) (k = slack/fraction); any value with in-group
+   local frequency > n_pg/k survives, so by the mergeable-summaries
+   argument every value with GLOBAL in-group frequency > n_g/k
+   survives in at least one partition's summary for that group. Each
+   (partition, group) also emits one NULL-valued marker row carrying
+   its row count, so group totals ride along with the summaries — no
+   separate count pass (the heavy.py single-action convention);
+2. exact verify — candidates are the distinct (group, value) summary
+   rows; ONE (group, value)-keyed semi join + hash agg recounts them
+   exactly, and the threshold joins in-plan from the summed markers
+   per group.
+
+As with the global operator, the FINAL output is partitioning-invariant
+and identical to the brute-force per-group `HAVING cnt > f·n_g`
+(property-tested), which is what makes it oracle-checkable while the
+sketch itself is not. NULL values in ``col`` follow the heavy.py
+contract: unreportable (marker key), but counted in their group's
+denominator. NULL GROUP keys are their own group (pandas groupby
+dropna=False), matching SQL GROUP BY.
+
+Memory: ≤ k counters per (partition, group) — bounded by
+groups-per-partition · k. For high-cardinality group keys pre-salt the
+partitioning by group so each partition sees few groups; the candidate
+join is unhinted (AQE broadcasts the typical language/source-sized
+candidate set, shuffles a genuinely huge one — forcing broadcast would
+be wrong at 100 TB with millions of groups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.heavy import _mg_absorb
+
+
+def heavy_hitters_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    fraction: float,
+    slack: float = 2.0,
+) -> DataFrame:
+    """All (group, value) pairs where value's frequency exceeds
+    ``fraction`` of the GROUP's row count, with exact counts —
+    identical to per-group ``GROUP BY value HAVING cnt > f·n_g`` under
+    any partitioning. Returns (group_col, col, cnt bigint)."""
+    if not 0.0 < fraction < 1.0:
+        raise ValueError(f"fraction must be in (0, 1), got {fraction}")
+    k = max(1, int(slack / fraction))
+
+    def summarize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict = {}  # group -> MG dict
+        totals: dict = {}  # group -> row count
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, dropna=False):
+                totals[g] = totals.get(g, 0) + len(sub)
+                counters[g] = _mg_absorb(counters.get(g, {}), sub[col], k)
+        groups, vals, ns = [], [], []
+        for g, cnts in counters.items():
+            for v in cnts:
+                groups.append(g)
+                vals.append(v)
+                ns.append(None)
+            groups.append(g)
+            vals.append(None)
+            ns.append(totals[g])
+        yield pd.DataFrame(
+            {
+                group_col: groups,
+                col: vals,
+                "__n": pd.array(ns, dtype="Int64"),
+            }
+        )
+
+    gf = df.schema[group_col]
+    vf = df.schema[col]
+    summary = df.select(group_col, col).mapInPandas(
+        summarize,
+        f"{group_col} {gf.dataType.simpleString()}, "
+        f"{col} {vf.dataType.simpleString()}, __n bigint",
+    ).localCheckpoint(eager=False)
+    cand = (
+        summary.filter(F.col(col).isNotNull())
+        .select(group_col, col)
+        .distinct()
+    )
+    totals = summary.filter(F.col(col).isNull()).groupBy(group_col).agg(
+        F.sum("__n").alias("__total")
+    )
+    return (
+        df.join(cand, [group_col, col], "semi")
+        .groupBy(group_col, col)
+        .agg(F.count("*").alias("cnt"))
+        .join(totals, group_col)
+        .filter(
+            F.col("cnt").cast("double")
+            > F.lit(float(fraction)) * F.col("__total").cast("double")
+        )
+        .drop("__total")
+    )

@@ -89,7 +89,10 @@ def _load_all() -> None:
     #   49-50 r5-era fillers: q_llm_prep + q_minhash_gate.
     # After r7 nothing in the ledger sits on pre-r5 evidence.
     #
-    # R8 ROTATION PLAN: promote r8-new/changed keys first, then the
+    # R8 ROTATION PLAN: declare + promote q_sessionize and
+    # q_group_heavy_hitters first (operators/sessionize.py +
+    # operators/heavy_group.py landed r7 with tests — the window was
+    # full) and other r8-new/changed keys, then the
     # r5-era evidence displaced longest (approx_gates: simhash/
     # embed_lsh/cosine_lsh/ivf/dedup_components_lsh/approx_distinct/
     # dedup_keep_rep_lsh; clustering; text r5 keys; udx; vendor;
