@@ -590,6 +590,61 @@ def main() -> None:
         )
         keys.unpersist()
 
+    # Sessionize + group heavy hitters (r7 build-ahead): sessionize is
+    # one per-user window pass (expected linear — per-user partitions,
+    # bounded groups); group-MG is one mapInPandas summary pass + a
+    # (group, value) semi-join recount (expected linear, state bounded
+    # by groups×k per partition).
+    from food_panda_etl_spark.operators.heavy_group import (
+        heavy_hitters_by_group,
+    )
+    from food_panda_etl_spark.operators.sessionize import sessionize
+
+    curves["sessionize"] = {}
+    curves["group_heavy"] = {}
+    for n in pr_sizes:
+        ev = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.pmod(F.xxhash64(F.col("id")), F.lit(max(1, n // 20))).alias(
+                    "user_id"
+                ),
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000)
+                    + F.pmod(F.xxhash64(F.col("id") + 7), F.lit(86_400_000_000))
+                ).alias("ts"),
+                F.concat(
+                    F.lit("t"),
+                    F.pmod(F.xxhash64(F.col("id") + 13), F.lit(5000)).cast(
+                        "string"
+                    ),
+                ).alias("token"),
+            )
+            .cache()
+        )
+        ev.count()
+        curves["sessionize"][n] = timed(
+            lambda: sessionize(ev, gap_minutes=30)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        curves["group_heavy"][n] = timed(
+            lambda: heavy_hitters_by_group(
+                ev.select(
+                    F.pmod(F.col("user_id"), F.lit(4)).alias("grp"), F.col("token")
+                ),
+                "grp",
+                "token",
+                fraction=0.01,
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        ev.unpersist()
+
     # BPE (r6): training cost = ONE linear corpus histogram + rounds ×
     # O(vocab). With the synth vocab FIXED at 5000 words, growing the
     # corpus 4× should grow bpe_train far slower than 4× (only the
