@@ -97,20 +97,36 @@ def heavy_hitters_by_group(
     ).localCheckpoint(eager=False)
     cand = (
         summary.filter(F.col(col).isNotNull())
-        .select(group_col, col)
+        .select(
+            F.col(group_col).alias("__cg"), F.col(col).alias("__cv")
+        )
         .distinct()
     )
-    totals = summary.filter(F.col(col).isNull()).groupBy(group_col).agg(
-        F.sum("__n").alias("__total")
+    totals = (
+        summary.filter(F.col(col).isNull())
+        .groupBy(F.col(group_col).alias("__tg"))
+        .agg(F.sum("__n").alias("__total"))
     )
-    return (
-        df.join(cand, [group_col, col], "semi")
+    # the group key can legitimately be NULL (its own group, per the
+    # contract above) — both the candidate semi join and the totals
+    # join must use null-safe equality or NULL-group hitters silently
+    # vanish from the recount
+    counted = (
+        df.join(
+            cand,
+            df[group_col].eqNullSafe(cand["__cg"]) & (df[col] == cand["__cv"]),
+            "semi",
+        )
         .groupBy(group_col, col)
         .agg(F.count("*").alias("cnt"))
-        .join(totals, group_col)
+    )
+    return (
+        counted.join(
+            totals, counted[group_col].eqNullSafe(totals["__tg"])
+        )
         .filter(
             F.col("cnt").cast("double")
             > F.lit(float(fraction)) * F.col("__total").cast("double")
         )
-        .drop("__total")
+        .select(group_col, col, "cnt")
     )

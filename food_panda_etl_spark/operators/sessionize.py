@@ -11,7 +11,7 @@ reasoning; a single-partition global window never appears). Output is
 deterministic under any partitioning because the per-user order is a
 TOTAL order: ties on ts break on the event id column.
 
-Session ids are (id_col-scoped) ordinals from 1, so (user, session_id)
+Session ids are per-user ordinals from 1, so (user, session_id)
 is a stable key for downstream per-session aggregation — fully
 SQL-replayable as the identical lag + SUM-over-flags window chain
 (declared-query slated for the r8 window)."""
@@ -37,6 +37,12 @@ def sessionize(
     session_window semantics where the window extends gap past the
     last event). Events are ordered by (ts, event_col) per user — a
     total order, so ids are partitioning-invariant."""
+    if gap_minutes != int(gap_minutes) or int(gap_minutes) <= 0:
+        # int() would silently truncate a fractional gap (0.5 -> 0
+        # microseconds: every event its own session, no error)
+        raise ValueError(
+            f"gap_minutes must be a positive integer, got {gap_minutes!r}"
+        )
     w = Window.partitionBy(user_col).orderBy(ts_col, event_col)
     prev = F.lag(F.col(ts_col)).over(w)
     gap_us = F.lit(int(gap_minutes) * 60 * 1000000)

@@ -29,9 +29,14 @@ SET = settings(max_examples=5, deadline=None,
 
 @SET
 @given(
+    # 12-value alphabet vs k = int(2.0/0.3) = 6 counters: the per-group
+    # MG COMPRESSION branch (len > k -> subtract kth) genuinely fires
+    # under these draws, so the equality property covers the lossy
+    # path, not just lossless counting. NULL group keys are drawn too
+    # (their own group, per the contract).
     rows=st.lists(
-        st.tuples(st.sampled_from(["en", "de", "fr"]),
-                  st.sampled_from(list("abcdef"))),
+        st.tuples(st.sampled_from(["en", "de", "fr", None]),
+                  st.sampled_from(list("abcdefghijkl"))),
         min_size=1, max_size=60,
     ),
     parts=st.integers(min_value=1, max_value=5),
@@ -47,6 +52,22 @@ def test_group_heavy_equals_brute_force(spark, rows, parts):
         for r in heavy_hitters_by_group(df, "lang", "v", fraction=0.3).collect()
     }
     assert got == _brute(rows, 0.3)
+
+
+def test_group_heavy_null_group_is_its_own_group(spark):
+    """NULL group keys must be reported like any other group (SQL
+    GROUP BY semantics) — the recount joins must be null-safe."""
+    from food_panda_etl_spark.operators.heavy_group import (
+        heavy_hitters_by_group,
+    )
+
+    rows = [(None, "x")] * 10 + [("en", "y")] * 10
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {
+        (r["grp"], r["v"]): r["cnt"]
+        for r in heavy_hitters_by_group(df, "grp", "v", fraction=0.5).collect()
+    }
+    assert got == {(None, "x"): 10, ("en", "y"): 10}
 
 
 def test_minority_group_hitter_survives_majority_vocabulary(spark):

@@ -108,3 +108,17 @@ def test_sessionize_agrees_with_spark_session_window(spark, sf_dir):
     a = {r["user_id"]: r["n_sessions"] for r in ours.collect()}
     b = {r["user_id"]: r["n_sessions"] for r in theirs.collect()}
     assert a == b
+
+
+def test_sessionize_rejects_fractional_or_nonpositive_gap(spark):
+    import pytest
+
+    from food_panda_etl_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1)], "user_id long, ts_s string, event_id long"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+    with pytest.raises(ValueError, match="positive integer"):
+        sessionize(df, gap_minutes=0.5)
+    with pytest.raises(ValueError, match="positive integer"):
+        sessionize(df, gap_minutes=0)
