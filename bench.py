@@ -148,9 +148,11 @@ HEADLINE = [
     "q_quality_classifier",
     "q_funnel",
     "q_retention",
+    "q_sessionize",
+    "q_group_heavy_hitters",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 88 of the 137 declared
+# Bench coverage accounting (VERDICT r6 task 7): 90 of the 139 declared
 # keys are timed above. The 49 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —

@@ -67,35 +67,34 @@ def _load_all() -> None:
     #
     # R7 ROTATION (VERDICT r6 tasks 1-3, executed as amended by the
     # judge): the 50-slot window is, in order —
-    #   1-8   NEW in r7: q_pagerank + q_pmi (operators landed r6 with
+    #   1-10  NEW in r7: q_pagerank + q_pmi (operators landed r6 with
     #         property tests; first driver evidence now), then
-    #         q_triangle_count, q_labelprop, q_cms_counts (operators
-    #         also new in r7), q_quality_classifier (VERDICT task 3),
-    #         q_funnel, q_retention.
-    #   9-13  judge-mandated RE-RECORDS: q_kmeans, q_semantic_dedup,
+    #         q_triangle_count, q_labelprop, q_cms_counts,
+    #         q_quality_classifier (VERDICT task 3), q_funnel,
+    #         q_retention, q_sessionize, q_group_heavy_hitters (all
+    #         eight operators new in r7 — every operator in the repo
+    #         now has a declared oracled query except sandbox-bound
+    #         S10).
+    #   11-15 judge-mandated RE-RECORDS: q_kmeans, q_semantic_dedup,
     #         q_embed_centroid (r6 integer-grid quantization, 0b80096),
     #         q_snapshot_diff, q_upsert (r6 null-safe fold, 68c8f7c) —
     #         byte-changed after their r4/r5 greens; judge re-oracled
     #         all five green at sf0.01, contract wants the driver hash.
-    #   14-17 byte-changed THIS round (ADVICE r6 guards): q_dsir_weight
+    #   16-19 byte-changed THIS round (ADVICE r6 guards): q_dsir_weight
     #         + q_select_pipeline (dsir empty-target raise + decimal
     #         widening), q_pps_sample (negative/NaN-weight raise),
     #         q_heavy_hitters (NULL-key contract docs in heavy.py).
-    #   18-48 the 31 r4-era greens (VERDICT task 2 — oldest evidence):
+    #   20-50 the 31 r4-era greens (VERDICT task 2 — oldest evidence):
     #         sql_layer tail (tpch_q3, grouping_sets, exists_subquery,
     #         tpch_q5), setops (3), storage r4 keys (partition_prune,
     #         train_split, stratified_sample, pack_chunks, zorder),
     #         skew (2), joins (9), windows (8).
-    #   49-50 r5-era fillers: q_llm_prep + q_minhash_gate.
     # After r7 nothing in the ledger sits on pre-r5 evidence.
     #
-    # R8 ROTATION PLAN: declare + promote q_sessionize and
-    # q_group_heavy_hitters first (operators/sessionize.py +
-    # operators/heavy_group.py landed r7 with tests — the window was
-    # full) and other r8-new/changed keys, then the
-    # r5-era evidence displaced longest (approx_gates: simhash/
-    # embed_lsh/cosine_lsh/ivf/dedup_components_lsh/approx_distinct/
-    # dedup_keep_rep_lsh; clustering; text r5 keys; udx; vendor;
+    # R8 ROTATION PLAN: promote r8-new/changed keys first, then the
+    # r5-era evidence displaced longest (q_llm_prep; approx_gates:
+    # minhash/simhash/embed_lsh/cosine_lsh/ivf/dedup_components_lsh/
+    # approx_distinct/dedup_keep_rep_lsh; text r5 keys; udx; vendor;
     # retrieval; similarity r5 keys), then the r6-era block (the r6
     # window head), keeping every key's latest evidence ≤ 2 rounds old.
     from food_panda_etl_spark.queries import (  # noqa: F401
@@ -136,6 +135,8 @@ def _load_all() -> None:
         "q_quality_classifier",
         "q_funnel",
         "q_retention",
+        "q_sessionize",
+        "q_group_heavy_hitters",
         # judge-mandated re-records (r6 byte changes)
         "q_kmeans",
         "q_semantic_dedup",
@@ -179,13 +180,14 @@ def _load_all() -> None:
         "q_tumbling_window",
         "q_sliding_window",
         "q_session_window",
-        # r5-era fillers (q_simhash_gate / q_embed_lsh_gate were slated
-        # here but gave their slots to q_labelprop / q_cms_counts —
-        # first evidence for NEW queries outranks refreshing green
-        # r5 evidence; both gates stay r5-green, byte-unchanged)
-        "q_llm_prep",
-        "q_minhash_gate",
     ]
+    # No filler slots remain: the four r5-era fillers originally slated
+    # (q_llm_prep, q_minhash_gate, q_simhash_gate, q_embed_lsh_gate)
+    # gave their slots to the late-r7 declarations q_labelprop /
+    # q_cms_counts / q_sessionize / q_group_heavy_hitters — first
+    # evidence for NEW queries outranks refreshing green r5 evidence;
+    # all four displaced keys stay r5-green, byte-unchanged, and lead
+    # the r8 refresh list.
     snapshot = dict(QUERIES)
     QUERIES.clear()
     for name in promoted:

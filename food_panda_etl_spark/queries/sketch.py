@@ -84,3 +84,49 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("never_under"),
         )
     )
+
+
+_GHH_FRACTION = 0.01
+
+
+@query(
+    "q_group_heavy_hitters",
+    # The oracle is the brute-force per-group HAVING — exactly what the
+    # operator's output is proven equal to under any partitioning
+    # (tests/test_heavy_group.py): the MG candidate set is a per-group
+    # superset, the recount is exact, and the threshold arithmetic is
+    # the same double comparison on both sides.
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    ng AS (SELECT lang, count(*) AS n FROM tok GROUP BY lang),
+    c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY lang, token)
+    SELECT c.lang, c.token, c.cnt
+    FROM c JOIN ng USING (lang)
+    WHERE CAST(c.cnt AS DOUBLE)
+          > CAST({_GHH_FRACTION} AS DOUBLE) * CAST(ng.n AS DOUBLE)
+    """,
+)
+def q_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 group-wise heavy hitters (r7) — tokens exceeding 1% of
+    EACH language's token stream (`operators/heavy_group.py`): per-
+    (partition, group) Misra-Gries summaries with marker rows carrying
+    group totals (no separate count pass), then ONE (group, value)
+    null-safe semi join + exact per-group recount. The global operator
+    would drown minority languages under the majority vocabulary
+    (tested); the per-group summaries report each stratum against its
+    OWN denominator. Output is identical to the brute-force per-group
+    HAVING under any partitioning — which is exactly what the oracle
+    computes. 150 (lang, token) hitters at sf0.01."""
+    from food_panda_etl_spark.operators.heavy_group import (
+        heavy_hitters_by_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return heavy_hitters_by_group(
+        tok, "lang", "token", fraction=_GHH_FRACTION
+    )

@@ -24,6 +24,8 @@ from food_panda_etl_spark.queries import QUERIES
         "q_quality_classifier",
         "q_funnel",
         "q_retention",
+        "q_sessionize",
+        "q_group_heavy_hitters",
     ],
 )
 def test_r7_queries_cartesian_free(spark, sf_dir, name):
