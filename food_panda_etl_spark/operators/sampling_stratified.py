@@ -1,0 +1,120 @@
+"""Stratified systematic PPS sampling — per-stratum weighted quotas
+over ONE global prefix sum (the balanced-mixture selection step: "keep
+k_en PPS-weighted documents from English, k_de from German, …" — the
+composition of `operators/sampling.py`'s systematic selection with
+`queries/storage.py`'s per-stratum quota discipline, as a single
+operator because the naive composition runs one prefix-sum job per
+stratum).
+
+The scale trick: a per-stratum running sum via a window PARTITION BY
+stratum would put each stratum in one task — the single-partition
+hazard for any large stratum. Instead the operator computes ONE
+two-phase GLOBAL prefix sum over the (stratum, hash, id) total order
+(`global_running_sum` — strata are contiguous ranges under that
+order), derives each stratum's base offset from the tiny per-stratum
+totals table (cumulative over strata — a window over ≤ |strata| rows,
+prefix-summed with the same triangular-join scheme to avoid even that
+window), and rebases: stratum-local cum = global cum − stratum base.
+Tick membership is then the same pure integer test as the flat
+sampler, per stratum: (k_s·cum_local) div T_s > (k_s·(cum_local−w))
+div T_s.
+
+Everything stays INTEGER arithmetic — bit-deterministic, partitioning-
+invariant, replayable in SQL (declared-query slated for the r8
+window). Inclusion probability within stratum s is exactly
+min(1, k_s·w/T_s); exactly k_s rows per stratum whenever every w <
+T_s/k_s (heavier certainty units absorb multiple ticks, flagged by
+n_ticks). Weight validation matches the flat sampler: non-negative,
+non-NULL, non-NaN, checked on the RAW column in-plan.
+
+Quotas: a {stratum: k} dict (driver-side, strata are few — the
+language/source-mix use case). Strata present in the data but absent
+from the quota dict are dropped (sampled at k=0) — the caller's mix
+spec IS the selection; strata in the dict but absent from the data
+yield nothing (can't sample what isn't there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.order import global_running_sum
+
+
+def pps_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    quotas: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """~k_s rows per stratum s, selected with probability proportional
+    to the integer ``weight_col`` within the stratum. Returns
+    (id_col, stratum_col, weight bigint, cum_weight bigint — the
+    STRATUM-LOCAL cumulative — and n_ticks bigint), selected rows only.
+    """
+    if not quotas:
+        raise ValueError("pps_stratified_sample: quotas must be non-empty")
+    for s, k in quotas.items():
+        if int(k) < 0:
+            raise ValueError(
+                f"pps_stratified_sample: quota for stratum {s!r} is "
+                f"negative ({k})"
+            )
+    spark = df.sparkSession
+    stratum_type = df.schema[stratum_col].dataType.simpleString()
+    qdf = spark.createDataFrame(
+        [(s, int(k)) for s, k in quotas.items()],
+        schema=f"{stratum_col} {stratum_type}, __k bigint",
+    )
+    w_raw = F.col(weight_col)
+    w_ok = (w_raw >= 0) & ~F.isnan(w_raw.cast("double"))
+    keyed = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.when(w_ok, w_raw.cast("bigint"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"pps_stratified_sample: {weight_col} must be a "
+                    "non-negative non-NULL integer weight"
+                )
+            )
+        )
+        .alias("__w"),
+        ((F.col(id_col) * 1315423911) % 1000003).alias("__h"),
+    ).join(F.broadcast(qdf), stratum_col)
+    # ONE global prefix sum over the (stratum, hash, id) total order —
+    # strata are contiguous ranges under it, so the stratum-local
+    # cumulative is a rebase, not a second prefix-sum job
+    cum = global_running_sum(
+        keyed, [stratum_col, "__h", id_col], "__w", out_col="__gcum"
+    )
+    stot = keyed.groupBy(stratum_col).agg(F.sum("__w").alias("__tot"))
+    # per-stratum base offsets via the triangular join over the tiny
+    # strata table (the global_running_sum offset scheme — no window)
+    prev = stot.select(
+        F.col(stratum_col).alias("__sp"), F.col("__tot").alias("__tp")
+    )
+    base = (
+        stot.join(prev, F.col("__sp") < F.col(stratum_col), "left")
+        .groupBy(stratum_col, "__tot")
+        .agg(F.coalesce(F.sum("__tp"), F.lit(0)).alias("__base"))
+    )
+    local = cum.join(F.broadcast(base), stratum_col).withColumn(
+        "__cum", F.col("__gcum") - F.col("__base")
+    )
+    hi = F.expr("(__k * __cum) div __tot")
+    lo = F.expr("(__k * (__cum - __w)) div __tot")
+    return (
+        local.withColumn("__ticks", (hi - lo).cast("bigint"))
+        .filter(F.col("__ticks") > 0)
+        .select(
+            id_col,
+            stratum_col,
+            F.col("__w").alias("weight"),
+            F.col("__cum").cast("bigint").alias("cum_weight"),
+            F.col("__ticks").alias("n_ticks"),
+        )
+    )

@@ -91,7 +91,11 @@ def _load_all() -> None:
     #         skew (2), joins (9), windows (8).
     # After r7 nothing in the ledger sits on pre-r5 evidence.
     #
-    # R8 ROTATION PLAN: promote r8-new/changed keys first, then the
+    # R8 ROTATION PLAN: declare + promote q_pps_stratified first
+    # (operators/sampling_stratified.py landed r7 with the composition-
+    # equivalence property test — the window was full; the oracle form
+    # is the flat per-stratum replay) and other r8-new/changed keys,
+    # then the
     # r5-era evidence displaced longest (q_llm_prep; approx_gates:
     # minhash/simhash/embed_lsh/cosine_lsh/ivf/dedup_components_lsh/
     # approx_distinct/dedup_keep_rep_lsh; text r5 keys; udx; vendor;
