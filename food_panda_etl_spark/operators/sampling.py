@@ -58,41 +58,17 @@ def pps_systematic_sample(
     but an EXPENSIVE upstream pipeline should be lazily checkpointed
     before being passed in (see q_select_pipeline; measured 5.0 → 3.6 s
     at sf0.1)."""
-    # ADVICE r6: a negative (or NULL) weight would silently corrupt the
-    # sample — Spark's `div` truncates toward zero while DuckDB's `//`
-    # floors, so a negative cumulative interval diverges across engines
-    # and breaks the tick-membership invariant. Fail loudly in-plan
-    # (the guard is the consumed column itself, pruning-proof); zero
-    # weights are fine — an empty interval is never selected. The guard
-    # tests the RAW column, not the bigint cast: a fractional negative
-    # like -0.5 truncates to 0 and would slip past a post-cast check —
-    # and rejects NaN explicitly (Spark orders NaN GREATER than every
-    # number, so `NaN >= 0` is true, and the non-ANSI bigint cast would
-    # silently turn it into weight 0).
-    w_raw = F.col(weight_col)
-    w_ok = (w_raw >= 0) & ~F.isnan(w_raw.cast("double"))
     keyed = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.when(w_ok, w_raw.cast("bigint"))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    f"pps_systematic_sample: {weight_col} must be a "
-                    "non-negative non-NULL integer weight"
-                )
-            )
-        )
-        .alias("__w"),
-        ((F.col(id_col) * 1315423911) % 1000003).alias("__h"),
+        guarded_weight(weight_col, "pps_systematic_sample").alias("__w"),
+        sample_order_hash(id_col).alias("__h"),
     )
     cum = global_running_sum(keyed, ["__h", id_col], "__w", out_col="__cum")
     total = keyed.agg(F.sum("__w").alias("__tot"))
-    hi = F.expr(f"({int(k)} * __cum) div __tot")
-    lo = F.expr(f"({int(k)} * (__cum - __w)) div __tot")
     return (
         cum.crossJoin(F.broadcast(total))
-        .withColumn("__ticks", (hi - lo).cast("bigint"))
+        .withColumn("__ticks", tick_count(int(k)))
         .filter(F.col("__ticks") > 0)
         .select(
             id_col,
@@ -101,4 +77,55 @@ def pps_systematic_sample(
             F.col("__cum").cast("bigint").alias("cum_weight"),
             F.col("__ticks").alias("n_ticks"),
         )
+    )
+
+
+def guarded_weight(weight_col: str, op_name: str):
+    """The samplers' shared weight projection — ONE definition so the
+    flat and stratified samplers (whose composition-equivalence
+    property depends on identical semantics) can never drift.
+
+    ADVICE r6: a negative (or NULL) weight would silently corrupt the
+    sample — Spark's `div` truncates toward zero while DuckDB's `//`
+    floors, so a negative cumulative interval diverges across engines
+    and breaks the tick-membership invariant. Fail loudly in-plan
+    (the guard is the consumed column itself, pruning-proof); zero
+    weights are fine — an empty interval is never selected. The guard
+    tests the RAW column, not the bigint cast: a fractional negative
+    like -0.5 truncates to 0 and would slip past a post-cast check —
+    and rejects NaN explicitly (Spark orders NaN GREATER than every
+    number, so `NaN >= 0` is true, and the non-ANSI bigint cast would
+    silently turn it into weight 0)."""
+    w_raw = F.col(weight_col)
+    w_ok = (w_raw >= 0) & ~F.isnan(w_raw.cast("double"))
+    return F.when(w_ok, w_raw.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op_name}: {weight_col} must be a "
+                "non-negative non-NULL integer weight"
+            )
+        )
+    )
+
+
+def sample_order_hash(id_col: str):
+    """The samplers' shared pseudo-random ordering key (the
+    q_shuffle_order multiplicative hash) — shared for the same
+    no-drift reason as :func:`guarded_weight`."""
+    return (F.col(id_col) * 1315423911) % 1000003
+
+
+def tick_count(k_expr):
+    """Systematic ticks inside the row's weight interval:
+    (k·cum) div T − (k·(cum−w)) div T over the in-scope __cum/__w/__tot
+    columns (``k_expr`` is an int literal or a column name string
+    resolving to the per-stratum quota). A zero-mass total selects
+    NOTHING instead of dividing by zero — Spark 4's ANSI mode would
+    otherwise abort the whole job when one (sub)population is all
+    zero-weight, which is a legal input (zero weights are individually
+    legal, so all-zero must be too)."""
+    hi = F.expr(f"({k_expr} * __cum) div __tot")
+    lo = F.expr(f"({k_expr} * (__cum - __w)) div __tot")
+    return F.when(F.col("__tot") > 0, hi - lo).otherwise(F.lit(0)).cast(
+        "bigint"
     )

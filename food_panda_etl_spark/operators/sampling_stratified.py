@@ -40,6 +40,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.order import global_running_sum
+from food_panda_etl_spark.operators.sampling import (
+    guarded_weight,
+    sample_order_hash,
+    tick_count,
+)
 
 
 def pps_stratified_sample(
@@ -57,10 +62,13 @@ def pps_stratified_sample(
     if not quotas:
         raise ValueError("pps_stratified_sample: quotas must be non-empty")
     for s, k in quotas.items():
-        if int(k) < 0:
+        # reject fractional quotas too — int() would silently truncate
+        # 2.9 -> 2 and under-sample the stratum with no signal (the
+        # sessionize gap convention)
+        if k != int(k) or int(k) < 0:
             raise ValueError(
-                f"pps_stratified_sample: quota for stratum {s!r} is "
-                f"negative ({k})"
+                f"pps_stratified_sample: quota for stratum {s!r} must "
+                f"be a non-negative integer, got {k!r}"
             )
     spark = df.sparkSession
     stratum_type = df.schema[stratum_col].dataType.simpleString()
@@ -68,22 +76,14 @@ def pps_stratified_sample(
         [(s, int(k)) for s, k in quotas.items()],
         schema=f"{stratum_col} {stratum_type}, __k bigint",
     )
-    w_raw = F.col(weight_col)
-    w_ok = (w_raw >= 0) & ~F.isnan(w_raw.cast("double"))
+    # the weight guard and ordering hash are the flat sampler's OWN
+    # definitions — the composition-equivalence invariant (and the r8
+    # oracle replay) depends on the two samplers never drifting
     keyed = df.select(
         F.col(id_col),
         F.col(stratum_col),
-        F.when(w_ok, w_raw.cast("bigint"))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    f"pps_stratified_sample: {weight_col} must be a "
-                    "non-negative non-NULL integer weight"
-                )
-            )
-        )
-        .alias("__w"),
-        ((F.col(id_col) * 1315423911) % 1000003).alias("__h"),
+        guarded_weight(weight_col, "pps_stratified_sample").alias("__w"),
+        sample_order_hash(id_col).alias("__h"),
     ).join(F.broadcast(qdf), stratum_col)
     # ONE global prefix sum over the (stratum, hash, id) total order —
     # strata are contiguous ranges under it, so the stratum-local
@@ -105,10 +105,8 @@ def pps_stratified_sample(
     local = cum.join(F.broadcast(base), stratum_col).withColumn(
         "__cum", F.col("__gcum") - F.col("__base")
     )
-    hi = F.expr("(__k * __cum) div __tot")
-    lo = F.expr("(__k * (__cum - __w)) div __tot")
     return (
-        local.withColumn("__ticks", (hi - lo).cast("bigint"))
+        local.withColumn("__ticks", tick_count("__k"))
         .filter(F.col("__ticks") > 0)
         .select(
             id_col,

@@ -103,7 +103,7 @@ _GHH_FRACTION = 0.01
     c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
           FROM tok GROUP BY lang, token)
     SELECT c.lang, c.token, c.cnt
-    FROM c JOIN ng USING (lang)
+    FROM c JOIN ng ON c.lang IS NOT DISTINCT FROM ng.lang
     WHERE CAST(c.cnt AS DOUBLE)
           > CAST({_GHH_FRACTION} AS DOUBLE) * CAST(ng.n AS DOUBLE)
     """,

@@ -85,3 +85,45 @@ def test_stratified_drops_unquoted_strata_and_validates(spark):
     )
     with pytest.raises(Exception, match="non-negative non-NULL"):
         pps_stratified_sample(neg, "lang", "n_chars", {"en": 1}).collect()
+
+
+def test_stratified_zero_mass_stratum_selects_nothing(spark):
+    """All-zero weights in one stratum must yield an empty selection
+    for that stratum, not a DIVIDE_BY_ZERO that kills the healthy
+    strata (zero weights are individually legal, so all-zero is too)."""
+    from food_panda_etl_spark.operators.sampling_stratified import (
+        pps_stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "en", 0), (1, "en", 0), (2, "de", 5), (3, "de", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = pps_stratified_sample(
+        df, "lang", "n_chars", {"en": 2, "de": 1}
+    ).collect()
+    assert {r["lang"] for r in got} == {"de"}
+    assert sum(r["n_ticks"] for r in got) == 1
+
+
+def test_stratified_rejects_fractional_quota(spark):
+    from food_panda_etl_spark.operators.sampling_stratified import (
+        pps_stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "en", 5)], "doc_id long, lang string, n_chars long"
+    )
+    with pytest.raises(ValueError, match="non-negative integer"):
+        pps_stratified_sample(df, "lang", "n_chars", {"en": 2.9})
+
+
+def test_flat_sampler_zero_total_selects_nothing(spark):
+    """The flat sampler's analog of the zero-mass guard: an all-zero
+    input returns empty instead of aborting under ANSI division."""
+    from food_panda_etl_spark.operators.sampling import pps_systematic_sample
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0)], "doc_id long, n_chars long"
+    )
+    assert pps_systematic_sample(df, "n_chars", k=3).collect() == []
