@@ -29,6 +29,20 @@ contract: unreportable (marker key), but counted in their group's
 denominator. NULL GROUP keys are their own group (pandas groupby
 dropna=False), matching SQL GROUP BY.
 
+Integral-column bridge (ADVICE r7): Arrow→pandas converts an int64
+batch CONTAINING A NULL to float64 — keys above 2^53 silently collapse
+(measured: 2^53+1 and 2^53+2 merge), and the NULL group key becomes a
+float NaN whose dict identity is fragile. The corruption happens inside
+the serializer, BEFORE any in-pandas cast could repair it, so integral
+group/value columns are bridged through exact engine-side string casts:
+cast to string in the projection feeding mapInPandas (decimal digits —
+bijective for every int64, NULL stays NULL), summarize over strings,
+cast candidates back to the original type after. Cost is a few bytes
+per row on the two shipped columns; the recount join and the output
+schema keep the caller's original types. Float/decimal group keys keep
+the heavy.py contract (no NaN groups) — the declared callers use
+string/integral keys.
+
 Memory: ≤ k counters per (partition, group) — bounded by
 groups-per-partition · k. For high-cardinality group keys pre-salt the
 partitioning by group so each partition sees few groups; the candidate
@@ -88,23 +102,38 @@ def heavy_hitters_by_group(
             }
         )
 
-    gf = df.schema[group_col]
-    vf = df.schema[col]
-    summary = df.select(group_col, col).mapInPandas(
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+    gt = df.schema[group_col].dataType.simpleString()
+    vt = df.schema[col].dataType.simpleString()
+    g_bridge = gt in _INTEGRAL
+    v_bridge = vt in _INTEGRAL
+
+    def _out(name: str, bridged: bool):
+        g = F.col(name)
+        return g.cast("string") if bridged else g
+
+    def _back(c, bridged: bool, typ: str):
+        return c.cast(typ) if bridged else c
+
+    summary = df.select(
+        _out(group_col, g_bridge).alias(group_col),
+        _out(col, v_bridge).alias(col),
+    ).mapInPandas(
         summarize,
-        f"{group_col} {gf.dataType.simpleString()}, "
-        f"{col} {vf.dataType.simpleString()}, __n bigint",
+        f"{group_col} {'string' if g_bridge else gt}, "
+        f"{col} {'string' if v_bridge else vt}, __n bigint",
     ).localCheckpoint(eager=False)
     cand = (
         summary.filter(F.col(col).isNotNull())
         .select(
-            F.col(group_col).alias("__cg"), F.col(col).alias("__cv")
+            _back(F.col(group_col), g_bridge, gt).alias("__cg"),
+            _back(F.col(col), v_bridge, vt).alias("__cv"),
         )
         .distinct()
     )
     totals = (
         summary.filter(F.col(col).isNull())
-        .groupBy(F.col(group_col).alias("__tg"))
+        .groupBy(_back(F.col(group_col), g_bridge, gt).alias("__tg"))
         .agg(F.sum("__n").alias("__total"))
     )
     # the group key can legitimately be NULL (its own group, per the

@@ -62,6 +62,20 @@ def pps_stratified_sample(
     if not quotas:
         raise ValueError("pps_stratified_sample: quotas must be non-empty")
     for s, k in quotas.items():
+        # ADVICE r8: a None key would pass straight through to the
+        # stratum equi-join, which can never match a NULL stratum —
+        # {None: k} would silently select nothing, contradicting the
+        # repo's NULL-groups-are-their-own-group contract
+        # (operators/heavy_group.py). The join is deliberately NOT
+        # null-safe (eqNullSafe would also null-join the rebase/base
+        # tables); NULL strata are out of the sampler's domain, so
+        # fail loudly here instead of silently under-delivering.
+        if s is None:
+            raise ValueError(
+                "pps_stratified_sample: quota keys must be non-NULL "
+                "strata (a NULL stratum can never match the stratum "
+                "equi-join; filter or fillna the stratum column first)"
+            )
         # reject fractional quotas too — int() would silently truncate
         # 2.9 -> 2 and under-sample the stratum with no signal (the
         # sessionize gap convention)

@@ -91,6 +91,35 @@ def test_minority_group_hitter_survives_majority_vocabulary(spark):
     assert heavy_hitters(df, "v", fraction=0.5).count() == 0
 
 
+def test_group_heavy_big_int_keys_with_nulls_survive(spark):
+    """ADVICE r7 regression: a nullable int64 batch reaches pandas as
+    float64 (Arrow null → NaN), so group keys above 2^53 used to
+    collapse (2^53+1 and 2^53+2 merge in float64) and the NULL group
+    leaned on a NaN dict key. The string bridge must keep them exact —
+    distinct counts per distinct key, NULL group reported, original
+    int64 type preserved in the output."""
+    from food_panda_etl_spark.operators.heavy_group import (
+        heavy_hitters_by_group,
+    )
+
+    a, b = 2**53 + 1, 2**53 + 2
+    rows = (
+        [(a, 2**53 + 5)] * 6
+        + [(b, 2**53 + 7)] * 4
+        + [(None, 2**53 + 9)] * 5
+    )
+    df = spark.createDataFrame(rows, "grp long, v long").repartition(3)
+    out = heavy_hitters_by_group(df, "grp", "v", fraction=0.5)
+    assert out.schema["grp"].dataType.simpleString() == "bigint"
+    assert out.schema["v"].dataType.simpleString() == "bigint"
+    got = {(r["grp"], r["v"]): r["cnt"] for r in out.collect()}
+    assert got == {
+        (a, 2**53 + 5): 6,
+        (b, 2**53 + 7): 4,
+        (None, 2**53 + 9): 5,
+    }
+
+
 def test_group_heavy_validates_fraction(spark):
     from food_panda_etl_spark.operators.heavy_group import (
         heavy_hitters_by_group,

@@ -106,6 +106,26 @@ def test_stratified_zero_mass_stratum_selects_nothing(spark):
     assert sum(r["n_ticks"] for r in got) == 1
 
 
+def test_stratified_rejects_none_quota_key(spark):
+    """ADVICE r8 regression: {None: k} used to pass validation but the
+    inner stratum equi-join can never match a NULL stratum, so the
+    quota silently selected nothing — must raise instead."""
+    from food_panda_etl_spark.operators.sampling_stratified import (
+        pps_stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None, 5), (1, "en", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        pps_stratified_sample(df, "lang", "n_chars", {None: 1})
+    # a NULL stratum in the DATA under a non-NULL quota dict is still
+    # fine — it is simply unquoted, hence dropped
+    got = pps_stratified_sample(df, "lang", "n_chars", {"en": 1}).collect()
+    assert {r["lang"] for r in got} == {"en"}
+
+
 def test_stratified_rejects_fractional_quota(spark):
     from food_panda_etl_spark.operators.sampling_stratified import (
         pps_stratified_sample,
