@@ -37,6 +37,8 @@ centroid collect, documented here because it is the variant's point).
 
 from __future__ import annotations
 
+import heapq
+
 from collections import Counter, defaultdict
 
 from pyspark.sql import DataFrame
@@ -85,18 +87,31 @@ def bpe_fit_driver(
             pair_freq[(a, b)] += freq
             occurs[(a, b)].add(w)
 
+    # ADVICE r7: the per-round argmax was a full linear scan of
+    # pair_freq — at 32k merges the scan, not Spark, dominated the fit.
+    # Replace it with a lazy-invalidation heap on the SAME total order
+    # (-freq, lhs, rhs): every count change pushes a fresh entry, pops
+    # skip entries whose recorded count no longer matches the live
+    # table. Invariant: every pair with a positive live count has a
+    # heap entry carrying exactly that count (initial heapify; the
+    # rescan loop re-pushes each touched pair's final count once per
+    # round), so the first non-stale pop IS the linear scan's argmax.
+    heap: list[tuple[int, str, str]] = [
+        (-c, a, b) for (a, b), c in pair_freq.items() if c > 0
+    ]
+    heapq.heapify(heap)
+
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(int(n_merges)):
         best = None
-        for p, c in pair_freq.items():
-            if c <= 0:
-                continue
-            key = (-c, p[0], p[1])  # freq DESC, then lexicographic pair
-            if best is None or key < best[0]:
-                best = (key, p, c)
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            if pair_freq.get((a, b), 0) == -negc:
+                best = ((a, b), -negc)
+                break
         if best is None:
             break
-        _, (lhs, rhs), c = best
+        (lhs, rhs), c = best
         merges.append((rank, lhs, rhs, int(c)))
         # rescan ONLY the words still containing the merged pair; after
         # the scan no (lhs, rhs) adjacency can remain (fold invariant),
@@ -106,6 +121,7 @@ def bpe_fit_driver(
         # are SKIPPED before any Counter churn — at a 32k-merge fit the
         # stale fraction grows every round and the dead decrement/
         # re-increment work would dominate the loop.
+        touched: set[tuple[str, str]] = set()
         for w in list(occurs.pop((lhs, rhs), ())):
             syms, freq = words[w]
             if not any(
@@ -114,12 +130,27 @@ def bpe_fit_driver(
                 continue
             for a, b in zip(syms, syms[1:]):
                 pair_freq[(a, b)] -= freq
+                touched.add((a, b))
             new = _scan_merge(syms, lhs, rhs)
             words[w][0] = new
             for a, b in zip(new, new[1:]):
                 pair_freq[(a, b)] += freq
                 occurs[(a, b)].add(w)
+                touched.add((a, b))
         pair_freq.pop((lhs, rhs), None)
+        # one push per touched pair with its FINAL count for the round
+        # (not one per intermediate +=/-=), keeping heap churn
+        # proportional to genuinely-changed counts
+        for p in touched:
+            cp = pair_freq.get(p, 0)
+            if cp > 0:
+                heapq.heappush(heap, (-cp, p[0], p[1]))
+        # stale-entry compaction: lazy deletion lets dead entries pile
+        # up over a long fit; rebuild when they dominate (amortized
+        # O(live) — the same budget class as one round's pushes)
+        if len(heap) > 4 * len(pair_freq) + 64:
+            heap = [(-c, a, b) for (a, b), c in pair_freq.items() if c > 0]
+            heapq.heapify(heap)
 
     vocab = {w: (len(syms), freq) for w, (syms, freq) in words.items()}
     return merges, vocab

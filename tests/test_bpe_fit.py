@@ -70,6 +70,45 @@ def test_driver_encode_equals_distributed_encode(spark, sf_dir):
     assert a == b
 
 
+def test_heap_argmax_equals_scan_under_churn(spark):
+    """ADVICE r7 regression for the lazy-invalidation heap: a long fit
+    over a repetitive corpus churns pair counts (decrement, re-increment
+    to old values, drain to zero — every staleness class), and each
+    round's recorded merge must still equal the from-scratch argmax on
+    the same (-freq, lhs, rhs) total order."""
+    from collections import Counter
+
+    from food_panda_etl_spark.operators.bpe import EOW
+    from food_panda_etl_spark.operators.bpe_fit import (
+        _scan_merge,
+        bpe_fit_driver,
+    )
+
+    rows = [
+        (0, "aaaa aaab aabb abab baba bbbb"),
+        (1, "abcabc bcabca cabcab abc"),
+        (2, "xyxy yxyx xyyx xxyy aaaa"),
+        (3, "abcabc aaab xyxy bbbb cabcab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _ = bpe_fit_driver(df, "text", n_merges=40)
+    assert len(merges) > 20  # a genuinely long fit, then drains
+
+    words = Counter()
+    for _, text in rows:
+        for w in text.split(" "):
+            words[w] += 1
+    vocab = {w: list(w) + [EOW] for w in words}
+    for rank, lhs, rhs, freq in merges:
+        counts = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += words[w]
+        best = min((-c, p) for p, c in counts.items() if c > 0)
+        assert best[1] == (lhs, rhs) and -best[0] == freq, rank
+        vocab = {w: _scan_merge(s, lhs, rhs) for w, s in vocab.items()}
+
+
 def test_incremental_counts_match_full_recount(spark):
     """After each driver-side merge, the incrementally-maintained pair
     counts must equal a from-scratch recount of the current vocabulary
