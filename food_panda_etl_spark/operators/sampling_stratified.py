@@ -53,11 +53,18 @@ def pps_stratified_sample(
     weight_col: str,
     quotas: dict,
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """~k_s rows per stratum s, selected with probability proportional
     to the integer ``weight_col`` within the stratum. Returns
-    (id_col, stratum_col, weight bigint, cum_weight bigint — the
-    STRATUM-LOCAL cumulative — and n_ticks bigint), selected rows only.
+    (id_col, stratum_col, *carry_cols, weight bigint, cum_weight bigint
+    — the STRATUM-LOCAL cumulative — and n_ticks bigint), selected rows
+    only. ``carry_cols`` ride through the prefix sum unchanged (the
+    flat sampler's convention), so composites keep their upstream
+    scores without a sample-sized re-join. As with the flat sampler, an
+    EXPENSIVE upstream pipeline should be lazily checkpointed before
+    being passed in — the prefix-sum machinery references ``df``
+    multiple times.
     """
     if not quotas:
         raise ValueError("pps_stratified_sample: quotas must be non-empty")
@@ -96,6 +103,7 @@ def pps_stratified_sample(
     keyed = df.select(
         F.col(id_col),
         F.col(stratum_col),
+        *[F.col(c) for c in carry_cols],
         guarded_weight(weight_col, "pps_stratified_sample").alias("__w"),
         sample_order_hash(id_col).alias("__h"),
     ).join(F.broadcast(qdf), stratum_col)
@@ -125,6 +133,7 @@ def pps_stratified_sample(
         .select(
             id_col,
             stratum_col,
+            *carry_cols,
             F.col("__w").alias("weight"),
             F.col("__cum").cast("bigint").alias("cum_weight"),
             F.col("__ticks").alias("n_ticks"),

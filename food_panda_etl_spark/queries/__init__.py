@@ -60,48 +60,96 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver-window plan, AS CODE (VERDICT r8 task 7): the correctness
+# driver records only the first len(DECLARED_WINDOW) registered queries,
+# so this list IS the round's evidence plan — _load_all() promotes it
+# verbatim and tests/test_registry_rotation.py asserts the registry
+# order matches it, so a planned rotation that fails to land in code
+# fails loudly instead of silently (round 8 shipped zero commits because
+# the plan lived only in a comment).
+WINDOW_ROUND = 9
+
+DECLARED_WINDOW = [
+    # 1-5 NEW in r9 (the executed r8 plan head + the build-ahead
+    # composites): the stratified PPS sampler's first driver evidence,
+    # its DSIR composite, and three reports composing green operators.
+    "q_pps_stratified",
+    "q_select_stratified",
+    "q_domain_drift",
+    "q_token_fertility",
+    "q_padding_waste",
+    # 6 byte-changed THIS round (ADVICE fixes): heavy_group.py integral
+    # string bridge → its declared query re-records.
+    "q_group_heavy_hitters",
+    # 7-49 the 43 r5-era greens (VERDICT r8 task 2 — oldest evidence;
+    # byte-unchanged since their r5 greens): the llm-prep composite,
+    # the approx-gate family, vendor, then the text/udx/retrieval/
+    # similarity r5 keys.
+    "q_llm_prep",
+    "q_minhash_gate",
+    "q_simhash_gate",
+    "q_embed_lsh_gate",
+    "q_cosine_lsh_gate",
+    "q_ivf_gate",
+    "q_approx_distinct_gate",
+    "q_dedup_components_lsh",
+    "q_dedup_keep_rep_lsh",
+    "q_minhash_neardup",
+    "q_simhash_neardup",
+    "q_embed_neardup",
+    "q_embed_neardup_lsh",
+    "q_cosine_topk",
+    "q_cosine_topk_lsh",
+    "q_ivf_topk",
+    "q_ann_recall",
+    "q_dedup_components",
+    "q_dedup_keep_rep",
+    "q_decontaminate",
+    "q_ngram_jaccard",
+    "q_quantize_embed",
+    "q_vector_norm",
+    "q_array_size",
+    "q_vendor_enrich",
+    "q_chunk_text",
+    "q_bm25",
+    "q_hybrid_rrf",
+    "q_token_count",
+    "q_token_count_bpe",
+    "q_tfidf",
+    "q_repetition",
+    "q_langid",
+    "q_quality_score",
+    "q_text_clean",
+    "q_fingerprint",
+    "q_array_explode",
+    "q_map_funcs",
+    "q_udaf",
+    "q_to_json",
+    "q_binary_meta",
+    "q_image_decode",
+    "q_png_decode",
+    # 50 r6-era filler (the oldest remaining block leads the r10
+    # refresh; q_lm_score heads it).
+    "q_lm_score",
+]
+
+# R10 ROTATION PLAN: r10-new/changed keys first, then the remaining 45
+# r6-era greens (q_dedup, q_incremental_dedup, q_substring_dedup,
+# q_corpus_stats, q_jpeg_decode, q_image_resize, q_pii_redact,
+# q_nfc_normalize, q_shuffle_order, q_bpe_train, q_bpe_encode,
+# q_mix_to_target, q_temperature_mix, q_vocab_topp, relational/sorts/
+# sql_layer r6 keys, q_incremental_agg, q_embed_outlier,
+# q_approx_quantile_gate, q_scalar_subquery …), then the r7/r8-era
+# block — keeping every key's latest evidence ≤ 3 rounds old.
+
+
 def _load_all() -> None:
     # Import side effects populate the registries. ORDER MATTERS: the
     # correctness driver records only the first N (~50) registered
-    # queries, so keys needing fresh driver evidence register first.
-    #
-    # R7 ROTATION (VERDICT r6 tasks 1-3, executed as amended by the
-    # judge): the 50-slot window is, in order —
-    #   1-10  NEW in r7: q_pagerank + q_pmi (operators landed r6 with
-    #         property tests; first driver evidence now), then
-    #         q_triangle_count, q_labelprop, q_cms_counts,
-    #         q_quality_classifier (VERDICT task 3), q_funnel,
-    #         q_retention, q_sessionize, q_group_heavy_hitters (all
-    #         eight operators new in r7 — every operator in the repo
-    #         now has a declared oracled query except sandbox-bound
-    #         S10).
-    #   11-15 judge-mandated RE-RECORDS: q_kmeans, q_semantic_dedup,
-    #         q_embed_centroid (r6 integer-grid quantization, 0b80096),
-    #         q_snapshot_diff, q_upsert (r6 null-safe fold, 68c8f7c) —
-    #         byte-changed after their r4/r5 greens; judge re-oracled
-    #         all five green at sf0.01, contract wants the driver hash.
-    #   16-19 byte-changed THIS round (ADVICE r6 guards): q_dsir_weight
-    #         + q_select_pipeline (dsir empty-target raise + decimal
-    #         widening), q_pps_sample (negative/NaN-weight raise),
-    #         q_heavy_hitters (NULL-key contract docs in heavy.py).
-    #   20-50 the 31 r4-era greens (VERDICT task 2 — oldest evidence):
-    #         sql_layer tail (tpch_q3, grouping_sets, exists_subquery,
-    #         tpch_q5), setops (3), storage r4 keys (partition_prune,
-    #         train_split, stratified_sample, pack_chunks, zorder),
-    #         skew (2), joins (9), windows (8).
-    # After r7 nothing in the ledger sits on pre-r5 evidence.
-    #
-    # R8 ROTATION PLAN: declare + promote q_pps_stratified first
-    # (operators/sampling_stratified.py landed r7 with the composition-
-    # equivalence property test — the window was full; the oracle form
-    # is the flat per-stratum replay) and other r8-new/changed keys,
-    # then the
-    # r5-era evidence displaced longest (q_llm_prep; approx_gates:
-    # minhash/simhash/embed_lsh/cosine_lsh/ivf/dedup_components_lsh/
-    # approx_distinct/dedup_keep_rep_lsh; text r5 keys; udx; vendor;
-    # retrieval; similarity r5 keys), then the r6-era block (the r6
-    # window head), keeping every key's latest evidence ≤ 2 rounds old.
+    # queries, so keys needing fresh driver evidence register first —
+    # DECLARED_WINDOW (above) is the authoritative order.
     from food_panda_etl_spark.queries import (  # noqa: F401
+        selection,
         graph,
         quality,
         funnel,
@@ -126,78 +174,16 @@ def _load_all() -> None:
         similarity,
     )
 
-    # PROMOTION PASS: registration is module-granular; this list is the
-    # exact r7 window order. Dict order is what queries() exposes, so
-    # reordering here is exactly reordering the driver's window.
-    promoted = [
-        # new in r7
-        "q_pagerank",
-        "q_pmi",
-        "q_triangle_count",
-        "q_labelprop",
-        "q_cms_counts",
-        "q_quality_classifier",
-        "q_funnel",
-        "q_retention",
-        "q_sessionize",
-        "q_group_heavy_hitters",
-        # judge-mandated re-records (r6 byte changes)
-        "q_kmeans",
-        "q_semantic_dedup",
-        "q_embed_centroid",
-        "q_snapshot_diff",
-        "q_upsert",
-        # byte-changed in r7 (ADVICE guards)
-        "q_dsir_weight",
-        "q_select_pipeline",
-        "q_pps_sample",
-        "q_heavy_hitters",
-        # r4-era refresh (VERDICT r6 task 2)
-        "q_tpch_q3",
-        "q_grouping_sets",
-        "q_exists_subquery",
-        "q_tpch_q5",
-        "q_union_all",
-        "q_intersect",
-        "q_except",
-        "q_partition_prune",
-        "q_train_split",
-        "q_stratified_sample",
-        "q_pack_chunks",
-        "q_zorder",
-        "q_skew_agg",
-        "q_skew_join",
-        "q_inner_join",
-        "q_left_join",
-        "q_semi_join",
-        "q_anti_join",
-        "q_range_join",
-        "q_join_1n_agg",
-        "q_asof_join",
-        "q_nullsafe_join",
-        "q_interval_join",
-        "q_topk_per_group",
-        "q_batch_number",
-        "q_rank",
-        "q_lag_lead",
-        "q_running_sum",
-        "q_tumbling_window",
-        "q_sliding_window",
-        "q_session_window",
-    ]
-    # No filler slots remain: the four r5-era fillers originally slated
-    # (q_llm_prep, q_minhash_gate, q_simhash_gate, q_embed_lsh_gate)
-    # gave their slots to the late-r7 declarations q_labelprop /
-    # q_cms_counts / q_sessionize / q_group_heavy_hitters — first
-    # evidence for NEW queries outranks refreshing green r5 evidence;
-    # all four displaced keys stay r5-green, byte-unchanged, and lead
-    # the r8 refresh list.
+    # PROMOTION PASS: registration is module-granular; DECLARED_WINDOW
+    # is the exact driver-window order. Dict order is what queries()
+    # exposes, so reordering here is exactly reordering the driver's
+    # window.
     snapshot = dict(QUERIES)
     QUERIES.clear()
-    for name in promoted:
+    for name in DECLARED_WINDOW:
         assert name in snapshot, (
-            f"promotion list references unknown query {name!r} — update "
-            "the r7 rotation list in _load_all alongside any rename"
+            f"DECLARED_WINDOW references unknown query {name!r} — update "
+            "the rotation list in queries/__init__.py alongside any rename"
         )
         QUERIES[name] = snapshot.pop(name)
     QUERIES.update(snapshot)

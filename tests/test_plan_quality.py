@@ -555,3 +555,58 @@ def test_incremental_agg_plan_clean(spark, sf_dir):
     """The CDC aggregate refresh must lint clean (its nominal cross join
     is the broadcast total; the manifest joins are key-equi)."""
     assert lint_plan(QUERIES["q_incremental_agg"](spark, sf_dir)) == []
+
+
+def test_pps_stratified_one_global_prefix_sum(spark, sf_dir):
+    """q_pps_stratified promises ONE two-phase global prefix sum for
+    ALL strata: a RangePartitioning exchange (never a per-stratum or
+    single-partition window), quota and base-offset tables joined via
+    broadcast, lint clean."""
+    df = QUERIES["q_pps_stratified"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert lint_plan(df) == []
+
+
+def test_select_stratified_plan_clean(spark, sf_dir):
+    """The DSIR→stratified-PPS composite must stay cartesian-free (its
+    nominal cross joins are broadcast 1-row scalar tables) and keep the
+    range-partitioned prefix sum end to end."""
+    df = QUERIES["q_select_stratified"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "rangepartitioning" in plan.lower()
+    assert lint_plan(df) == []
+
+
+def test_domain_drift_text_never_shuffles(spark, sf_dir):
+    """q_domain_drift's exchanges must carry (lang, bucket) counts,
+    never document text — the bigram stream collapses to per-(lang,
+    bucket) counts before its first shuffle (the q_dsir_weight
+    discipline), and the comparison grid is broadcast-joined."""
+    df = QUERIES["q_domain_drift"](spark, sf_dir)
+    plan = explain_formatted(df)
+    for ex_tail in plan.split("Exchange")[1:]:
+        first_line = ex_tail.split("\n")[0]
+        assert "text#" not in first_line, first_line
+    assert lint_plan(df) == []
+
+
+def test_token_fertility_vocab_join_broadcasts(spark, sf_dir):
+    """q_token_fertility's encode stage must keep bpe_encode_counts'
+    broadcast vocabulary join — the corpus-side explode never shuffles
+    for the join."""
+    df = QUERIES["q_token_fertility"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert lint_plan(df) == []
+
+
+def test_padding_waste_plan_range_partitioned(spark, sf_dir):
+    """q_padding_waste rides the same two-phase prefix sum as
+    q_pack_chunks: RangePartitioning exchange, broadcast offsets, no
+    single-partition window, lint clean."""
+    df = QUERIES["q_padding_waste"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "rangepartitioning" in plan.lower()
+    assert lint_plan(df) == []

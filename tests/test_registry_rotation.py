@@ -1,0 +1,78 @@
+"""Rotation self-check (VERDICT r8 task 7): the driver-window plan now
+lives in code (``DECLARED_WINDOW``), and these asserts make a planned
+rotation that fails to land fail loudly — round 8's failure mode was a
+plan that existed only as a comment while the registry order silently
+re-recorded the previous round's keys."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from food_panda_etl_spark.queries import (
+    DECLARED_WINDOW,
+    ORACLES,
+    QUERIES,
+    WINDOW_ROUND,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_window_is_the_registry_head():
+    """The registry's iteration order (what the driver records) must
+    start with DECLARED_WINDOW, verbatim."""
+    assert list(QUERIES)[: len(DECLARED_WINDOW)] == DECLARED_WINDOW
+
+
+def test_window_shape():
+    assert len(DECLARED_WINDOW) == 50  # the driver records ~50 keys
+    assert len(set(DECLARED_WINDOW)) == len(DECLARED_WINDOW)
+    assert isinstance(WINDOW_ROUND, int) and WINDOW_ROUND >= 9
+    missing = [k for k in DECLARED_WINDOW if k not in QUERIES]
+    assert not missing, missing
+
+
+def test_new_declarations_are_in_the_window():
+    """Every declared query the driver has NEVER recorded must sit in
+    the current window — first evidence for new queries outranks
+    refreshing old greens (the invariant round 8 broke for
+    q_pps_stratified)."""
+    artifacts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not artifacts:  # fresh clone — nothing recorded yet
+        return
+    seen: set[str] = set()
+    for path in artifacts:
+        with open(path) as f:
+            payload = json.load(f)
+        entries = payload.get("queries", payload)
+        if isinstance(entries, dict):
+            seen.update(entries)
+    never_recorded = [k for k in QUERIES if k not in seen]
+    out_of_window = [k for k in never_recorded if k not in DECLARED_WINDOW]
+    assert not out_of_window, (
+        f"declared queries with no driver evidence outside the window: "
+        f"{out_of_window} — promote them in DECLARED_WINDOW"
+    )
+
+
+def test_window_keys_have_usable_oracles():
+    """Window keys are what the driver hash-checks this round: each is
+    either oracled (non-empty SQL) or one of the documented rows-only
+    keys (approx variants whose quality gates are oracled, or
+    formatting-only q_to_json)."""
+    rows_only_by_design = {
+        "q_approx_distinct",
+        "q_minhash_neardup",
+        "q_simhash_neardup",
+        "q_embed_neardup_lsh",
+        "q_cosine_topk_lsh",
+        "q_ivf_topk",
+        "q_to_json",
+    }
+    for k in DECLARED_WINDOW:
+        if k in rows_only_by_design:
+            assert k not in ORACLES, k
+        else:
+            assert ORACLES.get(k, "").strip(), f"{k} has no oracle SQL"
