@@ -291,28 +291,37 @@ def main() -> None:
         json.dump(full, f, indent=1)
         f.write("\n")
 
-    # the printed line must survive the driver's 2000-char stdout tail
-    line = json.dumps(
-        {
+    # the printed line must survive the driver's 2000-char stdout tail;
+    # if future HEADLINE growth outruns the budget, drop the CHEAPEST
+    # keys from the printed dict (never from BENCH_LOCAL.json, which
+    # keeps every key at full precision) rather than truncating or
+    # aborting — an honest partial line beats a lost artifact.
+    printed = {k.removeprefix("q_"): round(v, 2) for k, v in times.items()}
+    omitted = 0
+
+    def render() -> str:
+        payload = {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
             "keyprefix": "q_",
-            "queries": {
-                k.removeprefix("q_"): round(v, 2) for k, v in times.items()
-            },
+            "queries": printed,
             "sf": sf,
             "cal": {
                 "cpu": calibration["cpu_arith_sec"],
                 "py": calibration["py_arith_sec"],
             },
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1990, (
-        f"bench stdout line is {len(line)} chars — it would truncate in "
-        "the driver's 2000-char tail; shorten keys or prune HEADLINE"
-    )
+        }
+        if omitted:
+            payload["omitted_cheapest"] = omitted
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = render()
+    while len(line) >= 1990 and printed:
+        cheapest = min(printed, key=lambda k: (printed[k], k))
+        del printed[cheapest]
+        omitted += 1
+        line = render()
     print(line)
     spark.stop()
 

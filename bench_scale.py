@@ -172,6 +172,123 @@ def timed(fn) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def r9_curves(spark, sizes) -> dict:
+    """r9 operator curves, also runnable alone via `--r9`.
+
+    - Stratified PPS: the operator's claim is ONE two-phase global
+      prefix sum for ALL strata (strata are contiguous ranges under the
+      (stratum, hash, id) total order; stratum-local cum is a broadcast
+      rebase) vs the naive composition's one prefix-sum JOB per stratum.
+      Both are linear in rows; the naive path pays a per-stratum fixed
+      job cost — measured at 5 strata, and the gap widens linearly in
+      |strata| (the motivating regime is hundreds of language×source
+      cells).
+    - Domain drift: the fact-wide bigram stream collapses to per-(lang,
+      bucket) counts before any shuffle; everything after is
+      bucket-bounded — expected near-linear (the DSIR cost shape).
+
+    Each point is the MIN of two runs (bench.py's steady-state
+    convention): a first-run 20k point here measures whole-stage
+    codegen compilation of the nested-HOF bigram projection, not data
+    flow, and single-shot points on this VM occasionally catch 3-50×
+    scheduler/GC spikes (measured: the same drift() plan 161 s single-
+    shot vs 2 s steady-state at 80k docs).
+    """
+    from functools import reduce
+
+    from food_panda_etl_spark.operators.dsir import _bucket
+    from food_panda_etl_spark.operators.lm import bigram_pairs
+    from food_panda_etl_spark.operators.sampling import pps_systematic_sample
+    from food_panda_etl_spark.operators.sampling_stratified import (
+        pps_stratified_sample,
+    )
+
+    langs = ["en", "de", "fr", "es", "zh"]
+    quotas = {s: 10 for s in langs}
+    lang_col = lambda idc: F.element_at(  # noqa: E731
+        F.array(*[F.lit(s) for s in langs]),
+        (F.pmod(F.xxhash64(F.col(idc) + 3), F.lit(5)) + 1).cast("int"),
+    )
+    curves: dict[str, dict[int, float]] = {
+        "pps_stratified": {},
+        "pps_per_stratum_naive": {},
+        "domain_drift": {},
+    }
+
+    for n in sizes:
+        d = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                lang_col("id").alias("lang"),
+                (F.pmod(F.xxhash64(F.col("id") + 11), F.lit(1000)) + 1).alias(
+                    "w"
+                ),
+            )
+            .cache()
+        )
+        d.count()
+        run_strat = lambda: pps_stratified_sample(  # noqa: E731
+            d, "lang", "w", quotas
+        ).write.format("noop").mode("overwrite").save()
+        curves["pps_stratified"][n] = min(timed(run_strat), timed(run_strat))
+
+        def naive():
+            parts = [
+                pps_systematic_sample(
+                    d.filter(F.col("lang") == s).drop("lang"), "w", k=k
+                )
+                for s, k in quotas.items()
+            ]
+            reduce(lambda a, b: a.unionByName(b), parts).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        curves["pps_per_stratum_naive"][n] = min(timed(naive), timed(naive))
+        d.unpersist()
+
+    def drift(d):
+        cl = (
+            d.select("lang", F.explode(bigram_pairs("text")).alias("bg"))
+            .select(
+                "lang",
+                _bucket(F.col("bg.w1"), F.col("bg.w2"), 1024).alias("b"),
+            )
+            .groupBy("lang", "b")
+            .agg(F.count("*").alias("clb"))
+            .localCheckpoint(eager=False)
+        )
+        ct = cl.groupBy("lang").agg(F.sum("clb").alias("ctl"))
+        rb = cl.groupBy("b").agg(F.sum("clb").alias("rbb"))
+        rt = cl.agg(F.sum("clb").alias("rtt"))
+        grid = (
+            cl.select("lang")
+            .distinct()
+            .crossJoin(F.broadcast(rb))
+            .join(cl, ["lang", "b"], "left")
+            .withColumn("clb", F.coalesce(F.col("clb"), F.lit(0)))
+        )
+        dev = F.abs(F.col("clb") * F.col("rtt") - F.col("rbb") * F.col("ctl"))
+        grid.join(F.broadcast(ct), "lang").crossJoin(F.broadcast(rt)).groupBy(
+            "lang"
+        ).agg(F.sum(dev).alias("tv_num")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    for n in sizes:
+        d = (
+            synth_documents(spark, n, None)
+            .select("doc_id", "text", lang_col("doc_id").alias("lang"))
+            .cache()
+        )
+        d.count()
+        curves["domain_drift"][n] = min(
+            timed(lambda: drift(d)), timed(lambda: drift(d))
+        )
+        d.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -186,6 +303,22 @@ def main() -> None:
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         },
     )
+    if "--r9" in sys.argv:  # only the r9 curves (stratified PPS / drift)
+        import math
+
+        sizes = [20_000, 80_000] + ([] if quick else [320_000])
+        curves = r9_curves(spark, sizes)
+        out = {"cpus": cpus, "curves": curves, "exponents": {}}
+        for k, pts in curves.items():
+            ns = sorted(pts)
+            if len(ns) >= 2:
+                n1, n2 = ns[-2], ns[-1]
+                out["exponents"][k] = round(
+                    math.log(pts[n2] / pts[n1]) / math.log(n2 / n1), 2
+                )
+        print(json.dumps(out))
+        return
+
     from food_panda_etl_spark.operators.dedup import minhash_lsh_pairs
     from food_panda_etl_spark.operators.similarity import (
         banded_neardup_pairs,
@@ -644,6 +777,8 @@ def main() -> None:
             .save()
         )
         ev.unpersist()
+
+    curves.update(r9_curves(spark, pr_sizes))
 
     # BPE (r6): training cost = ONE linear corpus histogram + rounds ×
     # O(vocab). With the synth vocab FIXED at 5000 words, growing the
