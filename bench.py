@@ -173,9 +173,10 @@ HEADLINE = [
     "q_domain_drift",
     "q_token_fertility",
     "q_padding_waste",
+    "q_kcore",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 95 of the 144 declared
+# Bench coverage accounting (VERDICT r6 task 7): 96 of the 145 declared
 # keys are timed above. The 49 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —

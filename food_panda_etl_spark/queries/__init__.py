@@ -78,6 +78,7 @@ DECLARED_WINDOW = [
     "q_domain_drift",
     "q_token_fertility",
     "q_padding_waste",
+    "q_kcore",
     # 6 byte-changed THIS round (ADVICE fixes): heavy_group.py integral
     # string bridge → its declared query re-records.
     "q_group_heavy_hitters",
@@ -128,13 +129,13 @@ DECLARED_WINDOW = [
     "q_binary_meta",
     "q_image_decode",
     "q_png_decode",
-    # 50 r6-era filler (the oldest remaining block leads the r10
-    # refresh; q_lm_score heads it).
-    "q_lm_score",
 ]
+# Slot 50 went to q_kcore (new declarations outrank refreshing green
+# r6-era evidence — the late-r7 precedent); the r6-era refresh block,
+# led by q_lm_score, moves whole to the r10 plan below.
 
-# R10 ROTATION PLAN: r10-new/changed keys first, then the remaining 45
-# r6-era greens (q_dedup, q_incremental_dedup, q_substring_dedup,
+# R10 ROTATION PLAN: r10-new/changed keys first, then the 46 r6-era
+# greens, led by q_lm_score (q_dedup, q_incremental_dedup, q_substring_dedup,
 # q_corpus_stats, q_jpeg_decode, q_image_resize, q_pii_redact,
 # q_nfc_normalize, q_shuffle_order, q_bpe_train, q_bpe_encode,
 # q_mix_to_target, q_temperature_mix, q_vocab_topp, relational/sorts/
@@ -150,6 +151,7 @@ def _load_all() -> None:
     # DECLARED_WINDOW (above) is the authoritative order.
     from food_panda_etl_spark.queries import (  # noqa: F401
         selection,
+        graph_extras,
         graph,
         quality,
         funnel,

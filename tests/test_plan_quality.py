@@ -610,3 +610,15 @@ def test_padding_waste_plan_range_partitioned(spark, sf_dir):
     plan = explain_formatted(df)
     assert "rangepartitioning" in plan.lower()
     assert lint_plan(df) == []
+
+
+def test_kcore_rounds_are_key_joins_only(spark, sf_dir):
+    """q_kcore's peel rounds must be node-keyed hash aggs + semi joins —
+    cartesian-free, no window nodes (the synchronous peel never sorts),
+    lint clean."""
+    df = QUERIES["q_kcore"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "(1) Window" not in plan  # no window operator anywhere
+    assert "Window" not in [ln.split()[1] for ln in plan.splitlines()
+                            if ln.strip().startswith("(") and len(ln.split()) > 1]
+    assert lint_plan(df) == []
