@@ -15,8 +15,12 @@ compact separators, per-query seconds at 2 decimals, query keys DROP the
 py_arith_sec). The FULL-fidelity result (declared names, 3-decimal
 seconds, long calibration keys) is written to BENCH_LOCAL.json at the
 repo root and committed each round, so cross-round normalization can
-always read exact values from git history. A length assert fails the run
-loudly if the line ever outgrows the budget again.
+always read exact values from git history. If HEADLINE growth ever
+pushes the line past the budget, the CHEAPEST keys are dropped from the
+printed dict (never from BENCH_LOCAL.json) and the line carries an
+"omitted_cheapest": N marker — an honest partial line beats an aborted
+run or a front-truncated artifact; check the marker when reading any
+future BENCH_r{N}.json.
 """
 
 from __future__ import annotations

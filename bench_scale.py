@@ -172,6 +172,21 @@ def timed(fn) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def fit_exponents(curves: dict) -> dict:
+    """Fitted scaling exponent per curve over the largest consecutive
+    size pair (the asymptotic end): log(t2/t1)/log(n2/n1). ONE
+    definition serving both the full run and the --r9 subset."""
+    import math
+
+    out: dict = {}
+    for k, pts in curves.items():
+        ns = sorted(pts)
+        if len(ns) >= 2:
+            n1, n2 = ns[-2], ns[-1]
+            out[k] = round(math.log(pts[n2] / pts[n1]) / math.log(n2 / n1), 2)
+    return out
+
+
 def r9_curves(spark, sizes) -> dict:
     """r9 operator curves, also runnable alone via `--r9`.
 
@@ -304,19 +319,11 @@ def main() -> None:
         },
     )
     if "--r9" in sys.argv:  # only the r9 curves (stratified PPS / drift)
-        import math
-
         sizes = [20_000, 80_000] + ([] if quick else [320_000])
         curves = r9_curves(spark, sizes)
-        out = {"cpus": cpus, "curves": curves, "exponents": {}}
-        for k, pts in curves.items():
-            ns = sorted(pts)
-            if len(ns) >= 2:
-                n1, n2 = ns[-2], ns[-1]
-                out["exponents"][k] = round(
-                    math.log(pts[n2] / pts[n1]) / math.log(n2 / n1), 2
-                )
-        print(json.dumps(out))
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
         return
 
     from food_panda_etl_spark.operators.dedup import minhash_lsh_pairs
@@ -814,16 +821,7 @@ def main() -> None:
     out["curves"] = curves
 
     # fitted exponents over the largest consecutive pair (asymptotic end)
-    import math
-
-    out["exponents"] = {}
-    for k, pts in curves.items():
-        ns = sorted(pts)
-        if len(ns) >= 2:
-            n1, n2 = ns[-2], ns[-1]
-            out["exponents"][k] = round(
-                math.log(pts[n2] / pts[n1]) / math.log(n2 / n1), 2
-            )
+    out["exponents"] = fit_exponents(curves)
 
     # θ-crossover at fixed N (16k full / 2k quick): banded vs triangle.
     # Triangle cost is θ-independent (the threshold only filters the

@@ -140,11 +140,16 @@ def bpe_fit_driver(
         pair_freq.pop((lhs, rhs), None)
         # one push per touched pair with its FINAL count for the round
         # (not one per intermediate +=/-=), keeping heap churn
-        # proportional to genuinely-changed counts
+        # proportional to genuinely-changed counts; drained pairs are
+        # DELETED from the Counter (not left at <= 0) so len(pair_freq)
+        # counts live pairs only — the compaction trigger below divides
+        # by it, and a 32k-merge fit accumulates dead pairs every round
         for p in touched:
             cp = pair_freq.get(p, 0)
             if cp > 0:
                 heapq.heappush(heap, (-cp, p[0], p[1]))
+            else:
+                pair_freq.pop(p, None)
         # stale-entry compaction: lazy deletion lets dead entries pile
         # up over a long fit; rebuild when they dominate (amortized
         # O(live) — the same budget class as one round's pushes)

@@ -11,9 +11,16 @@ replayable in SQL as `(row_number() − 1) * b // count(*)` (the r10
 declared-query form).
 
 Scale shape: ONE range exchange for the rank (never a single-partition
-window), one broadcast 1-row count, then a narrow projection. Ties are
-broken by the caller's ``tiebreak_cols`` (MUST make the order total —
-the q_shuffle_order / sessionize convention; a non-total order would be
+window), then a narrow projection. The ranked table is lazily
+checkpointed INSIDE the operator and the total row count is read off
+it as max(rank) — one cheap pass over the checkpoint, never a second
+scan of the raw input (the samplers' re-execution lesson, pre-applied).
+`global_row_number` itself still references the input for its range/
+counts/main passes, so an EXPENSIVE upstream pipeline should be lazily
+checkpointed by the caller before being passed in (the
+q_select_pipeline convention). Ties are broken by the caller's
+``tiebreak_cols`` (MUST make the order total — the q_shuffle_order /
+sessionize convention; a non-total order would be
 partitioning-dependent in BOTH engines and hash-diverge), so equal
 scores straddling a cut land deterministically.
 """
@@ -47,8 +54,10 @@ def rank_quantile_buckets(
         )
     ranked = global_row_number(
         df, [score_col, *tiebreak_cols], out_col="__rn"
-    )
-    total = df.agg(F.count("*").alias("__n"))
+    ).localCheckpoint(eager=False)
+    # ranks are 1..N and total, so N = max(rank): read it off the
+    # checkpointed ranked table instead of re-aggregating the raw input
+    total = ranked.agg(F.max("__rn").alias("__n"))
     return (
         ranked.crossJoin(F.broadcast(total))
         .withColumn(

@@ -70,19 +70,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 WINDOW_ROUND = 9
 
 DECLARED_WINDOW = [
-    # 1-5 NEW in r9 (the executed r8 plan head + the build-ahead
+    # 1-6 NEW in r9 (the executed r8 plan head + the build-ahead
     # composites): the stratified PPS sampler's first driver evidence,
-    # its DSIR composite, and three reports composing green operators.
+    # its DSIR composite, three reports composing green operators, and
+    # k-core peeling (declared late-r9, displacing the discretionary
+    # q_lm_score r6-era filler — new evidence outranks refresh).
     "q_pps_stratified",
     "q_select_stratified",
     "q_domain_drift",
     "q_token_fertility",
     "q_padding_waste",
     "q_kcore",
-    # 6 byte-changed THIS round (ADVICE fixes): heavy_group.py integral
+    # 7 byte-changed THIS round (ADVICE fixes): heavy_group.py integral
     # string bridge → its declared query re-records.
     "q_group_heavy_hitters",
-    # 7-49 the 43 r5-era greens (VERDICT r8 task 2 — oldest evidence;
+    # 8-50 the 43 r5-era greens (VERDICT r8 task 2 — oldest evidence;
     # byte-unchanged since their r5 greens): the llm-prep composite,
     # the approx-gate family, vendor, then the text/udx/retrieval/
     # similarity r5 keys.
@@ -130,9 +132,8 @@ DECLARED_WINDOW = [
     "q_image_decode",
     "q_png_decode",
 ]
-# Slot 50 went to q_kcore (new declarations outrank refreshing green
-# r6-era evidence — the late-r7 precedent); the r6-era refresh block,
-# led by q_lm_score, moves whole to the r10 plan below.
+# The r6-era refresh block, led by the displaced q_lm_score, moves
+# whole to the r10 plan below.
 
 # R10 ROTATION PLAN: r10-new keys first — TWO build-ahead operators
 # landed r9 with property tests and window/ORDER BY oracle replay forms

@@ -12,6 +12,30 @@ from food_panda_etl_spark.queries.selection import (
 )
 
 
+def test_drift_oracle_bucket_polynomial_matches_dsir():
+    """q_domain_drift's oracle carries its own copy of the portable
+    bucket polynomial (it cannot import text.py's `_DSIR_CTES` fragment
+    verbatim — that CTE is doc-keyed, this one lang-keyed, and text.py
+    must stay byte-stable for its windowed greens). This test is the
+    no-drift pin: the polynomial and modulus chain must be
+    character-identical (whitespace-normalized) across the two oracles,
+    so a future change to the shared feature space that misses one copy
+    fails here instead of silently measuring drift in a different space
+    than the weights. Fold both into one shared fragment at the next
+    legitimate text.py byte-change (the r10 rotation re-records its
+    keys)."""
+    import re
+
+    from food_panda_etl_spark.queries import ORACLES
+
+    def poly(sql: str) -> str:
+        m = re.search(r"\(\(7\*31.*?%\s*1000003\s*%\s*\d+", sql, re.S)
+        assert m, "bucket polynomial not found"
+        return re.sub(r"\s+", "", m.group(0))
+
+    assert poly(ORACLES["q_dsir_weight"]) == poly(ORACLES["q_domain_drift"])
+
+
 def test_pps_stratified_quota_accounting(spark, sf_dir):
     """Per-stratum ticks telescope to exactly k_s for every quoted
     stratum present in the data; unquoted strata never appear."""
