@@ -135,12 +135,15 @@ DECLARED_WINDOW = [
 # The r6-era refresh block, led by the displaced q_lm_score, moves
 # whole to the r10 plan below.
 
-# R10 ROTATION PLAN: r10-new keys first — TWO build-ahead operators
-# landed r9 with property tests and window/ORDER BY oracle replay forms
-# ready: operators/quantile_bucket.py (declare q_curriculum_mix:
-# rank-quantile buckets of a quality score × lang counts) and
-# operators/sampling_priority.py (declare q_priority_sample: sequential
-# Poisson ORDER BY h/w LIMIT k) — then the 46 r6-era greens, led by
+# R10 ROTATION PLAN: r10-new keys first — THREE build-ahead operators
+# landed r9 with property tests and oracle replay forms ready:
+# operators/quantile_bucket.py (declare q_curriculum_mix:
+# rank-quantile buckets of a quality score × lang counts; oracle =
+# (row_number()-1)*b // count(*)), operators/sampling_priority.py
+# (declare q_priority_sample: sequential Poisson ORDER BY h/w LIMIT k),
+# and operators/hll.py (declare q_hll_counts: full register replay —
+# already verified in DuckDB — + dyadic-sum estimate) — then the 46
+# r6-era greens, led by
 # q_lm_score (q_dedup, q_incremental_dedup, q_substring_dedup,
 # q_corpus_stats, q_jpeg_decode, q_image_resize, q_pii_redact,
 # q_nfc_normalize, q_shuffle_order, q_bpe_train, q_bpe_encode,
