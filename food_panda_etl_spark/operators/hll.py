@@ -28,9 +28,28 @@ the declared-query gate pins accuracy in the raw regime instead.
 
 Scale shape: one narrow hash projection + ONE (register) hash agg with
 map-side combine — state is m rows no matter the key cardinality (the
-point of HLL); merging shards is `unionByName` + the same max agg.
-Input contract: an INTEGER key column (the portable hash needs integer
-keys — the repo's q_fingerprint polynomial turns text into one).
+point of HLL); merging shards is `unionByName` + the same max agg, and
+every sketch in a merge/estimate MUST share the same m (the cms.py
+same-(width, depth) contract — registers from different (modulus,
+rank-cap) spaces max together into garbage, and a wrong m in
+hll_estimate drives (m − nz) negative).
+
+CARDINALITY CEILING (the portability price): the mod-(2^31−1) hash
+bounds distinct hash values, and the squaring rounds are 2-to-1 (x and
+P−x collide; −1 is a non-residue mod this Mersenne prime), so the
+effective range is ~P/2 ≈ 1.07e9 — expected relative underestimate
+≈ n/(2P): negligible below ~1e7 distinct keys, ~2% at 1e8, saturating
+near 1e9. Textbook HLL avoids this with a ≥32-bit avalanche hash
+(xxhash64), which no SQL oracle can replay — at true 100 TB
+cardinalities swap the mixer for `F.xxhash64` and drop the oracle to
+the gate form (the q_approx_distinct convention), documented here
+because the ceiling is real.
+
+Input contract: a nullable INTEGER key column (the portable hash needs
+integer keys — the repo's q_fingerprint polynomial turns text into
+one). NULL keys are NOT a distinct value and are filtered before
+hashing (the cms.py NULL contract): an unfiltered NULL would ride the
+otherwise(cap) branch and forge a phantom maximum-rank register.
 """
 
 from __future__ import annotations
@@ -102,7 +121,8 @@ def hll_sketch(df: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
         (F.bit_count((w.bitwiseAND(-w)) - 1) + 1).cast("int"),
     ).otherwise(F.lit(int(cap)).cast("int"))
     return (
-        df.select(reg.alias("reg"), rank.alias("rho"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(reg.alias("reg"), rank.alias("rho"))
         .groupBy("reg")
         .agg(F.max("rho").alias("rho"))
     )
@@ -111,7 +131,8 @@ def hll_sketch(df: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Register-wise max of any number of shard sketches — the
     mergeable-summaries combine (sketch(A ∪ B) ≡ merge(sketch(A),
-    sketch(B)), property-tested)."""
+    sketch(B)), property-tested). ALL inputs must come from hll_sketch
+    with the SAME m (see the module-docstring contract)."""
     if not sketches:
         raise ValueError("hll_merge: need at least one sketch")
     out = sketches[0]
@@ -125,7 +146,11 @@ def hll_estimate(sketch: DataFrame, m: int = HLL_M) -> DataFrame:
     double). dyadic_sum = Σ_j 2^(GRID − M_j) over ALL m registers
     (absent registers contribute M_j = 0 → 2^GRID), exact integer;
     raw_estimate = alpha·m²·2^GRID / dyadic_sum — accurate for
-    cardinalities ≳ 2.5·m, biased below (see module docstring)."""
+    cardinalities ≳ 2.5·m, biased below and ceilinged near ~1e9 (see
+    module docstring). ``m`` must equal the sketch's own m. An EMPTY
+    sketch (empty input shard) is legal: all m registers absent →
+    dyadic_sum = m·2^GRID, raw_estimate = alpha·m (the estimator's
+    zero-cardinality plateau), never NULL."""
     if m not in _ALPHA:
         raise ValueError(
             f"hll_estimate: m must be one of {sorted(_ALPHA)}, got {m!r}"
@@ -133,7 +158,12 @@ def hll_estimate(sketch: DataFrame, m: int = HLL_M) -> DataFrame:
     grid = _rank_cap(m) + 1
     present = sketch.agg(
         F.count("*").cast("bigint").alias("__nz"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {grid} - rho)"))
+        # coalesce: F.sum over ZERO rows is NULL, and NULL + the
+        # absent-register term would silently NULL the whole estimate
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {grid} - rho)")),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("__sp"),
     )

@@ -87,7 +87,7 @@ def test_merge_equals_union_sketch(spark):
     assert merged == _ref_sketch(set(a) | set(b))
 
 
-def test_estimate_accuracy_in_raw_regime(spark, sf_dir):
+def test_estimate_accuracy_in_raw_regime(spark):
     """m=256 raw HLL has ~6.5% standard error; at 1,000-5,000
     distinct keys (above the 2.5·m bias floor) the estimate must land
     within 25% of truth — deterministic-stable (measured 4-12% on
@@ -97,9 +97,30 @@ def test_estimate_accuracy_in_raw_regime(spark, sf_dir):
         df = spark.range(n).select(F.col("id").alias("k"))
         est = hll_estimate(hll_sketch(df, "k")).collect()[0]
         assert est["dyadic_sum"] > 0
-        assert abs(est["raw_estimate"] - n) / n < 0.35, (
+        assert abs(est["raw_estimate"] - n) / n < 0.25, (
             n, est["raw_estimate"]
         )
+
+
+def test_null_keys_are_ignored_and_empty_sketch_estimates(spark):
+    """NULL keys are not distinct values — they must not forge a
+    phantom max-rank register (code-review regression); and an EMPTY
+    input yields the alpha·m zero-cardinality plateau, never NULL."""
+    from food_panda_etl_spark.operators.hll import HLL_M, _ALPHA
+
+    with_null = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k long"
+    )
+    plain = spark.createDataFrame([(1,), (2,)], "k long")
+    assert (
+        {(r["reg"], r["rho"]) for r in hll_sketch(with_null, "k").collect()}
+        == {(r["reg"], r["rho"]) for r in hll_sketch(plain, "k").collect()}
+    )
+    empty = spark.createDataFrame([], "k long")
+    est = hll_estimate(hll_sketch(empty, "k")).collect()[0]
+    assert est["nonzero_regs"] == 0
+    assert est["dyadic_sum"] > 0 and est["raw_estimate"] is not None
+    assert abs(est["raw_estimate"] - _ALPHA[HLL_M] * HLL_M) < 1e-9
 
 
 def test_hll_validates(spark):
