@@ -301,6 +301,85 @@ def r9_curves(spark, sizes) -> dict:
             timed(lambda: drift(d)), timed(lambda: drift(d))
         )
         d.unpersist()
+
+    # Priority sampling (r9 build-ahead) vs the flat systematic sampler
+    # at the same k: priority is ONE narrow projection + a global top-k
+    # (TakeOrdered — the fact never shuffles); systematic pays the
+    # two-phase prefix sum (a range exchange + broadcast total). Both
+    # linear; the plan-cost gap is the operator's reason to exist.
+    from food_panda_etl_spark.operators.sampling_priority import (
+        priority_sample,
+    )
+
+    curves["pps_systematic"] = {}
+    curves["pps_priority"] = {}
+    for n in sizes:
+        d = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                (F.pmod(F.xxhash64(F.col("id") + 11), F.lit(1000)) + 1).alias(
+                    "w"
+                ),
+            )
+            .cache()
+        )
+        d.count()
+        run_sys = lambda: pps_systematic_sample(  # noqa: E731
+            d, "w", k=50
+        ).write.format("noop").mode("overwrite").save()
+        run_pri = lambda: priority_sample(  # noqa: E731
+            d, "w", k=50
+        ).write.format("noop").mode("overwrite").save()
+        curves["pps_systematic"][n] = min(timed(run_sys), timed(run_sys))
+        curves["pps_priority"][n] = min(timed(run_pri), timed(run_pri))
+        d.unpersist()
+
+    # k-core peeling (r9): per round one node hash agg + two semi
+    # joins — expected linear in |edges| at fixed rounds (the PageRank
+    # cost shape). Same 4-out-edge synthetic digraph, symmetrized;
+    # k=3 keeps the peel non-trivial (in-degree is hash-distributed,
+    # so low-in-degree nodes cascade out).
+    from food_panda_etl_spark.operators.kcore import kcore_peel
+
+    curves["kcore"] = {}
+    for n in sizes:
+        e = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("src"),
+                F.explode(
+                    F.array(*[
+                        F.pmod(F.xxhash64(F.col("id") * 4 + j), F.lit(n))
+                        for j in range(4)
+                    ])
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        edges = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().cache()
+        edges.count()
+        run_kc = lambda: kcore_peel(  # noqa: E731
+            edges, k=3, n_rounds=3
+        ).write.format("noop").mode("overwrite").save()
+        curves["kcore"][n] = min(timed(run_kc), timed(run_kc))
+        edges.unpersist()
+
+    # HLL sketch+estimate (r9 build-ahead): one narrow projection + one
+    # 256-group hash agg — expected flat-to-linear with a tiny constant.
+    from food_panda_etl_spark.operators.hll import hll_estimate, hll_sketch
+
+    curves["hll"] = {}
+    for n in sizes:
+        d = spark.range(n).select(F.col("id").alias("k")).cache()
+        d.count()
+        run_hll = lambda: hll_estimate(  # noqa: E731
+            hll_sketch(d, "k")
+        ).write.format("noop").mode("overwrite").save()
+        curves["hll"][n] = min(timed(run_hll), timed(run_hll))
+        d.unpersist()
     return curves
 
 
