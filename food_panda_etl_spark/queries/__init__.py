@@ -141,8 +141,12 @@ DECLARED_WINDOW = [
 # rank-quantile buckets of a quality score × lang counts; oracle =
 # (row_number()-1)*b // count(*)), operators/sampling_priority.py
 # (declare q_priority_sample: sequential Poisson ORDER BY h/w LIMIT k),
-# and operators/hll.py (declare q_hll_counts: full register replay —
-# already verified in DuckDB — + dyadic-sum estimate) — then the 46
+# and operators/hll.py (declare q_hll_counts: full register replay +
+# dyadic-sum estimate). All three declarations are PRE-TESTED end to
+# end: tests/test_r10_oracle_previews.py runs the exact future query
+# bodies against their exact oracle SQL through the driver's compare
+# harness at sf0.001 AND sf0.01 — r10 moves them into queries/
+# modules verbatim. Then the 46
 # r6-era greens, led by
 # q_lm_score (q_dedup, q_incremental_dedup, q_substring_dedup,
 # q_corpus_stats, q_jpeg_decode, q_image_resize, q_pii_redact,
