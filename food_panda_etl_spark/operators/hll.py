@@ -80,11 +80,26 @@ def _rank_cap(m: int) -> int:
     return (_HASH_MOD // m).bit_length() + 1
 
 
-def hll_sketch(df: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    m: int = HLL_M,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """The ≤ m-row register table (reg int, rho int) of the distinct
     values of integer ``key_col``. Duplicate keys hash identically, so
     the sketch depends only on the distinct set — no pre-distinct pass
-    is needed (or wanted: that would shuffle the keys)."""
+    is needed (or wanted: that would shuffle the keys).
+
+    ``group_cols`` makes it GROUP-WISE — one independent sketch per
+    group, ≤ m rows each (*group_cols, reg, rho): the "distinct users
+    per day / per language" production shape, at per-group state cost
+    m·|groups| regardless of key cardinality, in the SAME single hash
+    aggregation (the key never shuffles — only (group, reg, rho)).
+    Estimate per group by running the hll_estimate arithmetic under a
+    groupBy(*group_cols) (see hll_estimate; its global form is the
+    one-group special case). NULL group keys are their own group (SQL
+    GROUP BY semantics); NULL keys are still filtered."""
     if m not in _ALPHA:
         raise ValueError(
             f"hll_sketch: m must be one of {sorted(_ALPHA)}, got {m!r}"
@@ -122,41 +137,54 @@ def hll_sketch(df: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
     ).otherwise(F.lit(int(cap)).cast("int"))
     return (
         df.filter(F.col(key_col).isNotNull())
-        .select(reg.alias("reg"), rank.alias("rho"))
-        .groupBy("reg")
+        .select(
+            *[F.col(c) for c in group_cols],
+            reg.alias("reg"),
+            rank.alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"))
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Register-wise max of any number of shard sketches — the
     mergeable-summaries combine (sketch(A ∪ B) ≡ merge(sketch(A),
     sketch(B)), property-tested). ALL inputs must come from hll_sketch
-    with the SAME m (see the module-docstring contract)."""
+    with the SAME m and the SAME ``group_cols`` (see the
+    module-docstring contract)."""
     if not sketches:
         raise ValueError("hll_merge: need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("reg").agg(F.max("rho").alias("rho"))
+    return out.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(sketch: DataFrame, m: int = HLL_M) -> DataFrame:
-    """One row: (nonzero_regs bigint, dyadic_sum bigint, raw_estimate
-    double). dyadic_sum = Σ_j 2^(GRID − M_j) over ALL m registers
-    (absent registers contribute M_j = 0 → 2^GRID), exact integer;
-    raw_estimate = alpha·m²·2^GRID / dyadic_sum — accurate for
-    cardinalities ≳ 2.5·m, biased below and ceilinged near ~1e9 (see
-    module docstring). ``m`` must equal the sketch's own m. An EMPTY
-    sketch (empty input shard) is legal: all m registers absent →
-    dyadic_sum = m·2^GRID, raw_estimate = alpha·m (the estimator's
-    zero-cardinality plateau), never NULL."""
+def hll_estimate(
+    sketch: DataFrame,
+    m: int = HLL_M,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row (per group): (*group_cols, nonzero_regs bigint,
+    dyadic_sum bigint, raw_estimate double). dyadic_sum =
+    Σ_j 2^(GRID − M_j) over ALL m registers (absent registers
+    contribute M_j = 0 → 2^GRID), exact integer; raw_estimate =
+    alpha·m²·2^GRID / dyadic_sum — accurate for cardinalities ≳ 2.5·m,
+    biased below and ceilinged near ~1e9 (see module docstring).
+    ``m`` and ``group_cols`` must match the sketch's own. An EMPTY
+    sketch (empty input shard) is legal in the GLOBAL form: all m
+    registers absent → dyadic_sum = m·2^GRID, raw_estimate = alpha·m
+    (the estimator's zero-cardinality plateau), never NULL; in the
+    grouped form an absent group simply has no row."""
     if m not in _ALPHA:
         raise ValueError(
             f"hll_estimate: m must be one of {sorted(_ALPHA)}, got {m!r}"
         )
     grid = _rank_cap(m) + 1
-    present = sketch.agg(
+    present = sketch.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("__nz"),
         # coalesce: F.sum over ZERO rows is NULL, and NULL + the
         # absent-register term would silently NULL the whole estimate
@@ -170,12 +198,14 @@ def hll_estimate(sketch: DataFrame, m: int = HLL_M) -> DataFrame:
     # absent registers: (m − nz) · 2^grid, folded in exactly
     alpha = float(_ALPHA[m])
     return present.select(
+        *group_cols,
         F.col("__nz").alias("nonzero_regs"),
         (
             F.col("__sp")
             + (F.lit(int(m)) - F.col("__nz")) * F.lit(1 << grid).cast("bigint")
         ).alias("dyadic_sum"),
     ).select(
+        *group_cols,
         "nonzero_regs",
         "dyadic_sum",
         (

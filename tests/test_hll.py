@@ -129,3 +129,36 @@ def test_hll_validates(spark):
         hll_sketch(df, "k", m=100)
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+def test_groupwise_sketch_and_estimate(spark):
+    """Group-wise HLL: each group's register table equals the flat
+    sketch of that group's keys alone (independence), the grouped
+    estimate matches the flat estimate per group, and NULL group keys
+    are their own group."""
+    rows = (
+        [("a", k) for k in range(0, 2000)]
+        + [("b", k) for k in range(500, 1200)]
+        + [(None, k) for k in range(0, 300)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long").repartition(4)
+    grouped = hll_sketch(df, "k", group_cols=("g",))
+    by_g: dict = {}
+    for r in grouped.collect():
+        by_g.setdefault(r["g"], {})[r["reg"]] = r["rho"]
+    assert by_g["a"] == _ref_sketch(range(0, 2000))
+    assert by_g["b"] == _ref_sketch(range(500, 1200))
+    assert by_g[None] == _ref_sketch(range(0, 300))
+
+    est = {
+        r["g"]: r["raw_estimate"]
+        for r in hll_estimate(grouped, group_cols=("g",)).collect()
+    }
+    flat = {
+        g: hll_estimate(
+            hll_sketch(df.filter(F.col("g").eqNullSafe(g)), "k")
+        ).collect()[0]["raw_estimate"]
+        for g in ("a", "b")
+    }
+    assert est["a"] == flat["a"] and est["b"] == flat["b"]
+    assert abs(est["a"] - 2000) / 2000 < 0.25
