@@ -41,9 +41,10 @@ effective range is ~P/2 ≈ 1.07e9 — expected relative underestimate
 ≈ n/(2P): negligible below ~1e7 distinct keys, ~2% at 1e8, saturating
 near 1e9. Textbook HLL avoids this with a ≥32-bit avalanche hash
 (xxhash64), which no SQL oracle can replay — at true 100 TB
-cardinalities swap the mixer for `F.xxhash64` and drop the oracle to
-the gate form (the q_approx_distinct convention), documented here
-because the ceiling is real.
+cardinalities pass ``mixer="xxhash64"`` (a full 64-bit avalanche path,
+IMPLEMENTED below, not just documented) and drop the oracle to the
+gate form (the q_approx_distinct convention): accuracy under that
+mixer is pinned by ``tests/test_hll.py::test_xxhash64_mixer_gate``.
 
 Input contract: a nullable INTEGER key column (the portable hash needs
 integer keys — the repo's q_fingerprint polynomial turns text into
@@ -75,8 +76,20 @@ _ALPHA = {
 _HASH_MOD = 2147483647
 _HASH_MUL = 1315423911
 
+#: Register-value ceiling under the xxhash64 mixer: the 64−log2(m)-bit
+#: suffix would give ranks up to ~57, but 2^(GRID − rho) sums over m
+#: registers must stay in int64, so rho is saturated at 32 (textbook
+#: HLL's 6-bit-register discipline). P(rank > 32) = 2^−32 per key — the
+#: saturation changes a register's harmonic addend from < 2^−32 to
+#: 2^−32, invisible at any cardinality the sketch can resolve.
+_XXH_CAP = 32
 
-def _rank_cap(m: int) -> int:
+_MIXERS = ("portable", "xxhash64")
+
+
+def _rank_cap(m: int, mixer: str = "portable") -> int:
+    if mixer == "xxhash64":
+        return _XXH_CAP
     return (_HASH_MOD // m).bit_length() + 1
 
 
@@ -85,6 +98,7 @@ def hll_sketch(
     key_col: str,
     m: int = HLL_M,
     group_cols: tuple[str, ...] = (),
+    mixer: str = "portable",
 ) -> DataFrame:
     """The ≤ m-row register table (reg int, rho int) of the distinct
     values of integer ``key_col``. Duplicate keys hash identically, so
@@ -99,12 +113,47 @@ def hll_sketch(
     Estimate per group by running the hll_estimate arithmetic under a
     groupBy(*group_cols) (see hll_estimate; its global form is the
     one-group special case). NULL group keys are their own group (SQL
-    GROUP BY semantics); NULL keys are still filtered."""
+    GROUP BY semantics); NULL keys are still filtered.
+
+    ``mixer="portable"`` (default) is the SQL-replayable mod-Mersenne
+    quadratic mix (oracle-checkable, ~1e9 cardinality ceiling);
+    ``mixer="xxhash64"`` is the production 64-bit avalanche path — not
+    SQL-replayable (gate-form checks only), no cardinality ceiling.
+    ``hll_estimate`` must be called with the SAME mixer (the rank grid
+    differs)."""
     if m not in _ALPHA:
         raise ValueError(
             f"hll_sketch: m must be one of {sorted(_ALPHA)}, got {m!r}"
         )
-    cap = _rank_cap(m)
+    if mixer not in _MIXERS:
+        raise ValueError(
+            f"hll_sketch: mixer must be one of {_MIXERS}, got {mixer!r}"
+        )
+    cap = _rank_cap(m, mixer)
+    if mixer == "xxhash64":
+        # reg = low log2(m) bits (two's-complement AND keeps 0..m−1 even
+        # for negative hashes), w = the remaining bits as an UNSIGNED
+        # shift so the sign bit becomes entropy, not a sticky 1.
+        bits = int(m).bit_length() - 1
+        h64 = F.xxhash64(F.col(key_col))
+        reg = h64.bitwiseAND(m - 1).cast("int")
+        w = F.shiftrightunsigned(h64, bits)
+        rank = F.when(
+            w > 0,
+            F.least(
+                F.bit_count((w.bitwiseAND(-w)) - 1) + 1, F.lit(int(cap))
+            ).cast("int"),
+        ).otherwise(F.lit(int(cap)).cast("int"))
+        return (
+            df.filter(F.col(key_col).isNotNull())
+            .select(
+                *[F.col(c) for c in group_cols],
+                reg.alias("reg"),
+                rank.alias("rho"),
+            )
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
     # mod-P pre-reduction BEFORE any multiply (the cms.py overflow
     # lesson): ((k % P) + P) % P is the sign-safe residue in both
     # engines (Spark's and DuckDB's % keep the dividend sign). A LINEAR
@@ -120,8 +169,14 @@ def hll_sketch(
     # NB: every round is wrapped in OUTER parens — % and * have equal
     # precedence and left associativity, so an unparenthesised
     # `x % P * y` substituted into the next round's square reassociates
-    # to `(x % P * y) % ...` and overflows int64 (found the hard way)
-    h_sql = f"((({key_col} % {_HASH_MOD}) + {_HASH_MOD}) % {_HASH_MOD})"
+    # to `(x % P * y) % ...` and overflows int64 (found the hard way).
+    # The key is pre-cast to BIGINT: an INT32 key (allowed by the
+    # contract) would otherwise stay in 32-bit arithmetic where
+    # `(k % P) + P` overflows — ANSI job abort, or a silent wraparound
+    # (corrupt sketch) with ANSI off. The declared oracle mirrors the
+    # cast (value-preserving, so int32 and int64 keys sketch alike).
+    key_sql = f"CAST({key_col} AS BIGINT)"
+    h_sql = f"((({key_sql} % {_HASH_MOD}) + {_HASH_MOD}) % {_HASH_MOD})"
     for _ in range(2):
         h_sql = (
             f"(((({h_sql} * {h_sql}) % {_HASH_MOD})"
@@ -154,9 +209,19 @@ def hll_merge(
     mergeable-summaries combine (sketch(A ∪ B) ≡ merge(sketch(A),
     sketch(B)), property-tested). ALL inputs must come from hll_sketch
     with the SAME m and the SAME ``group_cols`` (see the
-    module-docstring contract)."""
+    module-docstring contract). The column shape is validated: a
+    group-wise sketch merged with the default ``group_cols=()`` would
+    otherwise silently max registers ACROSS groups (groupBy("reg")
+    drops the group columns) — a garbage merge with no error."""
     if not sketches:
         raise ValueError("hll_merge: need at least one sketch")
+    want = [*group_cols, "reg", "rho"]
+    for i, s in enumerate(sketches):
+        if list(s.columns) != want:
+            raise ValueError(
+                f"hll_merge: sketch #{i} has columns {list(s.columns)}, "
+                f"expected {want} — group_cols must match the sketches' own"
+            )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -167,6 +232,7 @@ def hll_estimate(
     sketch: DataFrame,
     m: int = HLL_M,
     group_cols: tuple[str, ...] = (),
+    mixer: str = "portable",
 ) -> DataFrame:
     """One row (per group): (*group_cols, nonzero_regs bigint,
     dyadic_sum bigint, raw_estimate double). dyadic_sum =
@@ -174,16 +240,22 @@ def hll_estimate(
     contribute M_j = 0 → 2^GRID), exact integer; raw_estimate =
     alpha·m²·2^GRID / dyadic_sum — accurate for cardinalities ≳ 2.5·m,
     biased below and ceilinged near ~1e9 (see module docstring).
-    ``m`` and ``group_cols`` must match the sketch's own. An EMPTY
-    sketch (empty input shard) is legal in the GLOBAL form: all m
-    registers absent → dyadic_sum = m·2^GRID, raw_estimate = alpha·m
-    (the estimator's zero-cardinality plateau), never NULL; in the
-    grouped form an absent group simply has no row."""
+    ``m``, ``group_cols`` and ``mixer`` must match the sketch's own
+    (the mixer sets the rank grid: 2^(GRID − rho) addends live on
+    different grids under the two mixers). An EMPTY sketch (empty input
+    shard) is legal in the GLOBAL form: all m registers absent →
+    dyadic_sum = m·2^GRID, raw_estimate = alpha·m (the estimator's
+    zero-cardinality plateau), never NULL; in the grouped form an
+    absent group simply has no row."""
     if m not in _ALPHA:
         raise ValueError(
             f"hll_estimate: m must be one of {sorted(_ALPHA)}, got {m!r}"
         )
-    grid = _rank_cap(m) + 1
+    if mixer not in _MIXERS:
+        raise ValueError(
+            f"hll_estimate: mixer must be one of {_MIXERS}, got {mixer!r}"
+        )
+    grid = _rank_cap(m, mixer) + 1
     present = sketch.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("__nz"),
         # coalesce: F.sum over ZERO rows is NULL, and NULL + the

@@ -37,34 +37,84 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def degree_scaled_k(
+    edges: DataFrame,
+    num: int = 3,
+    den: int = 4,
+    src: str = "src",
+) -> DataFrame:
+    """1-row (``__k`` bigint): k = max((num·|E|) div (den·|V|), 1) —
+    num/den of the mean degree of the INPUT graph (|E| = directed edge
+    rows, |V| = nodes with ≥1 edge), pure integer arithmetic so the
+    same formula replays in SQL. This is the scale-honest k for graphs
+    whose edge count is capped (the top-K co-supply backbone): a FIXED
+    k that peels a real cascade at one scale factor is trivially empty
+    or trivially full at another, because the capped |E| spreads over a
+    growing |V|; 3/4 of mean degree tracks that dilution exactly (it
+    reproduces the original k=30 at sf0.01's 4000/100 backbone and
+    yields a non-empty peel at every test SF). Computed ONCE from the
+    pre-peel graph — rounds peel against a constant, matching the
+    chained-CTE oracle whose kk CTE reads ed0."""
+    if int(num) < 1 or int(den) < 1:
+        raise ValueError(
+            f"degree_scaled_k: num/den must be >= 1, got {num!r}/{den!r}"
+        )
+    return edges.agg(
+        F.greatest(
+            F.expr(
+                f"({int(num)} * count(*)) div"
+                f" ({int(den)} * count(DISTINCT {src}))"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("__k")
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
-    k: int,
+    k: int | tuple[int, int],
     n_rounds: int,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
     """Peel nodes of degree < ``k`` for ``n_rounds`` synchronous rounds.
 
+    ``k`` is an int, or a ``(num, den)`` tuple meaning the
+    ``degree_scaled_k`` threshold num/den·(mean degree), computed here
+    FROM THE CHECKPOINTED edge table (one cheap agg over the
+    checkpoint, never a second pass over the caller's pipeline) and
+    joined into every round as a broadcast scalar — the peel stays one
+    hash agg + two semi joins per round, the k-row adds nothing to the
+    shuffle.
+
     Returns (src, deg bigint): every node with ≥1 edge in the final
     subgraph and its degree there. Nodes isolated by the last round's
     peel (all neighbors dropped) have no edges and thus no row — they
     would be peeled next round anyway.
     """
-    if int(k) < 1:
+    if not isinstance(k, tuple) and int(k) < 1:
         raise ValueError(f"kcore_peel: k must be >= 1, got {k!r}")
     if int(n_rounds) < 1:
         raise ValueError(
             f"kcore_peel: n_rounds must be >= 1, got {n_rounds!r}"
         )
     ed = edges.select(src, dst).localCheckpoint(eager=False)
-    for _ in range(int(n_rounds)):
-        alive = (
-            ed.groupBy(src)
-            .agg(F.count("*").alias("__deg"))
-            .filter(F.col("__deg") >= int(k))
-            .select(src)
+    kdf = None
+    if isinstance(k, tuple):
+        num, den = k
+        kdf = degree_scaled_k(ed, num, den, src=src).localCheckpoint(
+            eager=False
         )
+    for _ in range(int(n_rounds)):
+        deg = ed.groupBy(src).agg(F.count("*").alias("__deg"))
+        if kdf is not None:
+            alive = (
+                deg.crossJoin(F.broadcast(kdf))
+                .filter(F.col("__deg") >= F.col("__k"))
+                .select(src)
+            )
+        else:
+            alive = deg.filter(F.col("__deg") >= int(k)).select(src)
         ed = (
             ed.join(alive, src, "semi")
             .join(alive.withColumnRenamed(src, dst), dst, "semi")

@@ -20,9 +20,13 @@ dominates.
 
 Determinism: the priority is ONE IEEE division h/w of integer-derived
 doubles (h = the samplers' shared multiplicative hash in [0, 1000003),
-w the guarded integer weight — both exactly representable, so the
-quotient is bit-identical in any engine; the repo's division
-convention), and the order is made TOTAL by the id tiebreak, so the
+w the guarded integer weight). h is always exactly representable; w is
+exact only below 2^53 — a larger int64 weight ROUNDS on the cast — but
+cross-engine determinism holds regardless, because both engines apply
+the IDENTICAL IEEE int64→double cast (round-to-nearest-even) and then
+the identical division, so the (possibly rounded) operands and quotient
+are bit-equal either way (the repo's division convention). The order is
+made TOTAL by the id tiebreak, so the
 selected set is partitioning/rerun-invariant and SQL-replayable as
 `ORDER BY CAST(h AS DOUBLE)/w, id LIMIT k` (the r10 declared-query
 form). Zero-weight rows are never selected (empty inclusion mass — the

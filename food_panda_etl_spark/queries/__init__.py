@@ -67,94 +67,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order matches it, so a planned rotation that fails to land in code
 # fails loudly instead of silently (round 8 shipped zero commits because
 # the plan lived only in a comment).
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 
 DECLARED_WINDOW = [
-    # 1-6 NEW in r9 (the executed r8 plan head + the build-ahead
-    # composites): the stratified PPS sampler's first driver evidence,
-    # its DSIR composite, three reports composing green operators, and
-    # k-core peeling (declared late-r9, displacing the discretionary
-    # q_lm_score r6-era filler — new evidence outranks refresh).
-    "q_pps_stratified",
-    "q_select_stratified",
-    "q_domain_drift",
-    "q_token_fertility",
-    "q_padding_waste",
+    # 1-3 NEW in r10: the three r9 build-ahead operators' first driver
+    # evidence — bodies and oracle strings moved VERBATIM from
+    # tests/test_r10_oracle_previews.py where they were pre-verified at
+    # sf0.001+sf0.01 through the driver's own compare harness (the only
+    # delta: the HLL key pre-casts to BIGINT on both sides — ADVICE r9).
+    "q_hll_counts",
+    "q_priority_sample",
+    "q_curriculum_mix",
+    # 4 byte-changed THIS round: k-core's threshold made scale-honest
+    # (degree-scaled k — the VERDICT r9 cosmetic nit; non-empty core at
+    # every SF now), so its declared query re-records.
     "q_kcore",
-    # 7 byte-changed THIS round (ADVICE fixes): heavy_group.py integral
-    # string bridge → its declared query re-records.
-    "q_group_heavy_hitters",
-    # 8-50 the 43 r5-era greens (VERDICT r8 task 2 — oldest evidence;
-    # byte-unchanged since their r5 greens): the llm-prep composite,
-    # the approx-gate family, vendor, then the text/udx/retrieval/
-    # similarity r5 keys.
-    "q_llm_prep",
-    "q_minhash_gate",
-    "q_simhash_gate",
-    "q_embed_lsh_gate",
-    "q_cosine_lsh_gate",
-    "q_ivf_gate",
-    "q_approx_distinct_gate",
-    "q_dedup_components_lsh",
-    "q_dedup_keep_rep_lsh",
-    "q_minhash_neardup",
-    "q_simhash_neardup",
-    "q_embed_neardup",
-    "q_embed_neardup_lsh",
-    "q_cosine_topk",
-    "q_cosine_topk_lsh",
-    "q_ivf_topk",
-    "q_ann_recall",
-    "q_dedup_components",
-    "q_dedup_keep_rep",
-    "q_decontaminate",
-    "q_ngram_jaccard",
-    "q_quantize_embed",
-    "q_vector_norm",
-    "q_array_size",
-    "q_vendor_enrich",
-    "q_chunk_text",
-    "q_bm25",
-    "q_hybrid_rrf",
-    "q_token_count",
-    "q_token_count_bpe",
-    "q_tfidf",
-    "q_repetition",
-    "q_langid",
-    "q_quality_score",
-    "q_text_clean",
-    "q_fingerprint",
-    "q_array_explode",
-    "q_map_funcs",
-    "q_udaf",
-    "q_to_json",
-    "q_binary_meta",
-    "q_image_decode",
-    "q_png_decode",
+    # 5-50 the 46 r6-era greens (VERDICT r9 task 2 — oldest evidence,
+    # byte-unchanged since their r6 greens), led by q_lm_score (the
+    # displaced r9 filler): dedup, corpus/media, text-norm, BPE, mixes,
+    # then the relational/sorts/sql_layer/aggregates r6 blocks.
+    "q_lm_score",
+    "q_dedup",
+    "q_incremental_dedup",
+    "q_substring_dedup",
+    "q_corpus_stats",
+    "q_jpeg_decode",
+    "q_image_resize",
+    "q_pii_redact",
+    "q_nfc_normalize",
+    "q_shuffle_order",
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_mix_to_target",
+    "q_temperature_mix",
+    "q_vocab_topp",
+    "q_scan_count",
+    "q_project",
+    "q_json_extract",
+    "q_epoch_cast",
+    "q_date_parts",
+    "q_case_when",
+    "q_null_handling",
+    "q_filter_range",
+    "q_string_funcs",
+    "q_regex_extract",
+    "q_math_funcs",
+    "q_ceil_div",
+    "q_sort_multi",
+    "q_limit_offset",
+    "q_topk_global",
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_scalar_subquery",
+    "q_groupby_agg",
+    "q_group_pct",
+    "q_count_distinct",
+    "q_approx_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_histogram",
+    "q_percentile",
+    "q_pivot",
+    "q_unpivot",
+    "q_incremental_agg",
+    "q_embed_outlier",
+    "q_approx_quantile_gate",
 ]
-# The r6-era refresh block, led by the displaced q_lm_score, moves
-# whole to the r10 plan below.
 
-# R10 ROTATION PLAN: r10-new keys first — THREE build-ahead operators
-# landed r9 with property tests and oracle replay forms ready:
-# operators/quantile_bucket.py (declare q_curriculum_mix:
-# rank-quantile buckets of a quality score × lang counts; oracle =
-# (row_number()-1)*b // count(*)), operators/sampling_priority.py
-# (declare q_priority_sample: sequential Poisson ORDER BY h/w LIMIT k),
-# and operators/hll.py (declare q_hll_counts: full register replay +
-# dyadic-sum estimate). All three declarations are PRE-TESTED end to
-# end: tests/test_r10_oracle_previews.py runs the exact future query
-# bodies against their exact oracle SQL through the driver's compare
-# harness at sf0.001 AND sf0.01 — r10 moves them into queries/
-# modules verbatim. Then the 46
-# r6-era greens, led by
-# q_lm_score (q_dedup, q_incremental_dedup, q_substring_dedup,
-# q_corpus_stats, q_jpeg_decode, q_image_resize, q_pii_redact,
-# q_nfc_normalize, q_shuffle_order, q_bpe_train, q_bpe_encode,
-# q_mix_to_target, q_temperature_mix, q_vocab_topp, relational/sorts/
-# sql_layer r6 keys, q_incremental_agg, q_embed_outlier,
-# q_approx_quantile_gate, q_scalar_subquery …), then the r7/r8-era
-# block — keeping every key's latest evidence ≤ 3 rounds old.
+# R11 ROTATION PLAN: r11-new declarations first (the r10 build-ahead:
+# operators/sampling_group.py group-wise bottom-k reservoir — declare
+# q_group_sample, pre-tested in tests/test_r11_oracle_previews.py at
+# sf0.001+sf0.01), plus any r11 byte-changed operators' queries; then
+# the r7-era greens (the q_pagerank/q_pmi/q_triangle_count/
+# q_labelprop/q_cms_counts/q_quality_classifier/q_funnel/q_retention/
+# q_sessionize block, the r7 re-records q_kmeans/q_semantic_dedup/
+# q_embed_centroid/q_snapshot_diff/q_upsert, and the r7 ADVICE
+# re-records q_dsir_weight/q_select_pipeline/q_pps_sample/
+# q_heavy_hitters); fill remaining slots from the r8-era joins/windows/
+# setops/storage block — keeping every key's latest evidence ≤ 3
+# rounds old.
 
 
 def _load_all() -> None:
@@ -163,6 +154,7 @@ def _load_all() -> None:
     # queries, so keys needing fresh driver evidence register first —
     # DECLARED_WINDOW (above) is the authoritative order.
     from food_panda_etl_spark.queries import (  # noqa: F401
+        curation,
         selection,
         graph_extras,
         graph,

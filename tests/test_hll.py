@@ -129,6 +129,75 @@ def test_hll_validates(spark):
         hll_sketch(df, "k", m=100)
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+    with pytest.raises(ValueError, match="mixer must be"):
+        hll_sketch(df, "k", mixer="md5")
+    with pytest.raises(ValueError, match="mixer must be"):
+        hll_estimate(hll_sketch(df, "k"), mixer="md5")
+
+
+def test_merge_rejects_group_shape_mismatch(spark):
+    """A group-wise sketch merged under the default group_cols=() would
+    silently max registers ACROSS groups (ADVICE r9) — the shape check
+    must refuse it, and also a plain column-order drift."""
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "g string, k long"
+    )
+    grouped = hll_sketch(df, "k", group_cols=("g",))
+    with pytest.raises(ValueError, match="group_cols must match"):
+        hll_merge(grouped, grouped)
+    flat = hll_sketch(df, "k")
+    with pytest.raises(ValueError, match="group_cols must match"):
+        hll_merge(flat, grouped, group_cols=("g",))
+
+
+def test_int32_keys_sketch_like_bigint(spark):
+    """An INT key column (allowed by the contract) must produce the
+    identical sketch to the same values as BIGINT — the ADVICE r9 fix:
+    without the engine-side CAST the int32 path overflows at
+    `(k % P) + P` (ANSI job abort, or silent wraparound with ANSI
+    off)."""
+    keys = [0, 1, 2**31 - 1, -(2**31), 12345, -7]
+    i32 = spark.createDataFrame([(k,) for k in keys], "k int")
+    i64 = spark.createDataFrame([(k,) for k in keys], "k long")
+    got32 = {(r["reg"], r["rho"]) for r in hll_sketch(i32, "k").collect()}
+    got64 = {(r["reg"], r["rho"]) for r in hll_sketch(i64, "k").collect()}
+    assert got32 == got64 == {
+        (reg, rho) for reg, rho in _ref_sketch(keys).items()
+    }
+
+
+def test_xxhash64_mixer_gate(spark):
+    """The PRODUCTION mixer (module-docstring ceiling swap-out, now
+    code): build the sketch with mixer="xxhash64" and check the
+    estimate through the gate form — the q_approx_distinct convention,
+    since a 64-bit avalanche hash has no SQL oracle. Same raw-regime
+    tolerance as the portable mixer, same mergeability, and the
+    sequential-key set that collapses a linear hash must hold too (an
+    avalanche mixer has no progression pathology by construction)."""
+    for n in (1000, 5000):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        sk = hll_sketch(df, "k", mixer="xxhash64")
+        est = hll_estimate(sk, mixer="xxhash64").collect()[0]
+        assert est["dyadic_sum"] > 0
+        assert abs(est["raw_estimate"] - n) / n < 0.25, (
+            n, est["raw_estimate"]
+        )
+    # mergeability holds under the production mixer as well
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("k"))
+    merged = hll_merge(
+        hll_sketch(a, "k", mixer="xxhash64"),
+        hll_sketch(b, "k", mixer="xxhash64"),
+    )
+    both = hll_sketch(
+        a.unionAll(b), "k", mixer="xxhash64"
+    )
+    assert (
+        {(r["reg"], r["rho"]) for r in merged.collect()}
+        == {(r["reg"], r["rho"]) for r in both.collect()}
+    )
+    est = hll_estimate(merged, mixer="xxhash64").collect()[0]
+    assert abs(est["raw_estimate"] - 3000) / 3000 < 0.25
 
 
 def test_groupwise_sketch_and_estimate(spark):

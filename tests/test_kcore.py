@@ -86,10 +86,55 @@ def test_kcore_empties_below_threshold(spark):
 
 
 def test_kcore_validates(spark):
-    from food_panda_etl_spark.operators.kcore import kcore_peel
+    from food_panda_etl_spark.operators.kcore import (
+        degree_scaled_k,
+        kcore_peel,
+    )
 
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="k must be"):
         kcore_peel(df, k=0, n_rounds=1)
     with pytest.raises(ValueError, match="n_rounds"):
         kcore_peel(df, k=1, n_rounds=0)
+    with pytest.raises(ValueError, match="num/den"):
+        degree_scaled_k(df, num=0)
+
+
+def _scaled_k_ref(pairs: set, num: int = 3, den: int = 4) -> int:
+    """The degree-scaled threshold, independently: num/den of mean
+    degree of the symmetrized graph, integer div, floored at 1."""
+    n_edges = 2 * len(pairs)
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    return max((num * n_edges) // (den * len(nodes)), 1)
+
+
+@SET
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).map(
+            lambda t: (min(t), max(t))
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1, max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_kcore_scaled_k_equals_explicit(spark, pairs, parts):
+    """The (num, den) tuple form must peel exactly like the int form
+    with k computed by the same integer formula — the r10 q_kcore
+    declared shape (degree_scaled_k over the pre-peel checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.kcore import kcore_peel
+
+    e = spark.createDataFrame(sorted(pairs), "sa long, sb long").repartition(
+        parts
+    )
+    edges = e.select(
+        F.col("sa").alias("src"), F.col("sb").alias("dst")
+    ).unionAll(e.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+    got = {
+        r["src"]: r["deg"]
+        for r in kcore_peel(edges, k=(3, 4), n_rounds=3).collect()
+    }
+    k = _scaled_k_ref(pairs)
+    assert got == _ref_peel(pairs, k, 3)
