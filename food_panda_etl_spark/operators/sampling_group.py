@@ -1,0 +1,84 @@
+"""Group-wise bottom-k sampling — deterministic uniform-without-
+replacement sampling of (up to) k rows PER GROUP in one pass: order
+each group's rows by a pseudo-random hash of the id and keep the k
+smallest. This is the bottom-k sketch of the mergeable-summaries
+family (the classic distributed "reservoir" replacement: a true
+reservoir is visit-order dependent and unreplayable, while bottom-k is
+a pure function of the SET of ids — same sample under any
+partitioning, any merge order, any rerun), and the per-group sibling
+of `operators/sampling_priority.py` (priority sampling IS weighted
+bottom-k; with unit weights the two coincide).
+
+Mergeability (property-tested): bottomk(A ∪ B) == bottomk(bottomk(A)
+∪ bottomk(B)) per group — shards can be sampled independently and the
+k-row-per-group partials merged, the HLL/CMS combine discipline
+applied to row sampling. This is what makes it the 100 TB shape:
+per-group state is ≤ k rows regardless of group size.
+
+Engine shape: ONE narrow projection (group, hash, id, carries) + ONE
+per-group window with a rank filter that Spark's optimizer rewrites to
+WindowGroupLimit — per-partition PARTIAL top-k heaps BEFORE the
+shuffle, so at most k rows per (group, input partition) ever move
+(plan-gated, the q_topk_per_group / q_tfidf convention). No groupBy
+re-aggregation, no collect, no UDF.
+
+Determinism: the ordering key is the samplers' shared multiplicative
+hash (`sample_order_hash`, the q_shuffle_order constant) with the id
+as tiebreak, so the order is TOTAL when ids are unique per group (the
+caller contract — duplicate ids would make rank assignment
+partitioning-dependent in BOTH engines) and the selected set replays
+exactly as `row_number() OVER (PARTITION BY g ORDER BY h, id) <= k`
+(the r11 declared-query form). NULL ids raise in-plan (Spark sorts
+NULLs first, DuckDB last — a silent cross-engine divergence
+otherwise); NULL GROUP keys are fine and form their own group
+(identical PARTITION BY semantics in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.sampling import sample_order_hash
+
+
+def group_bottomk_sample(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    k: int,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The ≤ k rows with the smallest id-hash per group. Returns
+    (*group_cols, id_col, *carry_cols, rk int) with rk the 1-based
+    within-group rank — exactly min(k, |group|) rows per group."""
+    if int(k) < 1:
+        raise ValueError(
+            f"group_bottomk_sample: k must be >= 1, got {k!r}"
+        )
+    if not group_cols:
+        raise ValueError(
+            "group_bottomk_sample: group_cols must be non-empty — for a "
+            "global sample use priority_sample with unit weights"
+        )
+    ids = F.col(id_col)
+    h = F.when(ids.isNotNull(), sample_order_hash(id_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"group_bottomk_sample: {id_col} must be non-NULL (NULL "
+                "sort position differs across engines)"
+            )
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h", id_col)
+    return (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            ids.alias(id_col),
+            *[F.col(c) for c in carry_cols],
+            h.alias("__h"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= int(k))
+        .drop("__h")
+    )

@@ -1,0 +1,116 @@
+"""Group-wise bottom-k sampling (r11 build-ahead): set-equality with an
+independent Python reference under any partitioning (hypothesis),
+mergeability (the bottom-k combine), NULL-group support, validation,
+and the WindowGroupLimit plan gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.sampling_group import (
+    group_bottomk_sample,
+)
+
+SET = settings(max_examples=5, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _ref(rows, k) -> set:
+    """Independent bottom-k per group over (g, id) pairs: k smallest by
+    the shared multiplicative hash with id tiebreak, 1-based rank."""
+    by_g: dict = {}
+    for g, i in rows:
+        by_g.setdefault(g, set()).add(i)
+    out = set()
+    for g, ids in by_g.items():
+        ordered = sorted(ids, key=lambda i: ((i * 1315423911) % 1000003, i))
+        for rk, i in enumerate(ordered[:k], start=1):
+            out.add((g, i, rk))
+    return out
+
+
+def _got(df) -> set:
+    return {(r["g"], r["i"], r["rk"]) for r in df.collect()}
+
+
+@SET
+@given(
+    rows=st.sets(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1, max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_bottomk_equals_reference(spark, rows, k, parts):
+    df = spark.createDataFrame(
+        sorted(rows), "g long, i long"
+    ).repartition(parts)
+    got = _got(group_bottomk_sample(df, ("g",), k, id_col="i"))
+    assert got == _ref(rows, k)
+
+
+def test_bottomk_is_mergeable(spark):
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) per group —
+    shards sample independently, partials merge at ≤ k rows per group
+    each (the HLL/CMS combine discipline applied to row sampling)."""
+    a = [(g, i) for g in range(3) for i in range(0, 40)]
+    b = [(g, i) for g in range(3) for i in range(25, 80)]
+    mk = lambda rows: spark.createDataFrame(rows, "g long, i long")  # noqa: E731
+    k = 7
+    whole = _got(group_bottomk_sample(mk(sorted(set(a) | set(b))), ("g",), k, id_col="i"))
+    pa = group_bottomk_sample(mk(a), ("g",), k, id_col="i").drop("rk")
+    pb = group_bottomk_sample(mk(b), ("g",), k, id_col="i").drop("rk")
+    merged = _got(
+        group_bottomk_sample(
+            pa.unionByName(pb).distinct(), ("g",), k, id_col="i"
+        )
+    )
+    assert merged == whole
+
+
+def test_bottomk_null_group_and_small_groups(spark):
+    """NULL group keys are their own group; a group smaller than k
+    returns all its rows with contiguous ranks."""
+    rows = [(None, 1), (None, 2), ("a", 10)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    got = _got(group_bottomk_sample(df, ("g",), 5, id_col="i"))
+    assert {g for g, _, _ in got} == {None, "a"}
+    assert {rk for g, _, rk in got if g is None} == {1, 2}
+    assert {rk for g, _, rk in got if g == "a"} == {1}
+
+
+def test_bottomk_carries_and_validates(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y")], "g string, i long, t string"
+    )
+    out = group_bottomk_sample(
+        df, ("g",), 1, id_col="i", carry_cols=("t",)
+    )
+    assert out.columns == ["g", "i", "t", "rk"]
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="k must be"):
+        group_bottomk_sample(df, ("g",), 0, id_col="i")
+    with pytest.raises(ValueError, match="group_cols"):
+        group_bottomk_sample(df, (), 1, id_col="i")
+    null_id = spark.createDataFrame([("a", None)], "g string, i long")
+    with pytest.raises(Exception, match="must be non-NULL"):
+        group_bottomk_sample(null_id, ("g",), 1, id_col="i").collect()
+
+
+def test_bottomk_plan_is_window_group_limit(spark, sf_dir):
+    """The rank filter must rewrite to WindowGroupLimit — per-partition
+    partial top-k heaps BEFORE the shuffle, ≤ k rows per (group,
+    partition) moving (the q_topk_per_group convention)."""
+    from food_panda_etl_spark.plans import plan_summary
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s = plan_summary(group_bottomk_sample(d, ("lang",), 10))
+    assert s.window_group_limits >= 1
+    assert s.cartesian_products == 0 and s.nested_loop_joins == 0
