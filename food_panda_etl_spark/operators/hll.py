@@ -208,8 +208,11 @@ def hll_merge(
     """Register-wise max of any number of shard sketches — the
     mergeable-summaries combine (sketch(A ∪ B) ≡ merge(sketch(A),
     sketch(B)), property-tested). ALL inputs must come from hll_sketch
-    with the SAME m and the SAME ``group_cols`` (see the
-    module-docstring contract). The column shape is validated: a
+    with the SAME m, the SAME ``group_cols``, AND the SAME mixer (a
+    cross-mixer merge is shape-identical and thus undetectable here —
+    registers from different rank spaces max into garbage; the
+    estimate's rank-range guard catches the xxhash64-into-portable
+    direction downstream). The column shape is validated: a
     group-wise sketch merged with the default ``group_cols=()`` would
     otherwise silently max registers ACROSS groups (groupBy("reg")
     drops the group columns) — a garbage merge with no error."""
@@ -255,17 +258,35 @@ def hll_estimate(
         raise ValueError(
             f"hll_estimate: mixer must be one of {_MIXERS}, got {mixer!r}"
         )
-    grid = _rank_cap(m, mixer) + 1
+    cap = _rank_cap(m, mixer)
+    grid = cap + 1
+    # In-plan rank-range guard (the guarded_weight convention): an
+    # xxhash64-built sketch fed to a portable-mixer estimate carries
+    # rho up to 32 against a grid of 25 — shiftleft(1, negative) wraps
+    # through Java's shift-mod-64 into ~2^57 garbage addends that
+    # crush the estimate toward zero ONLY at production cardinalities
+    # (small-rho test sets pass), the worst kind of silent wrongness.
+    # (The converse mistake is harmless: the estimate is grid-invariant
+    # — numerator alpha·m²·2^GRID and every addend 2^(GRID−rho) scale
+    # by the same power of two — so only rho > cap can corrupt, and
+    # that raises loudly here.)
+    addend = F.when(
+        (F.col("rho") >= 1) & (F.col("rho") <= cap),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {grid} - rho)"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"hll_estimate: register rank outside [1, {cap}] for "
+                f"mixer={mixer!r}, m={m} — was the sketch built with a "
+                "different mixer or m?"
+            )
+        )
+    )
     present = sketch.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("__nz"),
         # coalesce: F.sum over ZERO rows is NULL, and NULL + the
         # absent-register term would silently NULL the whole estimate
-        F.coalesce(
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {grid} - rho)")),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("__sp"),
+        F.coalesce(F.sum(addend), F.lit(0)).cast("bigint").alias("__sp"),
     )
     # absent registers: (m − nz) · 2^grid, folded in exactly
     alpha = float(_ALPHA[m])

@@ -45,8 +45,13 @@ def degree_scaled_k(
 ) -> DataFrame:
     """1-row (``__k`` bigint): k = max((num·|E|) div (den·|V|), 1) —
     num/den of the mean degree of the INPUT graph (|E| = directed edge
-    rows, |V| = nodes with ≥1 edge), pure integer arithmetic so the
-    same formula replays in SQL. This is the scale-honest k for graphs
+    rows, |V| = count(DISTINCT src) — which equals "nodes with ≥1
+    edge" ONLY under the module's symmetrized-input contract; on a raw
+    directed graph dst-only nodes would be missed and k inflated),
+    pure integer arithmetic so the same formula replays in SQL. An
+    EMPTY edge table yields k = 1 instead of an ANSI divide-by-zero
+    abort (degenerate inputs are legal — the peel of an empty graph is
+    empty at any k). This is the scale-honest k for graphs
     whose edge count is capped (the top-K co-supply backbone): a FIXED
     k that peels a real cascade at one scale factor is trivially empty
     or trivially full at another, because the capped |E| spreads over a
@@ -62,8 +67,10 @@ def degree_scaled_k(
     return edges.agg(
         F.greatest(
             F.expr(
-                f"({int(num)} * count(*)) div"
+                f"CASE WHEN count(DISTINCT {src}) > 0 THEN"
+                f" ({int(num)} * count(*)) div"
                 f" ({int(den)} * count(DISTINCT {src}))"
+                " ELSE CAST(1 AS BIGINT) END"
             ),
             F.lit(1).cast("bigint"),
         ).alias("__k")

@@ -13,7 +13,13 @@ Mergeability (property-tested): bottomk(A ∪ B) == bottomk(bottomk(A)
 ∪ bottomk(B)) per group — shards can be sampled independently and the
 k-row-per-group partials merged, the HLL/CMS combine discipline
 applied to row sampling. This is what makes it the 100 TB shape:
-per-group state is ≤ k rows regardless of group size.
+per-group state is ≤ k rows regardless of group size. The identity is
+over SETS while DataFrames are bags: partials from OVERLAPPING shards
+(shared snapshots, at-least-once ingestion) must be deduplicated on
+(group, id) before re-sampling — a shared row would otherwise take
+two ranks and displace the legitimate k-th smallest (the same
+unique-ids-per-group contract as a direct call; the merge recipe is
+``bottomk(pa.unionByName(pb).dropDuplicates([*group_cols, id_col]))``).
 
 Engine shape: ONE narrow projection (group, hash, id, carries) + ONE
 per-group window with a rank filter that Spark's optimizer rewrites to

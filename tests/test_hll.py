@@ -135,6 +135,21 @@ def test_hll_validates(spark):
         hll_estimate(hll_sketch(df, "k"), mixer="md5")
 
 
+def test_estimate_rejects_out_of_grid_ranks(spark):
+    """An xxhash64-built sketch fed to a portable-mixer estimate (the
+    forgotten mixer= kwarg) carries ranks above the portable cap —
+    shiftleft(1, negative) would wrap into ~2^57 garbage addends that
+    only corrupt at PRODUCTION cardinalities (review-caught): the
+    in-plan range guard must raise instead. rho=30 is a legal xxhash64
+    register but impossible under the portable grid (cap 24)."""
+    bad = spark.createDataFrame([(0, 30)], "reg int, rho int")
+    with pytest.raises(Exception, match="different mixer"):
+        hll_estimate(bad).collect()
+    # the same register is fine under its own mixer's grid
+    ok = hll_estimate(bad, mixer="xxhash64").collect()[0]
+    assert ok["nonzero_regs"] == 1 and ok["raw_estimate"] > 0
+
+
 def test_merge_rejects_group_shape_mismatch(spark):
     """A group-wise sketch merged under the default group_cols=() would
     silently max registers ACROSS groups (ADVICE r9) — the shape check

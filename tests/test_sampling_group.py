@@ -1,4 +1,5 @@
-"""Group-wise bottom-k sampling (r11 build-ahead): set-equality with an
+"""Group-wise bottom-k sampling (r10 build-ahead, declared r11):
+set-equality with an
 independent Python reference under any partitioning (hypothesis),
 mergeability (the bottom-k combine), NULL-group support, validation,
 and the WindowGroupLimit plan gate."""
