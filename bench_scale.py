@@ -383,6 +383,61 @@ def r9_curves(spark, sizes) -> dict:
     return curves
 
 
+def r10_curves(spark, sizes) -> dict:
+    """r10 operator curves, runnable alone via `--r10` (min-of-two per
+    point, the r9 convention).
+
+    - Group bottom-k sampling (r10 build-ahead): one narrow projection
+      + one per-group window whose rank filter rewrites to
+      WindowGroupLimit (partial per-partition top-k heaps before the
+      shuffle — at most k rows per (group, partition) move). Expected
+      near-linear in rows with a small constant: the scan dominates,
+      the shuffle carries ≤ k·groups·partitions narrow rows.
+    - HLL mixer cost: the portable mod-Mersenne quadratic mix (three
+      chained %/* rounds) vs the production xxhash64 path (one JVM
+      hash call + bit ops) over the same keys — quantifies what the
+      SQL-replayable oracle costs at scale and what swapping it out
+      buys (both are one narrow projection + one 256-row hash agg).
+    """
+    from food_panda_etl_spark.operators.hll import hll_estimate, hll_sketch
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_bottomk_sample,
+    )
+
+    langs = ["en", "de", "fr", "es", "zh"]
+    lang_col = lambda idc: F.element_at(  # noqa: E731
+        F.array(*[F.lit(s) for s in langs]),
+        (F.pmod(F.xxhash64(F.col(idc) + 3), F.lit(5)) + 1).cast("int"),
+    )
+    curves: dict[str, dict[int, float]] = {
+        "group_bottomk": {},
+        "hll_portable": {},
+        "hll_xxhash64": {},
+    }
+    for n in sizes:
+        d = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                lang_col("id").alias("lang"),
+            )
+            .cache()
+        )
+        d.count()
+        run_gb = lambda: group_bottomk_sample(  # noqa: E731
+            d, ("lang",), 10
+        ).write.format("noop").mode("overwrite").save()
+        curves["group_bottomk"][n] = min(timed(run_gb), timed(run_gb))
+        for mixer, key in (("portable", "hll_portable"),
+                           ("xxhash64", "hll_xxhash64")):
+            run_hll = lambda: hll_estimate(  # noqa: E731
+                hll_sketch(d, "doc_id", mixer=mixer), mixer=mixer
+            ).write.format("noop").mode("overwrite").save()
+            curves[key][n] = min(timed(run_hll), timed(run_hll))
+        d.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -400,6 +455,13 @@ def main() -> None:
     if "--r9" in sys.argv:  # only the r9 curves (stratified PPS / drift)
         sizes = [20_000, 80_000] + ([] if quick else [320_000])
         curves = r9_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r10" in sys.argv:  # only the r10 curves (group bottom-k / mixers)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r10_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))
