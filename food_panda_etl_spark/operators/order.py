@@ -5,6 +5,37 @@ whole table onto one task — correct, but serial and OOM-prone at 100 TB.
 The scalable equivalent is the classic two-phase scheme every MPP engine
 uses: range-partition by the key, rank locally, then add per-partition
 offsets (a tiny P-row side table) back to every row.
+
+CORRECTNESS PIN (r10) — the (row, pid) binding is materialized ONCE
+(lazy ``localCheckpoint`` on the pid-stamped table) before ANY
+consumer. The scheme needs the counts/offsets subtree and the main
+pass to see the SAME partition assignment, and without the pin that
+only holds while ``ReuseExchange`` happens to unify their range
+exchanges: range-boundary sampling is seeded per RDD id, so two
+physical instances of the "same" ``repartitionByRange`` draw DIFFERENT
+boundaries, offsets stop matching pids, and ranks silently corrupt —
+duplicates, max > N. Reuse is an optimization, not a contract: the
+r10 sf0.1 oracle sweep caught a plan (quantile bucketing under an
+aggregation) where the optimizer planned THREE separate range
+exchanges with zero reuse, producing off-quarter buckets at 5,000 rows
+on local[8] under every eager/lazy/AQE-on/AQE-off variant, while the
+same operator standalone (reuse kicked in) was exact. With the pin,
+pid is DATA: every consumer reads the one materialized assignment, and
+the output is rerun-deterministic because a consistent two-phase rank
+IS the row's position in the (unique-key) total order — a pure
+function of the data, not of where the sampled boundaries fell. The
+pin costs one executor-local materialization of the post-shuffle fact
+(MEMORY_AND_DISK — the price of correctness; on a cluster it is the
+same magnitude as the shuffle the plan already pays) AND truncates
+lineage non-recoverably: if an executor holding checkpointed blocks is
+lost, the job FAILS instead of recomputing (Spark's documented
+localCheckpoint caveat). That loud failure is the chosen trade — a
+recomputation (or a persist() eviction) would re-draw range boundaries
+and reintroduce exactly the silent corruption the pin exists to
+prevent; production deployments wanting fault tolerance use reliable
+`checkpoint()` to HDFS instead, same semantics. Regression:
+tests/test_quantile_priority.py::test_buckets_exact_quarters_at_5k and
+the naive-plan equality tests.
 """
 
 from __future__ import annotations
@@ -38,7 +69,11 @@ def global_row_number(
     heap."""
     par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(par, *[F.col(c) for c in order_cols])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # the correctness pin (module docstring): freeze the (row, pid)
+    # binding before the counts and main subtrees consume it
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
     counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     # Prefix-sum over the P-row counts table WITHOUT a window node: an
     # unpartitioned window would serialize on one task and spam the
@@ -94,7 +129,10 @@ def global_running_sum(
     """
     par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(par, *[F.col(c) for c in order_cols])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # same correctness pin as global_row_number (module docstring)
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
     totals = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     preceding = totals.select(
         F.col("__pid").alias("__pid_prev"), F.col("__tot").alias("__tot_prev")

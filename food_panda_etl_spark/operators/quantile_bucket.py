@@ -11,14 +11,20 @@ replayable in SQL as `(row_number() − 1) * b // count(*)` (the r10
 declared-query form).
 
 Scale shape: ONE range exchange for the rank (never a single-partition
-window), then a narrow projection. The ranked table is lazily
-checkpointed INSIDE the operator and the total row count is read off
-it as max(rank) — one cheap pass over the checkpoint, never a second
-scan of the raw input (the samplers' re-execution lesson, pre-applied).
-`global_row_number` itself still references the input for its range/
-counts/main passes, so an EXPENSIVE upstream pipeline should be lazily
-checkpointed by the caller before being passed in (the
-q_select_pipeline convention). Ties are broken by the caller's
+window), then a narrow projection. The total row count is max(rank)
+off the ranked table itself — self-consistent with the ranks it
+divides, and cheap post-pin (both references bottom out at the pinned
+materialization). This operator is where the r10 sf0.1
+oracle sweep exposed the two-phase rank machinery's reuse fragility
+(off-quarter bucket sizes at 5,000 rows — this plan was the first to
+get THREE separate range exchanges instead of a reused one); the root
+fix is the (row, pid) correctness pin inside `operators/order.py`
+(see its module docstring), and
+tests/test_quantile_priority.py::test_buckets_exact_quarters_at_5k
+pins the exact-quarters invariant at the size that reproduced it.
+An EXPENSIVE upstream pipeline should be lazily checkpointed by the
+caller before being passed in (the q_select_pipeline convention).
+Ties are broken by the caller's
 ``tiebreak_cols`` (MUST make the order total — the q_shuffle_order /
 sessionize convention; a non-total order would be
 partitioning-dependent in BOTH engines and hash-diverge), so equal
@@ -52,11 +58,13 @@ def rank_quantile_buckets(
             "total (equal scores would otherwise bucket "
             "partitioning-dependently)"
         )
-    ranked = global_row_number(
-        df, [score_col, *tiebreak_cols], out_col="__rn"
-    ).localCheckpoint(eager=False)
-    # ranks are 1..N and total, so N = max(rank): read it off the
-    # checkpointed ranked table instead of re-aggregating the raw input
+    ranked = global_row_number(df, [score_col, *tiebreak_cols], out_col="__rn")
+    # N = max(rank) off the ranked table itself — SELF-CONSISTENT with
+    # the ranks it divides (an independent count of df would re-execute
+    # the input and could disagree with the ranked row count if the
+    # source moved between scans), and cheap post-pin: both references
+    # bottom out at order.py's pinned (row, pid) materialization, so
+    # the ranks agree across them by construction.
     total = ranked.agg(F.max("__rn").alias("__n"))
     return (
         ranked.crossJoin(F.broadcast(total))

@@ -82,10 +82,34 @@ DECLARED_WINDOW = [
     # (degree-scaled k — the VERDICT r9 cosmetic nit; non-empty core at
     # every SF now), so its declared query re-records.
     "q_kcore",
-    # 5-50 the 46 r6-era greens (VERDICT r9 task 2 — oldest evidence,
+    # 5-12 byte-changed THIS round (the order.py correctness pin): the
+    # r10 sf0.1 oracle sweep caught the two-phase rank machinery
+    # silently corrupting when the optimizer declines exchange reuse
+    # (three separate range exchanges, independently sampled
+    # boundaries → offsets mismatch pids); the (row, pid) binding is
+    # now pinned in operators/order.py, and all 11 declared queries
+    # that ride global_row_number / global_running_sum / the samplers
+    # re-record on the fixed bytes (q_shuffle_order,
+    # q_approx_quantile_gate, q_curriculum_mix are affected too and
+    # already in the window above/below; q_vocab_topp's cumsum is a
+    # vocab-sized plain window and q_vendor_enrich's batch stamp is
+    # fixture SQL arithmetic — neither touches order.py).
+    "q_batch_number",
+    "q_pack_chunks",
+    "q_pps_sample",
+    "q_select_pipeline",
+    "q_llm_prep",
+    "q_pps_stratified",
+    "q_select_stratified",
+    "q_padding_waste",
+    # 13-50 the r6-era greens (VERDICT r9 task 2 — oldest evidence,
     # byte-unchanged since their r6 greens), led by q_lm_score (the
     # displaced r9 filler): dedup, corpus/media, text-norm, BPE, mixes,
-    # then the relational/sorts/sql_layer/aggregates r6 blocks.
+    # then the relational/sorts/sql_layer/aggregates r6 blocks; the 8
+    # lowest-risk pure-relational refreshes (q_regex_extract,
+    # q_math_funcs, q_rollup, q_cube, q_histogram, q_percentile,
+    # q_pivot, q_unpivot — all byte-unchanged r6 greens) are displaced
+    # to r11 by the order.py re-records above.
     "q_lm_score",
     "q_dedup",
     "q_incremental_dedup",
@@ -101,6 +125,7 @@ DECLARED_WINDOW = [
     "q_mix_to_target",
     "q_temperature_mix",
     "q_vocab_topp",
+    "q_string_funcs",
     "q_scan_count",
     "q_project",
     "q_json_extract",
@@ -109,9 +134,6 @@ DECLARED_WINDOW = [
     "q_case_when",
     "q_null_handling",
     "q_filter_range",
-    "q_string_funcs",
-    "q_regex_extract",
-    "q_math_funcs",
     "q_ceil_div",
     "q_sort_multi",
     "q_limit_offset",
@@ -123,22 +145,23 @@ DECLARED_WINDOW = [
     "q_group_pct",
     "q_count_distinct",
     "q_approx_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_histogram",
-    "q_percentile",
-    "q_pivot",
-    "q_unpivot",
     "q_incremental_agg",
     "q_embed_outlier",
     "q_approx_quantile_gate",
 ]
 
-# R11 ROTATION PLAN: r11-new declarations first (the r10 build-ahead:
-# operators/sampling_group.py group-wise bottom-k reservoir — declare
-# q_group_sample, pre-tested in tests/test_r11_oracle_previews.py at
-# sf0.001+sf0.01), plus any r11 byte-changed operators' queries; then
-# the r7-era greens (the q_pagerank/q_pmi/q_triangle_count/
+# R11 ROTATION PLAN: r11-new declarations first — THREE are pre-tested
+# end to end in tests/test_r11_oracle_previews.py at sf0.001+sf0.01
+# (bodies and oracle strings move verbatim into queries/ modules, the
+# executed r10 flow): q_group_sample (operators/sampling_group.py
+# group-wise bottom-k reservoir), q_hll_by_group (the grouped HLL
+# estimate record over lineitem l_returnflag — operator green since
+# r9), and q_cms_windowed (operators/cms_windowed.py per-day sketches
+# summed over a trailing window, the linearity replay). Plus any r11
+# byte-changed operators' queries; then the 8 r6-era keys displaced by
+# the r10 order.py re-records (q_regex_extract, q_math_funcs,
+# q_rollup, q_cube, q_histogram, q_percentile, q_pivot, q_unpivot);
+# then the r7-era greens (the q_pagerank/q_pmi/q_triangle_count/
 # q_labelprop/q_cms_counts/q_quality_classifier/q_funnel/q_retention/
 # q_sessionize block, the r7 re-records q_kmeans/q_semantic_dedup/
 # q_embed_centroid/q_snapshot_diff/q_upsert, and the r7 ADVICE

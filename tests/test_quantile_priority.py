@@ -54,6 +54,34 @@ def test_buckets_equal_reference_and_balance(spark, scores, b, parts):
         assert set(sizes) == set(range(b))
 
 
+def test_buckets_exact_quarters_at_5k(spark):
+    """Regression for the r10 sf0.1 sweep catch: at 5,000 rows the
+    operator's old `ranked.localCheckpoint(eager=False)` corrupted the
+    two-phase ranks (duplicates + max > N — checkpointing a
+    global_row_number OUTPUT breaks the exchange-reuse consistency its
+    offsets rely on; see operators/order.py), which showed up as
+    off-quarter bucket sizes (1274/1221/1248/1257 instead of 1250×4).
+    Any correct rank permutation gives EXACT equal quarters, so this
+    asserts the strongest invariant at the size that reproduced it."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.quantile_bucket import (
+        rank_quantile_buckets,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(100000)).alias("score"),
+    ).repartition(8)
+    out = rank_quantile_buckets(df, "score", 4, tiebreak_cols=("doc_id",))
+    sizes = {
+        r["bucket"]: r["c"]
+        for r in out.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    }
+    assert sizes == {0: n // 4, 1: n // 4, 2: n // 4, 3: n // 4}
+
+
 def test_buckets_validate(spark):
     from food_panda_etl_spark.operators.quantile_bucket import (
         rank_quantile_buckets,
