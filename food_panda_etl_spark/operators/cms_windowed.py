@@ -1,0 +1,110 @@
+"""Group-wise / windowed count-min sketch — the time-bucketed variant
+of `operators/cms.py` (VERDICT r9 task 6's "windowed CMS" shape): one
+independent sketch per group (epoch day, language, source) built in a
+SINGLE (group, d, b) hash aggregation, and a merge that collapses any
+subset of the group dimensions by SUMMING cells — CMS is LINEAR
+(cells are counters: sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise,
+the mergeable-summaries property the group-wise HLL gets from max),
+so a sliding/tumbling window query is "filter the bucket dimension,
+sum the cells, estimate as usual":
+
+    by_day = cms_sketch_by_group(events, "user_id", ("day",))
+    recent = cms_merge_groups(by_day.filter(F.col("day") > cutoff))
+    cms_estimate(recent, probes, "user_id")   # plain cms.py estimate
+
+This is the per-key rate-limiting / trending-keys production shape at
+bounded state: |groups|·width·depth cells total, each window query
+touches only the filtered slice, and expired buckets are DROPPED (not
+decayed — exact integer arithmetic end to end, so the whole pipeline
+remains SQL-replayable bit-for-bit; exponential decay would need
+non-integer weights and is deliberately out of scope, the ln-free
+discipline). A NEW module so `cms.py` stays byte-identical to its
+recorded greens; the hash family (_MULTS/_ADDS/_P, `_cell`) is
+imported — ONE definition per side, the no-drift rule.
+
+Determinism: identical affine mod-P cell hashes as cms.py; group
+columns pass through a hash aggregation unchanged (NULL groups are
+their own group, SQL GROUP BY semantics); merges are integer sums —
+order-free. The r11 declared form (q_cms_windowed, pre-tested in
+tests/test_r11_oracle_previews.py) replays as a direct sketch of the
+window's rows in SQL, equal BY LINEARITY to the engine's
+sum-of-day-sketches — the property test pins that identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.cms import _MULTS, _P, _cell
+
+
+def cms_sketch_by_group(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...],
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """The (*group_cols, d, b, cnt) sketch table — ≤ width·depth rows
+    PER GROUP, built in one hash aggregation (the fact shuffles only
+    (group, d, b) int tuples). Rows with a NULL key are skipped (the
+    cms.py / heavy_hitters NULL contract); NULL group keys form their
+    own group."""
+    if not group_cols:
+        raise ValueError(
+            "cms_sketch_by_group: group_cols must be non-empty — for a "
+            "flat sketch use cms.cms_sketch"
+        )
+    if not 1 <= depth <= len(_MULTS):
+        raise ValueError(f"depth must be in [1, {len(_MULTS)}], got {depth}")
+    if not 1 <= width <= _P:
+        raise ValueError(f"width must be in [1, {_P}], got {width}")
+    k = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("d"), _cell(k, d, width).alias("b"))
+        for d in range(depth)
+    ])
+    return (
+        df.filter(k.isNotNull())
+        .select(*[F.col(c) for c in group_cols], F.explode(cells).alias("__c"))
+        .groupBy(
+            *group_cols, F.col("__c.d").alias("d"), F.col("__c.b").alias("b")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge_groups(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Sum cells across sketches AND across any group dimensions not in
+    ``group_cols`` — the CMS linear combine. With the default
+    ``group_cols=()`` the result is a plain (d, b, cnt) sketch usable
+    with `cms.cms_estimate`; keeping a prefix of the group columns
+    re-buckets (e.g. day-sketches → week-sketches). Every input must
+    come from cms_sketch_by_group / cms_sketch with the SAME (width,
+    depth) (the cms.py contract — cells from different cell spaces sum
+    into garbage) and must CONTAIN the (d, b, cnt) cell columns plus
+    ``group_cols`` (shape-asserted, the hll_merge lesson: a silent
+    column mismatch would mis-merge with no error)."""
+    if not sketches:
+        raise ValueError("cms_merge_groups: need at least one sketch")
+    need = {*group_cols, "d", "b", "cnt"}
+    for i, s in enumerate(sketches):
+        missing = sorted(need - set(s.columns))
+        if missing:
+            raise ValueError(
+                f"cms_merge_groups: sketch #{i} lacks columns {missing} "
+                f"(has {list(s.columns)}) — group_cols must be a subset "
+                "of every input's group dimensions"
+            )
+    parts = [
+        s.select(*group_cols, "d", "b", "cnt") for s in sketches
+    ]
+    out = parts[0]
+    for s in parts[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "d", "b").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )

@@ -102,12 +102,17 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(d, "n_chars", k=_PRI_K)
 
 
-def _hll_oracle() -> str:
+def _hll_oracle(group_col: str | None = None) -> str:
     """The full register replay: same BIGINT-cast key, same two-round
     quadratic mod-Mersenne mix (outer-parenthesised — `%`/`*` equal
     precedence), same bit_count((w & -w) − 1) rank, same integer dyadic
     grid; the alpha·m²·2^grid constant round-trips as the Python
-    float's repr CAST to DOUBLE (identical bits both engines)."""
+    float's repr CAST to DOUBLE (identical bits both engines). ONE
+    builder for the flat and GROUPED replays (the no-drift rule):
+    ``group_col`` threads a GROUP BY through every stage — the r11
+    q_hll_by_group preview (tests/test_r11_oracle_previews.py) imports
+    this with ``group_col="l_returnflag"`` so the grouped declaration
+    can never drift from the flat one."""
     m, P, C = HLL_M, _HASH_MOD, _HASH_MUL
     cap = _rank_cap(m)
     grid = cap + 1
@@ -115,7 +120,8 @@ def _hll_oracle() -> str:
     h = f"(((CAST(l_partkey AS BIGINT) % {P}) + {P}) % {P})"
     for _ in range(2):
         h = f"(((({h} * {h}) % {P}) * {C}) % {P})"
-    return f"""
+    if group_col is None:
+        return f"""
     WITH r AS (SELECT CAST({h} % {m} AS INT) AS reg,
                       CAST({h} // {m} AS BIGINT) AS w
                FROM lineitem WHERE l_partkey IS NOT NULL),
@@ -143,6 +149,38 @@ def _hll_oracle() -> str:
                     * (CAST(1 AS BIGINT) << {grid}) AS DOUBLE))
              / CAST(n_exact AS DOUBLE) AS ratio
     FROM agg CROSS JOIN ex
+    """
+    g = group_col
+    return f"""
+    WITH r AS (SELECT {g} AS g,
+                      CAST({h} % {m} AS INT) AS reg,
+                      CAST({h} // {m} AS BIGINT) AS w
+               FROM lineitem WHERE l_partkey IS NOT NULL),
+    sk AS (SELECT g, reg,
+                  max(CASE WHEN w > 0
+                           THEN bit_count((w & -w) - 1) + 1
+                           ELSE {cap} END) AS rho
+           FROM r GROUP BY g, reg),
+    agg AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
+                   CAST(coalesce(sum(CAST(1 AS BIGINT) << ({grid} - rho)), 0)
+                        AS BIGINT) AS sp
+            FROM sk GROUP BY g),
+    ex AS (SELECT {g} AS g,
+                  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY {g})
+    SELECT agg.g AS {g}, nz AS nonzero_regs,
+           CAST(sp + ({m} - nz)
+                * (CAST(1 AS BIGINT) << {grid}) AS BIGINT) AS dyadic_sum,
+           CAST({numer} AS DOUBLE)
+             / CAST(sp + ({m} - nz)
+                    * (CAST(1 AS BIGINT) << {grid}) AS DOUBLE)
+             AS raw_estimate,
+           n_exact,
+           (CAST({numer} AS DOUBLE)
+             / CAST(sp + ({m} - nz)
+                    * (CAST(1 AS BIGINT) << {grid}) AS DOUBLE))
+             / CAST(n_exact AS DOUBLE) AS ratio
+    FROM agg JOIN ex ON agg.g = ex.g
     """
 
 

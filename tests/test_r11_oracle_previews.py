@@ -24,6 +24,124 @@ def any_sf(request, sf_dir):
     return _SF01 if request.param == "sf0.01" else sf_dir
 
 
+def test_hll_by_group_preview(spark, any_sf):
+    """Group-wise HLL estimate record — distinct part keys per return
+    flag in ONE register hash agg (state m rows per group); the oracle
+    is the SHARED register-replay builder (`curation._hll_oracle`, one
+    definition for flat and grouped — the no-drift rule) with a GROUP
+    BY threaded through every stage."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.hll import hll_estimate, hll_sketch
+    from food_panda_etl_spark.queries.curation import _hll_oracle
+
+    li = load_table(spark, any_sf, "lineitem")
+    est = hll_estimate(
+        hll_sketch(li, "l_partkey", group_cols=("l_returnflag",)),
+        group_cols=("l_returnflag",),
+    )
+    exact = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").cast("bigint").alias("n_exact"))
+    )
+    got = est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "nonzero_regs",
+        "dyadic_sum",
+        "raw_estimate",
+        "n_exact",
+        (F.col("raw_estimate") / F.col("n_exact").cast("double")).alias(
+            "ratio"
+        ),
+    )
+    assert compare(got, _hll_oracle("l_returnflag"), any_sf) == []
+
+
+def test_cms_windowed_preview(spark, any_sf):
+    """Windowed CMS — per-user event frequency over ONLY the trailing
+    7 epoch-days: per-day sketches summed over the window (the engine
+    side, CMS linearity) vs a direct sketch of the window's rows (the
+    oracle side) — equal cell-for-cell by linearity, property-tested in
+    tests/test_cms_windowed.py; plus exact recount and the one-sided
+    never_under audit (the q_cms_counts convention)."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P, cms_estimate
+    from food_panda_etl_spark.operators.cms_windowed import (
+        cms_merge_groups,
+        cms_sketch_by_group,
+    )
+
+    width, depth, probes_n, win = 256, 4, 50, 7
+    day_us = 86400 * 1000000
+    ev = load_table(spark, any_sf, "events").select(
+        F.col("user_id").alias("k"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {day_us}").alias(
+            "day"
+        ),
+    ).filter(F.col("k").isNotNull() & F.col("day").isNotNull())
+    by_day = cms_sketch_by_group(
+        ev, "k", ("day",), width=width, depth=depth
+    ).localCheckpoint(eager=False)
+    mx = by_day.agg(F.max("day").alias("md"))
+    recent = cms_merge_groups(
+        by_day.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.col("md") - win)
+        .drop("md")
+    )
+    probes = spark.range(probes_n).select(F.col("id").alias("k"))
+    est = cms_estimate(recent, probes, "k", width=width, depth=depth)
+    exact = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("day") > F.col("md") - win)
+            & (F.col("k") >= 0) & (F.col("k") < probes_n)
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    got = est.join(exact, "k", "left").select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("est").cast("bigint").alias("est"),
+        F.coalesce(F.col("exact_cnt"), F.lit(0))
+        .cast("bigint")
+        .alias("exact_cnt"),
+        (F.col("est") >= F.coalesce(F.col("exact_cnt"), F.lit(0)))
+        .cast("int")
+        .alias("never_under"),
+    )
+    dm = ", ".join(
+        f"({d}, {_MULTS[d]}, {_ADDS[d]})" for d in range(depth)
+    )
+    oracle = f"""
+    WITH dm AS (SELECT * FROM (VALUES {dm}) AS t(d, a, c)),
+    ev AS (SELECT user_id AS k, epoch_us(ts) // {day_us} AS day
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    mx AS (SELECT max(day) AS md FROM ev),
+    win AS MATERIALIZED (
+        SELECT k FROM ev CROSS JOIN mx WHERE day > md - {win}),
+    sk AS MATERIALIZED (
+        SELECT d, ((k % {_P}) * a + c) % {_P} % {width} AS b,
+               count(*) AS cnt
+        FROM win CROSS JOIN dm
+        GROUP BY d, ((k % {_P}) * a + c) % {_P} % {width}),
+    pr AS (SELECT unnest(generate_series(0, {probes_n - 1})) AS k),
+    pc AS (SELECT k, d, ((k % {_P}) * a + c) % {_P} % {width} AS b
+           FROM pr CROSS JOIN dm),
+    est AS (SELECT k, min(coalesce(cnt, 0)) AS est
+            FROM pc LEFT JOIN sk USING (d, b) GROUP BY k),
+    ex AS (SELECT k, count(*) AS exact_cnt FROM win
+           WHERE k BETWEEN 0 AND {probes_n - 1} GROUP BY k)
+    SELECT CAST(est.k AS BIGINT) AS k,
+           CAST(est.est AS BIGINT) AS est,
+           CAST(coalesce(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+           CAST(est.est >= coalesce(ex.exact_cnt, 0) AS INT) AS never_under
+    FROM est LEFT JOIN ex USING (k)
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
 def test_group_sample_preview(spark, any_sf):
     """Per-language bottom-10 document sample: deterministic uniform
     per-group selection by the shared multiplicative id-hash, the
