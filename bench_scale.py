@@ -398,7 +398,16 @@ def r10_curves(spark, sizes) -> dict:
       hash call + bit ops) over the same keys — quantifies what the
       SQL-replayable oracle costs at scale and what swapping it out
       buys (both are one narrow projection + one 256-row hash agg).
+    - Windowed CMS (r10 build-ahead): per-day sketches + the trailing-
+      window merge — one (day, d, b) hash agg over the fact plus a
+      cells-only merge agg; expected near-linear with a small constant
+      (the flat-CMS cost shape, the group dimension rides the same
+      shuffle).
     """
+    from food_panda_etl_spark.operators.cms_windowed import (
+        cms_merge_groups,
+        cms_sketch_by_group,
+    )
     from food_panda_etl_spark.operators.hll import hll_estimate, hll_sketch
     from food_panda_etl_spark.operators.sampling_group import (
         group_bottomk_sample,
@@ -413,6 +422,7 @@ def r10_curves(spark, sizes) -> dict:
         "group_bottomk": {},
         "hll_portable": {},
         "hll_xxhash64": {},
+        "cms_windowed": {},
     }
     for n in sizes:
         d = (
@@ -420,6 +430,9 @@ def r10_curves(spark, sizes) -> dict:
             .select(
                 F.col("id").alias("doc_id"),
                 lang_col("id").alias("lang"),
+                (F.pmod(F.xxhash64(F.col("id") + 29), F.lit(30))).alias(
+                    "day"
+                ),
             )
             .cache()
         )
@@ -434,6 +447,16 @@ def r10_curves(spark, sizes) -> dict:
                 hll_sketch(d, "doc_id", mixer=mixer), mixer=mixer
             ).write.format("noop").mode("overwrite").save()
             curves[key][n] = min(timed(run_hll), timed(run_hll))
+
+        def run_cms():
+            by_day = cms_sketch_by_group(
+                d, "doc_id", ("day",), width=1024, depth=4
+            )
+            cms_merge_groups(
+                by_day.filter(F.col("day") >= 23)
+            ).write.format("noop").mode("overwrite").save()
+
+        curves["cms_windowed"][n] = min(timed(run_cms), timed(run_cms))
         d.unpersist()
     return curves
 

@@ -80,6 +80,20 @@ def test_buckets_exact_quarters_at_5k(spark):
         for r in out.groupBy("bucket").agg(F.count("*").alias("c")).collect()
     }
     assert sizes == {0: n // 4, 1: n // 4, 2: n // 4, 3: n // 4}
+    # cross-ACTION consistency: the original corruption assigned a row
+    # DIFFERENT buckets in different actions over the same DataFrame
+    # (each action re-drew range boundaries); post-pin, two collects
+    # must agree row for row, and agree with the brute-force rank
+    a1 = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    a2 = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert a1 == a2
+    ordered = sorted(
+        ((r["score"], r["doc_id"]) for r in df.collect())
+    )
+    brute = {
+        did: (rank * 4) // n for rank, (_, did) in enumerate(ordered)
+    }
+    assert a1 == brute
 
 
 def test_buckets_validate(spark):

@@ -58,6 +58,46 @@ def test_hll_by_group_preview(spark, any_sf):
     assert compare(got, _hll_oracle("l_returnflag"), any_sf) == []
 
 
+def test_hll_xxhash_gate_preview(spark, any_sf):
+    """Quality gate for the PRODUCTION HLL mixer (the q_approx_distinct
+    gate convention): the xxhash64-mixed sketch estimate must land
+    within 20% of the exact distinct order count — generous against
+    m=256's ~6.5% standard error, and l_orderkey keeps both SFs in the
+    raw-estimator regime (n ≳ 2.5·m: ~1,500 at sf0.001, ~15,000 at
+    sf0.01). A 64-bit avalanche hash has no SQL replay, so the oracle
+    pins the exact count and the verdict — this is what makes the
+    1e9-ceiling swap-out driver-evidenced, not just unit-tested."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.hll import hll_estimate, hll_sketch
+
+    li = load_table(spark, any_sf, "lineitem")
+    est = hll_estimate(
+        hll_sketch(li, "l_orderkey", mixer="xxhash64"), mixer="xxhash64"
+    )
+    exact = li.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    got = est.crossJoin(F.broadcast(exact)).select(
+        "n_orders",
+        (
+            F.abs(
+                F.col("raw_estimate") - F.col("n_orders").cast("double")
+            )
+            / F.col("n_orders").cast("double")
+            <= 0.2
+        )
+        .cast("int")
+        .alias("meets_target"),
+    )
+    oracle = """
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           1 AS meets_target
+    FROM lineitem
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
 def test_cms_windowed_preview(spark, any_sf):
     """Windowed CMS — per-user event frequency over ONLY the trailing
     7 epoch-days: per-day sketches summed over the window (the engine
