@@ -1,0 +1,128 @@
+"""Deterministic sparse-sign random projection — Johnson-Lindenstrauss
+dimensionality reduction for embedding columns (Achlioptas 2003,
+"Database-friendly random projections": a ±1 sign matrix preserves
+pairwise distances in expectation exactly like a Gaussian one, with
+integer arithmetic and no RNG state). The 100 TB primitive this
+enables: shrink array<float> embeddings from D to k dims BEFORE the
+expensive stages (ANN candidate generation, clustering, semantic
+dedup) — a k=16 projection cuts every downstream dot product and
+shuffle payload 4× at a distance distortion of ε ≈ √(8·ln n / k),
+and composes with the existing int8 quantization (`q_quantize_embed`)
+for another 4× on bytes.
+
+Determinism (the repo's conventions, end to end):
+- The sign matrix is a PURE FUNCTION of (row j, column i) through the
+  portable affine hash ((j·D + i)·A + B) mod P mod 2 → ±1 (the
+  q_fingerprint constant family) — no RNG, no state; any engine, any
+  rerun, any partitioning derives the same matrix. The Python builder
+  (`projection_signs`) bakes the rows as LITERAL arrays into both the
+  Spark plan and the oracle SQL, so the two sides cannot drift.
+- Each projected component is ONE fixed-order left fold over
+  zip_with(embedding, signs) in double space (the q_vector_norm
+  convention: identical float32 inputs widened to double and folded in
+  the same order are bit-identical in Spark and DuckDB), then one IEEE
+  division by √k (sqrt is correctly rounded by IEEE mandate — the
+  q_temperature_mix precedent).
+
+Engine shape: ONE narrow projection — no shuffle, no UDF, no
+collect; the k folds run inside whole-stage codegen over the Arrow
+batch. At 100 TB this is a map-only pass whose output is k/D of its
+input.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: The repo's portable affine-hash family (the cms.py constants).
+_RP_MULT = 1315423911
+_RP_ADD = 402653189
+_RP_P = 1000003
+
+
+def projection_signs(dim: int, k: int) -> list[list[int]]:
+    """The k×dim ±1 sign matrix, row-major — a pure function of
+    position so both engines receive identical literal rows."""
+    if not 1 <= k <= dim:
+        raise ValueError(
+            f"projection_signs: need 1 <= k <= dim, got k={k!r}, dim={dim!r}"
+        )
+    return [
+        [
+            1 - 2 * ((((j * dim + i) * _RP_MULT + _RP_ADD) % _RP_P) % 2)
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def _project_one(vec_col: Column, signs: list[int], k: int) -> Column:
+    lits = F.array(*[F.lit(float(s)) for s in signs])
+    folded = F.aggregate(
+        F.zip_with(vec_col, lits, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return folded / F.lit(float(math.sqrt(k)))
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    out_prefix: str = "p",
+) -> DataFrame:
+    """(id_col, {out_prefix}0 … {out_prefix}{k−1} double): the k
+    sign-projected components of ``vec_col`` scaled by 1/√k (so
+    expected squared norms are preserved: E‖y‖² = ‖x‖²). Vectors
+    shorter than ``dim`` raise in-plan (zip_with would silently pad
+    NULLs and corrupt the fold — the guarded_weight convention);
+    NULL vectors raise the same way."""
+    vec = F.col(vec_col)
+    guard_ok = vec.isNotNull() & (F.size(vec) == int(dim))
+    signs = projection_signs(dim, k)
+    cols = []
+    for j in range(k):
+        proj = _project_one(vec, signs[j], k)
+        cols.append(
+            F.when(guard_ok, proj)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"random_project: {vec_col} must be a non-NULL "
+                        f"length-{dim} vector"
+                    )
+                )
+            )
+            .alias(f"{out_prefix}{j}")
+        )
+    return df.select(F.col(id_col), *cols)
+
+
+def oracle_projection_sql(
+    dim: int, k: int, table: str = "embeddings", vec_col: str = "embedding"
+) -> str:
+    """The DuckDB replay of random_project: the SAME literal sign rows
+    (one builder feeds both sides), the same left fold per component
+    (list_reduce over list_prepend(0.0, …) — the q_vector_norm shape),
+    the same √k division."""
+    parts = []
+    for j, row in enumerate(projection_signs(dim, k)):
+        lit = "[" + ", ".join(str(float(s)) for s in row) + "]"
+        parts.append(
+            f"list_reduce(list_prepend(0.0,"
+            f" list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({vec_col}[i] AS DOUBLE) * ({lit})[i])),"
+            f" (a, b) -> a + b) / sqrt(CAST({k} AS DOUBLE)) AS p{j}"
+        )
+    cols = ",\n           ".join(parts)
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM {table}
+    """

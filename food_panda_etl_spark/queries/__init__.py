@@ -150,7 +150,7 @@ DECLARED_WINDOW = [
     "q_approx_quantile_gate",
 ]
 
-# R11 ROTATION PLAN: r11-new declarations first — FOUR are pre-tested
+# R11 ROTATION PLAN: r11-new declarations first — FIVE are pre-tested
 # end to end in tests/test_r11_oracle_previews.py at sf0.001+sf0.01
 # (bodies and oracle strings move verbatim into queries/ modules, the
 # executed r10 flow): q_group_sample (operators/sampling_group.py
@@ -158,9 +158,11 @@ DECLARED_WINDOW = [
 # estimate record over lineitem l_returnflag — oracle from the SHARED
 # curation._hll_oracle builder), q_hll_xxhash_gate (the production
 # 64-bit mixer through the q_approx_distinct_gate convention — the
-# 1e9-ceiling swap-out becomes driver evidence), and q_cms_windowed
+# 1e9-ceiling swap-out becomes driver evidence), q_cms_windowed
 # (operators/cms_windowed.py per-day sketches summed over a trailing
-# window, the linearity replay). Plus any r11
+# window, the linearity replay), and q_random_projection
+# (operators/random_projection.py JL 64→4 sign projection, bit-exact
+# double folds, oracle from the shared builder). Plus any r11
 # byte-changed operators' queries; then the 8 r6-era keys displaced by
 # the r10 order.py re-records (q_regex_extract, q_math_funcs,
 # q_rollup, q_cube, q_histogram, q_percentile, q_pivot, q_unpivot);

@@ -58,6 +58,25 @@ def test_hll_by_group_preview(spark, any_sf):
     assert compare(got, _hll_oracle("l_returnflag"), any_sf) == []
 
 
+def test_random_projection_preview(spark, any_sf):
+    """Deterministic JL sign projection 64→4 over the embeddings table:
+    one map-only narrow projection, each component a fixed-order double
+    fold over zip_with(embedding, ±1 literals) scaled by 1/√k; the
+    oracle replays with the SAME literal sign rows from the same
+    builder (`operators/random_projection.py::oracle_projection_sql` —
+    one definition per side), so every component hash-matches
+    bit-for-bit despite being floating point (the q_vector_norm
+    fixed-order-fold convention)."""
+    from food_panda_etl_spark.operators.random_projection import (
+        oracle_projection_sql,
+        random_project,
+    )
+
+    e = load_table(spark, any_sf, "embeddings")
+    got = random_project(e, "embedding", 64, 4)
+    assert compare(got, oracle_projection_sql(64, 4), any_sf) == []
+
+
 def test_hll_xxhash_gate_preview(spark, any_sf):
     """Quality gate for the PRODUCTION HLL mixer (the q_approx_distinct
     gate convention): the xxhash64-mixed sketch estimate must land

@@ -1,0 +1,130 @@
+"""Deterministic sign random projection (r10 build-ahead, declared
+r11): bit-exactness against a sequential Python reference (same fold
+order), partitioning invariance, the JL norm/distance-preservation
+property at k=16, and validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.random_projection import (
+    oracle_projection_sql,
+    projection_signs,
+    random_project,
+)
+
+DIM = 16
+
+
+def _vecs(n, dim=DIM):
+    # deterministic float32-ish values on a coarse grid
+    return [
+        (i, [((i * 31 + j * 17) % 19 - 9) / 4.0 for j in range(dim)])
+        for i in range(n)
+    ]
+
+
+def _ref_project(vec, signs, k):
+    out = []
+    for row in signs:
+        acc = 0.0
+        for x, s in zip(vec, row):
+            acc = acc + float(x) * float(s)
+        out.append(acc / math.sqrt(k))
+    return out
+
+
+def _mk(spark, rows, parts=3):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(parts)
+
+
+def test_projection_matches_sequential_reference_bitwise(spark):
+    rows = _vecs(40)
+    k = 4
+    signs = projection_signs(DIM, k)
+    got = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(k)]
+        for r in random_project(
+            _mk(spark, rows), "embedding", DIM, k
+        ).collect()
+    }
+    for i, vec in rows:
+        # float32 storage first: round-trip through float32 like Spark
+        import struct
+
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in vec]
+        assert got[i] == _ref_project(v32, signs, k), i
+
+
+def test_projection_partitioning_invariant(spark):
+    rows = _vecs(30)
+    a = random_project(_mk(spark, rows, 1), "embedding", DIM, 4).collect()
+    b = random_project(_mk(spark, rows, 5), "embedding", DIM, 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_jl_norm_and_distance_preservation(spark):
+    """E‖y‖² = ‖x‖² under the 1/√k scaling; at k=16 over 64 dims the
+    mean ratio across 60 vectors (and across 50 pairwise distances)
+    must sit well inside [0.6, 1.4] — loose against JL's ε, tight
+    enough to catch a missing scale, a wrong fold, or a degenerate
+    sign matrix (all-+1 signs fail this: the mean norm ratio blows up
+    with the squared column sums)."""
+    dim, k = 64, 16
+    rows = [
+        (i, [((i * 13 + j * 7) % 23 - 11) / 3.0 for j in range(dim)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(k)]
+        for r in random_project(df, "embedding", dim, k).collect()
+    }
+    ratios = []
+    for i, vec in rows:
+        nx = sum(x * x for x in vec)
+        ny = sum(y * y for y in proj[i])
+        ratios.append(ny / nx)
+    mean_norm = sum(ratios) / len(ratios)
+    assert 0.6 < mean_norm < 1.4, mean_norm
+    dratios = []
+    for (i, vi), (j, vj) in zip(rows[:50], rows[5:55]):
+        dx = sum((a - b) ** 2 for a, b in zip(vi, vj))
+        dy = sum((a - b) ** 2 for a, b in zip(proj[i], proj[j]))
+        if dx > 0:
+            dratios.append(dy / dx)
+    mean_d = sum(dratios) / len(dratios)
+    assert 0.6 < mean_d < 1.4, mean_d
+
+
+def test_projection_validates(spark):
+    df = _mk(spark, _vecs(3))
+    with pytest.raises(ValueError, match="1 <= k <= dim"):
+        random_project(df, "embedding", DIM, DIM + 1)
+    short = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="length-16"):
+        random_project(short, "embedding", DIM, 2).collect()
+    null_vec = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="non-NULL"):
+        random_project(null_vec, "embedding", DIM, 2).collect()
+
+
+def test_oracle_sql_builder_shares_the_signs(spark):
+    """The oracle builder must bake the SAME sign literals the engine
+    uses (one definition per side): spot-check that row 0's first sign
+    appears in the SQL and the column list is p0..p{k-1}."""
+    sql = oracle_projection_sql(DIM, 3)
+    signs = projection_signs(DIM, 3)
+    assert f"{float(signs[0][0])}" in sql
+    for j in range(3):
+        assert f"AS p{j}" in sql
