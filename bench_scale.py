@@ -403,10 +403,16 @@ def r10_curves(spark, sizes) -> dict:
       cells-only merge agg; expected near-linear with a small constant
       (the flat-CMS cost shape, the group dimension rides the same
       shuffle).
+    - Random projection (r10 build-ahead): 64→8 JL sign projection over
+      synthetic embeddings — map-only, no shuffle; expected linear with
+      the scan floor dominating (the cheapest possible shape).
     """
     from food_panda_etl_spark.operators.cms_windowed import (
         cms_merge_groups,
         cms_sketch_by_group,
+    )
+    from food_panda_etl_spark.operators.random_projection import (
+        random_project,
     )
     from food_panda_etl_spark.operators.hll import hll_estimate, hll_sketch
     from food_panda_etl_spark.operators.sampling_group import (
@@ -458,6 +464,16 @@ def r10_curves(spark, sizes) -> dict:
 
         curves["cms_windowed"][n] = min(timed(run_cms), timed(run_cms))
         d.unpersist()
+
+    curves["random_projection"] = {}
+    for n in sizes:
+        e = synth_embeddings(spark, n).cache()
+        e.count()
+        run_rp = lambda: random_project(  # noqa: E731
+            e, "embedding", 64, 8
+        ).write.format("noop").mode("overwrite").save()
+        curves["random_projection"][n] = min(timed(run_rp), timed(run_rp))
+        e.unpersist()
     return curves
 
 
