@@ -431,14 +431,15 @@ def r10_curves(spark, sizes) -> dict:
         "cms_windowed": {},
     }
     for n in sizes:
+        # the original 2-column frame — the group_bottomk / hll curves
+        # keep their recorded input shape (a third column here would
+        # quietly change what those curves cache and scan, invalidating
+        # comparability with earlier recorded points)
         d = (
             spark.range(n)
             .select(
                 F.col("id").alias("doc_id"),
                 lang_col("id").alias("lang"),
-                (F.pmod(F.xxhash64(F.col("id") + 29), F.lit(30))).alias(
-                    "day"
-                ),
             )
             .cache()
         )
@@ -453,17 +454,31 @@ def r10_curves(spark, sizes) -> dict:
                 hll_sketch(d, "doc_id", mixer=mixer), mixer=mixer
             ).write.format("noop").mode("overwrite").save()
             curves[key][n] = min(timed(run_hll), timed(run_hll))
+        d.unpersist()
+
+        # the windowed-CMS curve caches its OWN (doc_id, day) frame
+        dc = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                (F.pmod(F.xxhash64(F.col("id") + 29), F.lit(30))).alias(
+                    "day"
+                ),
+            )
+            .cache()
+        )
+        dc.count()
 
         def run_cms():
             by_day = cms_sketch_by_group(
-                d, "doc_id", ("day",), width=1024, depth=4
+                dc, "doc_id", ("day",), width=1024, depth=4
             )
             cms_merge_groups(
                 by_day.filter(F.col("day") >= 23)
             ).write.format("noop").mode("overwrite").save()
 
         curves["cms_windowed"][n] = min(timed(run_cms), timed(run_cms))
-        d.unpersist()
+        dc.unpersist()
 
     curves["random_projection"] = {}
     for n in sizes:

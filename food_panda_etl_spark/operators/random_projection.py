@@ -11,12 +11,21 @@ and composes with the existing int8 quantization (`q_quantize_embed`)
 for another 4× on bytes.
 
 Determinism (the repo's conventions, end to end):
-- The sign matrix is a PURE FUNCTION of (row j, column i) through the
-  portable affine hash ((j·D + i)·A + B) mod P mod 2 → ±1 (the
-  q_fingerprint constant family) — no RNG, no state; any engine, any
-  rerun, any partitioning derives the same matrix. The Python builder
-  (`projection_signs`) bakes the rows as LITERAL arrays into both the
-  Spark plan and the oracle SQL, so the two sides cannot drift.
+- The sign matrix is a PURE FUNCTION of (row j, column i): the flat
+  position j·D + i goes through the HLL operator's two QUADRATIC
+  mod-Mersenne mixing rounds (imported — one definition) and the
+  mixed parity is the sign. A single AFFINE hash of the position is
+  NOT enough — positions are an arithmetic progression, and one affine
+  round preserves their correlations mod 2, leaving rows up to 97%
+  anti-correlated (exact negations at dim=16; review-caught
+  numerically, the same progression pathology the HLL mixer was built
+  to break). With the quadratic mix the measured mean pairwise |row
+  correlation| is 0.10 at dim=64 (iid expectation 1/√64 ≈ 0.125),
+  asserted by `tests/test_random_projection.py::test_sign_rows_decorrelated`.
+  No RNG, no state; any engine, any rerun, any partitioning derives
+  the same matrix. The Python builder (`projection_signs`) bakes the
+  rows as LITERAL arrays into both the Spark plan and the oracle SQL,
+  so the two sides cannot drift.
 - Each projected component is ONE fixed-order left fold over
   zip_with(embedding, signs) in double space (the q_vector_norm
   convention: identical float32 inputs widened to double and folded in
@@ -37,24 +46,30 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: The repo's portable affine-hash family (the cms.py constants).
-_RP_MULT = 1315423911
-_RP_ADD = 402653189
-_RP_P = 1000003
+from food_panda_etl_spark.operators.hll import _HASH_MOD, _HASH_MUL
+
+
+def _mix(pos: int) -> int:
+    """The HLL operator's two quadratic mod-Mersenne rounds over a flat
+    position index (driver-side Python — the matrix is built once and
+    baked as literals, so there is no SQL-replay constraint here, only
+    the no-drift constants import)."""
+    h = pos % _HASH_MOD
+    for _ in range(2):
+        h = ((h * h) % _HASH_MOD * _HASH_MUL) % _HASH_MOD
+    return h
 
 
 def projection_signs(dim: int, k: int) -> list[list[int]]:
     """The k×dim ±1 sign matrix, row-major — a pure function of
-    position so both engines receive identical literal rows."""
+    position so both engines receive identical literal rows; rows are
+    decorrelated by the quadratic mix (module docstring)."""
     if not 1 <= k <= dim:
         raise ValueError(
             f"projection_signs: need 1 <= k <= dim, got k={k!r}, dim={dim!r}"
         )
     return [
-        [
-            1 - 2 * ((((j * dim + i) * _RP_MULT + _RP_ADD) % _RP_P) % 2)
-            for i in range(dim)
-        ]
+        [1 - 2 * (_mix(j * dim + i) % 2) for i in range(dim)]
         for j in range(k)
     ]
 
@@ -79,12 +94,20 @@ def random_project(
 ) -> DataFrame:
     """(id_col, {out_prefix}0 … {out_prefix}{k−1} double): the k
     sign-projected components of ``vec_col`` scaled by 1/√k (so
-    expected squared norms are preserved: E‖y‖² = ‖x‖²). Vectors
-    shorter than ``dim`` raise in-plan (zip_with would silently pad
-    NULLs and corrupt the fold — the guarded_weight convention);
-    NULL vectors raise the same way."""
+    expected squared norms are preserved: E‖y‖² = ‖x‖²). NULL vectors,
+    vectors of the wrong length, AND vectors containing a NULL element
+    all raise in-plan (the guarded_weight convention): zip_with would
+    silently pad a short vector with NULLs, and a single NULL element
+    would NULL the whole fold — both the silent-corruption shapes the
+    guard exists to stop (the element-level case was review-caught:
+    isNotNull + size alone lets [1.0, NULL, …] through to an all-NULL
+    output row)."""
     vec = F.col(vec_col)
-    guard_ok = vec.isNotNull() & (F.size(vec) == int(dim))
+    guard_ok = (
+        vec.isNotNull()
+        & (F.size(vec) == int(dim))
+        & ~F.exists(vec, lambda x: x.isNull())
+    )
     signs = projection_signs(dim, k)
     cols = []
     for j in range(k):
@@ -95,7 +118,7 @@ def random_project(
                 F.raise_error(
                     F.lit(
                         f"random_project: {vec_col} must be a non-NULL "
-                        f"length-{dim} vector"
+                        f"length-{dim} vector with no NULL elements"
                     )
                 )
             )

@@ -69,13 +69,39 @@ def test_projection_partitioning_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_sign_rows_decorrelated():
+    """The JL guarantee needs near-orthogonal sign rows, and a single
+    affine hash of the flat position does NOT deliver them: positions
+    are an arithmetic progression and one affine round preserves their
+    correlations mod 2 — the original committed matrix had rows up to
+    97% anti-correlated at dim=64 and EXACT negations at dim=16
+    (review-caught numerically), which the mean-ratio gate below cannot
+    see (correlation inflates the per-pair VARIANCE, not the mean).
+    With the quadratic mix the measured mean pairwise |correlation| is
+    ~0.10 at dim=64 / ~0.19 at dim=16 — at the iid expectation 1/√dim;
+    bound both mean and max (pure Python, no Spark)."""
+    import itertools
+
+    for dim, k, mean_cap, max_cap in ((64, 16, 0.16, 0.5), (16, 16, 0.3, 0.8)):
+        s = projection_signs(dim, k)
+        corrs = [
+            abs(sum(x * y for x, y in zip(s[a], s[b]))) / dim
+            for a, b in itertools.combinations(range(k), 2)
+        ]
+        assert sum(corrs) / len(corrs) < mean_cap, (dim, sum(corrs) / len(corrs))
+        assert max(corrs) < max_cap, (dim, max(corrs))
+
+
 def test_jl_norm_and_distance_preservation(spark):
     """E‖y‖² = ‖x‖² under the 1/√k scaling; at k=16 over 64 dims the
     mean ratio across 60 vectors (and across 50 pairwise distances)
     must sit well inside [0.6, 1.4] — loose against JL's ε, tight
-    enough to catch a missing scale, a wrong fold, or a degenerate
-    sign matrix (all-+1 signs fail this: the mean norm ratio blows up
-    with the squared column sums)."""
+    enough to catch a missing scale or a wrong fold — AND the per-pair
+    distance-ratio spread must be JL-tight: correlated sign rows pass
+    the mean gate while doubling the spread (the review's Monte-Carlo:
+    ratio sd 0.80 under the old correlated matrix vs 0.34 for iid ±1
+    at k=16), so the sd bound is what actually certifies the
+    projection quality."""
     dim, k = 64, 16
     rows = [
         (i, [((i * 13 + j * 7) % 23 - 11) / 3.0 for j in range(dim)])
@@ -101,6 +127,9 @@ def test_jl_norm_and_distance_preservation(spark):
             dratios.append(dy / dx)
     mean_d = sum(dratios) / len(dratios)
     assert 0.6 < mean_d < 1.4, mean_d
+    sd = (sum((r - mean_d) ** 2 for r in dratios) / len(dratios)) ** 0.5
+    assert sd < 0.55, sd  # iid ±1 at k=16 measures ~0.34; the old
+    # correlated matrix measured ~0.80 — this bound separates them
 
 
 def test_projection_validates(spark):
@@ -117,6 +146,15 @@ def test_projection_validates(spark):
     )
     with pytest.raises(Exception, match="non-NULL"):
         random_project(null_vec, "embedding", DIM, 2).collect()
+    # a NULL ELEMENT inside a correct-length vector must raise too
+    # (review-caught: isNotNull + size alone let it through to an
+    # all-NULL output row — the silent-corruption shape)
+    null_elem = spark.createDataFrame(
+        [(0, [1.0] * (DIM - 1) + [None])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="NULL elements"):
+        random_project(null_elem, "embedding", DIM, 2).collect()
 
 
 def test_oracle_sql_builder_shares_the_signs(spark):
