@@ -76,7 +76,10 @@ def cms_sketch_by_group(
 
 
 def cms_merge_groups(
-    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+    *sketches: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """Sum cells across sketches AND across any group dimensions not in
     ``group_cols`` — the CMS linear combine. With the default
@@ -87,7 +90,13 @@ def cms_merge_groups(
     depth) (the cms.py contract — cells from different cell spaces sum
     into garbage) and must CONTAIN the (d, b, cnt) cell columns plus
     ``group_cols`` (shape-asserted, the hll_merge lesson: a silent
-    column mismatch would mis-merge with no error)."""
+    column mismatch would mis-merge with no error). Pass the intended
+    ``width``/``depth`` to make the geometry contract LOUD (ADVICE
+    r10): every cell is then checked in-plan — a sketch built with a
+    larger geometry carries cells with b ≥ width or d ≥ depth and the
+    merge raises instead of summing across cell spaces. (Equal-size
+    geometry swaps — same width·depth, different hash rows — remain a
+    caller contract: they are bitwise indistinguishable here.)"""
     if not sketches:
         raise ValueError("cms_merge_groups: need at least one sketch")
     need = {*group_cols, "d", "b", "cnt"}
@@ -99,8 +108,25 @@ def cms_merge_groups(
                 f"(has {list(s.columns)}) — group_cols must be a subset "
                 "of every input's group dimensions"
             )
+    cnt = F.col("cnt")
+    if width is not None or depth is not None:
+        ok = F.lit(True)
+        if width is not None:
+            ok = ok & (F.col("b") >= 0) & (F.col("b") < int(width))
+        if depth is not None:
+            ok = ok & (F.col("d") >= 0) & (F.col("d") < int(depth))
+        cnt = F.when(ok, F.col("cnt")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "cms_merge_groups: cell outside the declared "
+                    f"geometry (width={width}, depth={depth}) — inputs "
+                    "were built with a different (width, depth)"
+                )
+            )
+        )
     parts = [
-        s.select(*group_cols, "d", "b", "cnt") for s in sketches
+        s.select(*group_cols, "d", "b", cnt.alias("cnt"))
+        for s in sketches
     ]
     out = parts[0]
     for s in parts[1:]:

@@ -215,18 +215,24 @@ def hll_merge(
     direction downstream). The column shape is validated: a
     group-wise sketch merged with the default ``group_cols=()`` would
     otherwise silently max registers ACROSS groups (groupBy("reg")
-    drops the group columns) — a garbage merge with no error."""
+    drops the group columns) — a garbage merge with no error. The
+    check is on column SETS, not order (ADVICE r10): a sketch that
+    passed through a column-reordering select is still the same
+    sketch — inputs are normalized via select(*want), so the merge
+    itself stays order-safe too."""
     if not sketches:
         raise ValueError("hll_merge: need at least one sketch")
     want = [*group_cols, "reg", "rho"]
+    norm = []
     for i, s in enumerate(sketches):
-        if list(s.columns) != want:
+        if set(s.columns) != set(want):
             raise ValueError(
                 f"hll_merge: sketch #{i} has columns {list(s.columns)}, "
                 f"expected {want} — group_cols must match the sketches' own"
             )
-    out = sketches[0]
-    for s in sketches[1:]:
+        norm.append(s.select(*want))
+    out = norm[0]
+    for s in norm[1:]:
         out = out.unionByName(s)
     return out.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
 

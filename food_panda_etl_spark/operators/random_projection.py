@@ -128,12 +128,18 @@ def random_project(
 
 
 def oracle_projection_sql(
-    dim: int, k: int, table: str = "embeddings", vec_col: str = "embedding"
+    dim: int,
+    k: int,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> str:
     """The DuckDB replay of random_project: the SAME literal sign rows
     (one builder feeds both sides), the same left fold per component
     (list_reduce over list_prepend(0.0, …) — the q_vector_norm shape),
-    the same √k division."""
+    the same √k division. ``id_col`` mirrors random_project's kwarg
+    (ADVICE r10 — a parameterized table with a hardcoded id produced
+    broken SQL)."""
     parts = []
     for j, row in enumerate(projection_signs(dim, k)):
         lit = "[" + ", ".join(str(float(s)) for s in row) + "]"
@@ -145,7 +151,7 @@ def oracle_projection_sql(
         )
     cols = ",\n           ".join(parts)
     return f"""
-    SELECT vec_id,
+    SELECT {id_col},
            {cols}
     FROM {table}
     """

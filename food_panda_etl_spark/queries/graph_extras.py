@@ -24,7 +24,9 @@ def _kcore_oracle(num: int, den: int, rounds: int) -> str:
     keeps edges whose BOTH endpoints pass, exactly like the operator.
     k is the degree-scaled threshold max((num·|E|) div (den·|V|), 1)
     computed from ed0 (mirroring `degree_scaled_k` over the pre-peel
-    checkpoint), a constant across rounds. ed CTEs are MATERIALIZED
+    checkpoint — including its empty-graph CASE: |V| = 0 yields k = 1
+    on BOTH sides instead of a DuckDB divide-by-zero error against the
+    engine's empty peel, ADVICE r10), a constant across rounds. ed CTEs are MATERIALIZED
     (each is referenced three times: the degree agg and both endpoint
     joins — the recursive-round DuckDB convention from the PageRank/BPE
     oracles)."""
@@ -34,8 +36,10 @@ def _kcore_oracle(num: int, den: int, rounds: int) -> str:
         SELECT sa AS src, sb AS dst FROM e
         UNION ALL SELECT sb AS src, sa AS dst FROM e)""",
         f"""kk AS MATERIALIZED (
-        SELECT greatest(({num} * count(*))
-                        // ({den} * count(DISTINCT src)), 1) AS k
+        SELECT greatest(CASE WHEN count(DISTINCT src) > 0
+                             THEN ({num} * count(*))
+                                  // ({den} * count(DISTINCT src))
+                             ELSE 1 END, 1) AS k
         FROM ed0)""",
     ]
     for r in range(rounds):

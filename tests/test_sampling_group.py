@@ -104,6 +104,52 @@ def test_bottomk_carries_and_validates(spark):
         group_bottomk_sample(null_id, ("g",), 1, id_col="i").collect()
 
 
+def test_order_hash_no_drift_and_large_ids(spark):
+    """The local pre-reduced hash (ADVICE r10 overflow fix) equals the
+    shared sample_order_hash wherever the raw form is int64-safe, and
+    stays Python-exact at ids where the raw multiply wraps int64
+    (|id| ≳ 7.0e9) — the constants cannot drift silently."""
+    from food_panda_etl_spark.operators.sampling import sample_order_hash
+    from food_panda_etl_spark.operators.sampling_group import (
+        _MUL,
+        _P,
+        _order_hash,
+    )
+
+    small = [0, 1, 999, 1000003, 7_000_000_000]
+    big = [7_010_988_561, 2**62, 2**63 - 1]
+    rows = (
+        spark.createDataFrame([(i,) for i in small], "i long")
+        .select(
+            "i",
+            _order_hash(F.col("i")).alias("h_safe"),
+            sample_order_hash("i").alias("h_raw"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["h_safe"] == r["h_raw"] == (r["i"] * _MUL) % _P
+    # Past ~7.0e9 the raw multiply leaves int64: ANSI Spark ABORTS the
+    # whole job (and DuckDB raises) — the pre-reduced form is the only
+    # one that answers at all, and it answers Python-exact.
+    big_df = spark.createDataFrame([(i,) for i in big], "i long")
+    rows = big_df.select("i", _order_hash(F.col("i")).alias("h_safe")).collect()
+    for r in rows:
+        assert r["h_safe"] == (r["i"] * _MUL) % _P  # Python-exact
+    with pytest.raises(Exception, match="(?i)overflow"):
+        big_df.select(sample_order_hash("i").alias("h")).collect()
+
+
+def test_bottomk_exact_at_large_ids(spark):
+    """End-to-end: the sample at snowflake-scale ids matches the exact
+    Python reference — the raw hash would wrap and reorder here."""
+    base = 2**62
+    rows = {(0, base + i * 7919) for i in range(50)}
+    df = spark.createDataFrame(sorted(rows), "g long, i long").repartition(3)
+    got = _got(group_bottomk_sample(df, ("g",), 5, id_col="i"))
+    assert got == _ref(rows, 5)
+
+
 def test_bottomk_plan_is_window_group_limit(spark, sf_dir):
     """The rank filter must rewrite to WindowGroupLimit — per-partition
     partial top-k heaps BEFORE the shuffle, ≤ k rows per (group,
