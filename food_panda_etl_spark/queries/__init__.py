@@ -67,113 +67,86 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order matches it, so a planned rotation that fails to land in code
 # fails loudly instead of silently (round 8 shipped zero commits because
 # the plan lived only in a comment).
-WINDOW_ROUND = 10
+WINDOW_ROUND = 12
 
 DECLARED_WINDOW = [
-    # 1-3 NEW in r10: the three r9 build-ahead operators' first driver
-    # evidence — bodies and oracle strings moved VERBATIM from
-    # tests/test_r10_oracle_previews.py where they were pre-verified at
-    # sf0.001+sf0.01 through the driver's own compare harness (the only
-    # delta: the HLL key pre-casts to BIGINT on both sides — ADVICE r9).
-    "q_hll_counts",
+    # 1-5 NEW in r12: the five r10/r11 build-ahead operators' first
+    # driver evidence — bodies and oracle strings moved VERBATIM from
+    # tests/test_r11_oracle_previews.py (now registry-driven, the r10
+    # convention) into queries/sketch_extras.py, where they were
+    # pre-verified at sf0.001+sf0.01 through the driver's own compare
+    # harness (the only delta: the q_group_sample oracle uses the
+    # PRE-REDUCED hash form matching the r11 engine fix — VERDICT r11
+    # "what's wrong" #2).
+    "q_group_sample",
+    "q_hll_by_group",
+    "q_hll_xxhash_gate",
+    "q_cms_windowed",
+    "q_random_projection",
+    # 6-13 the r6-era greens — 5-round-old evidence, displaced twice
+    # (VERDICT r11 task 1): all byte-unchanged pure-relational keys.
+    "q_regex_extract",
+    "q_math_funcs",
+    "q_rollup",
+    "q_cube",
+    "q_histogram",
+    "q_percentile",
+    "q_pivot",
+    "q_unpivot",
+    # 14-18 byte-changed THIS round (ADVICE r11 medium: the int64
+    # pre-reduction moved into the shared sample_order_hash, and the
+    # duplicated hash in sampling_group.py deleted): every declared
+    # query riding operators/sampling.py re-records on the fixed
+    # bytes. Residue-identical on all prior ids, so these must
+    # re-record green byte-for-byte.
     "q_priority_sample",
-    "q_curriculum_mix",
-    # 4 byte-changed THIS round: k-core's threshold made scale-honest
-    # (degree-scaled k — the VERDICT r9 cosmetic nit; non-empty core at
-    # every SF now), so its declared query re-records.
-    "q_kcore",
-    # 5-12 byte-changed THIS round (the order.py correctness pin): the
-    # r10 sf0.1 oracle sweep caught the two-phase rank machinery
-    # silently corrupting when the optimizer declines exchange reuse
-    # (three separate range exchanges, independently sampled
-    # boundaries → offsets mismatch pids); the (row, pid) binding is
-    # now pinned in operators/order.py, and all 11 declared queries
-    # that ride global_row_number / global_running_sum / the samplers
-    # re-record on the fixed bytes (q_shuffle_order,
-    # q_approx_quantile_gate, q_curriculum_mix are affected too and
-    # already in the window above/below; q_vocab_topp's cumsum is a
-    # vocab-sized plain window and q_vendor_enrich's batch stamp is
-    # fixture SQL arithmetic — neither touches order.py).
-    "q_batch_number",
-    "q_pack_chunks",
     "q_pps_sample",
-    "q_select_pipeline",
-    "q_llm_prep",
     "q_pps_stratified",
+    "q_select_pipeline",
     "q_select_stratified",
-    "q_padding_waste",
-    # 13-50 the r6-era greens (VERDICT r9 task 2 — oldest evidence,
-    # byte-unchanged since their r6 greens), led by q_lm_score (the
-    # displaced r9 filler): dedup, corpus/media, text-norm, BPE, mixes,
-    # then the relational/sorts/sql_layer/aggregates r6 blocks; the 8
-    # lowest-risk pure-relational refreshes (q_regex_extract,
-    # q_math_funcs, q_rollup, q_cube, q_histogram, q_percentile,
-    # q_pivot, q_unpivot — all byte-unchanged r6 greens) are displaced
-    # to r11 by the order.py re-records above.
-    "q_lm_score",
-    "q_dedup",
-    "q_incremental_dedup",
-    "q_substring_dedup",
-    "q_corpus_stats",
-    "q_jpeg_decode",
-    "q_image_resize",
-    "q_pii_redact",
-    "q_nfc_normalize",
-    "q_shuffle_order",
-    "q_bpe_train",
-    "q_bpe_encode",
-    "q_mix_to_target",
-    "q_temperature_mix",
-    "q_vocab_topp",
-    "q_string_funcs",
-    "q_scan_count",
-    "q_project",
-    "q_json_extract",
-    "q_epoch_cast",
-    "q_date_parts",
-    "q_case_when",
-    "q_null_handling",
-    "q_filter_range",
-    "q_ceil_div",
-    "q_sort_multi",
-    "q_limit_offset",
-    "q_topk_global",
-    "q_tpch_q1",
-    "q_tpch_q6",
-    "q_scalar_subquery",
-    "q_groupby_agg",
-    "q_group_pct",
-    "q_count_distinct",
-    "q_approx_distinct",
-    "q_incremental_agg",
-    "q_embed_outlier",
-    "q_approx_quantile_gate",
+    # 19-50 the r8-era greens (oldest remaining evidence, 32 of 45 —
+    # the 13 left, the graph/funnel/clustering block, rotate in r13):
+    # joins, windows, setops, sql-layer, storage/skew blocks.
+    "q_inner_join",
+    "q_left_join",
+    "q_semi_join",
+    "q_anti_join",
+    "q_range_join",
+    "q_join_1n_agg",
+    "q_asof_join",
+    "q_nullsafe_join",
+    "q_exists_subquery",
+    "q_interval_join",
+    "q_topk_per_group",
+    "q_rank",
+    "q_lag_lead",
+    "q_running_sum",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_grouping_sets",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_partition_prune",
+    "q_train_split",
+    "q_zorder",
+    "q_skew_agg",
+    "q_skew_join",
+    "q_stratified_sample",
+    "q_embed_centroid",
+    "q_snapshot_diff",
+    "q_upsert",
 ]
 
-# R11 ROTATION PLAN: r11-new declarations first — FIVE are pre-tested
-# end to end in tests/test_r11_oracle_previews.py at sf0.001+sf0.01
-# (bodies and oracle strings move verbatim into queries/ modules, the
-# executed r10 flow): q_group_sample (operators/sampling_group.py
-# group-wise bottom-k reservoir), q_hll_by_group (the grouped HLL
-# estimate record over lineitem l_returnflag — oracle from the SHARED
-# curation._hll_oracle builder), q_hll_xxhash_gate (the production
-# 64-bit mixer through the q_approx_distinct_gate convention — the
-# 1e9-ceiling swap-out becomes driver evidence), q_cms_windowed
-# (operators/cms_windowed.py per-day sketches summed over a trailing
-# window, the linearity replay), and q_random_projection
-# (operators/random_projection.py JL 64→4 sign projection, bit-exact
-# double folds, oracle from the shared builder). Plus any r11
-# byte-changed operators' queries; then the 8 r6-era keys displaced by
-# the r10 order.py re-records (q_regex_extract, q_math_funcs,
-# q_rollup, q_cube, q_histogram, q_percentile, q_pivot, q_unpivot);
-# then the r7-era greens (the q_pagerank/q_pmi/q_triangle_count/
-# q_labelprop/q_cms_counts/q_quality_classifier/q_funnel/q_retention/
-# q_sessionize block, the r7 re-records q_kmeans/q_semantic_dedup/
-# q_embed_centroid/q_snapshot_diff/q_upsert, and the r7 ADVICE
-# re-records q_dsir_weight/q_select_pipeline/q_pps_sample/
-# q_heavy_hitters); fill remaining slots from the r8-era joins/windows/
-# setops/storage block — keeping every key's latest evidence ≤ 3
-# rounds old.
+# R13 ROTATION PLAN: the 13 remaining r8-era keys (q_kmeans,
+# q_semantic_dedup, q_heavy_hitters, q_dsir_weight, q_pagerank, q_pmi,
+# q_triangle_count, q_labelprop, q_cms_counts, q_quality_classifier,
+# q_funnel, q_retention, q_sessionize) plus any r12 byte-changed
+# operators' queries first; fill remaining slots from the r9-era
+# greens — keeping every key's latest evidence ≤ 4 rounds old.
 
 
 def _load_all() -> None:
@@ -183,6 +156,7 @@ def _load_all() -> None:
     # DECLARED_WINDOW (above) is the authoritative order.
     from food_panda_etl_spark.queries import (  # noqa: F401
         curation,
+        sketch_extras,
         selection,
         graph_extras,
         graph,

@@ -57,6 +57,41 @@ def test_new_declarations_are_in_the_window():
     )
 
 
+def test_preview_verified_queries_get_declared():
+    """The r11 blind spot (VERDICT r11 task 3): the window guard above
+    catches declared-but-unwindowed queries (the r8 mode) but not
+    preview-tested-but-never-declared (the r11 mode, where five
+    finished operators stayed invisible to the driver for two rounds
+    because the plan lived only in a comment). A preview file
+    tests/test_rN_oracle_previews.py promises its operators' queries
+    will be DECLARED once the window reaches round N — so every
+    ``def test_<name>_preview`` function still present in a preview
+    file whose round is ≤ WINDOW_ROUND means the promotion did not
+    land. (After promotion the file is rewritten registry-driven —
+    the r10/r12 convention — and carries no ``*_preview`` functions.)"""
+    import re
+
+    for path in glob.glob(
+        os.path.join(REPO, "tests", "test_r*_oracle_previews.py")
+    ):
+        n = int(re.search(r"test_r(\d+)_", os.path.basename(path)).group(1))
+        if WINDOW_ROUND < n:
+            continue  # future round's previews — promotion not due yet
+        with open(path) as f:
+            src = f.read()
+        stale = [
+            f"q_{m}"
+            for m in re.findall(r"def test_(\w+)_preview\(", src)
+        ]
+        undeclared = [q for q in stale if q not in QUERIES]
+        assert not undeclared, (
+            f"{os.path.basename(path)} preview-verifies {undeclared} but "
+            f"WINDOW_ROUND={WINDOW_ROUND} ≥ {n} and they are not declared "
+            "— move the bodies+oracles into a queries/ module and rotate "
+            "DECLARED_WINDOW (the promotion this guard exists to force)"
+        )
+
+
 def test_window_keys_have_usable_oracles():
     """Window keys are what the driver hash-checks this round: each is
     either oracled (non-empty SQL) or one of the documented rows-only
