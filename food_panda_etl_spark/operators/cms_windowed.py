@@ -91,12 +91,17 @@ def cms_merge_groups(
     into garbage) and must CONTAIN the (d, b, cnt) cell columns plus
     ``group_cols`` (shape-asserted, the hll_merge lesson: a silent
     column mismatch would mis-merge with no error). Pass the intended
-    ``width``/``depth`` to make the geometry contract LOUD (ADVICE
-    r10): every cell is then checked in-plan — a sketch built with a
-    larger geometry carries cells with b ≥ width or d ≥ depth and the
-    merge raises instead of summing across cell spaces. (Equal-size
-    geometry swaps — same width·depth, different hash rows — remain a
-    caller contract: they are bitwise indistinguishable here.)"""
+    ``width``/``depth`` to make the geometry contract LOUDER (ADVICE
+    r10): every cell is then checked in-plan against the declared
+    bounds. This is BEST-EFFORT detection, not a guarantee (ADVICE
+    r11): a larger-geometry sketch only raises if some observed key
+    happened to hash past the declared bounds (sketches are sparse),
+    and a SMALLER-geometry input always passes — all its cells fit —
+    yet still merges across cell spaces into garbage. Same-geometry
+    inputs remain a caller contract, like equal-size hash-row swaps
+    (bitwise indistinguishable here); callers that need an exact
+    check should carry (width, depth) as literal columns alongside
+    the sketch and compare before merging."""
     if not sketches:
         raise ValueError("cms_merge_groups: need at least one sketch")
     need = {*group_cols, "d", "b", "cnt"}

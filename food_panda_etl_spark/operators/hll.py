@@ -216,16 +216,19 @@ def hll_merge(
     group-wise sketch merged with the default ``group_cols=()`` would
     otherwise silently max registers ACROSS groups (groupBy("reg")
     drops the group columns) — a garbage merge with no error. The
-    check is on column SETS, not order (ADVICE r10): a sketch that
-    passed through a column-reordering select is still the same
-    sketch — inputs are normalized via select(*want), so the merge
-    itself stays order-safe too."""
+    check is order-INSENSITIVE but multiplicity-SENSITIVE (ADVICE
+    r11): a sketch that passed through a column-reordering select is
+    still the same sketch — inputs are normalized via select(*want) —
+    while a duplicated column name (e.g. from a join) fails HERE with
+    the clear message instead of later inside select(*want) with an
+    ambiguous-reference error (set() comparison collapsed duplicates
+    and let that shape through)."""
     if not sketches:
         raise ValueError("hll_merge: need at least one sketch")
     want = [*group_cols, "reg", "rho"]
     norm = []
     for i, s in enumerate(sketches):
-        if set(s.columns) != set(want):
+        if sorted(s.columns) != sorted(want):
             raise ValueError(
                 f"hll_merge: sketch #{i} has columns {list(s.columns)}, "
                 f"expected {want} — group_cols must match the sketches' own"

@@ -111,8 +111,15 @@ def guarded_weight(weight_col: str, op_name: str):
 def sample_order_hash(id_col: str):
     """The samplers' shared pseudo-random ordering key (the
     q_shuffle_order multiplicative hash) — shared for the same
-    no-drift reason as :func:`guarded_weight`."""
-    return (F.col(id_col) * 1315423911) % 1000003
+    no-drift reason as :func:`guarded_weight`. The id is PRE-REDUCED
+    mod P before the multiply (ADVICE r11, the cms.py `_cell`
+    discipline): ((id % P) · M) % P is residue-identical to
+    (id · M) % P for every int64 id in both engines' truncated-modulo
+    semantics, but the raw product leaves int64 at |id| ≳ 7.0e9 —
+    ANSI Spark aborts the whole job and DuckDB raises — exactly the
+    regime snowflake-style 64-bit ids live in. Pre-reduced, the
+    product is bounded by P·M < 2^51, safe on the full id range."""
+    return ((F.col(id_col) % 1000003) * 1315423911) % 1000003
 
 
 def tick_count(k_expr):

@@ -28,17 +28,11 @@ shuffle, so at most k rows per (group, input partition) ever move
 (plan-gated, the q_topk_per_group / q_tfidf convention). No groupBy
 re-aggregation, no collect, no UDF.
 
-Determinism: the ordering key is the samplers' shared multiplicative
-hash (the `sample_order_hash` / q_shuffle_order constants) with the
-id PRE-REDUCED mod P before the multiply (the cms.py `_cell` overflow
-discipline — ADVICE r10): ((id % P) · M) % P ≡ (id · M) % P for every
-int64 id in both engines' truncated-modulo semantics (same residue,
-same sign), but the raw form's product leaves int64 at |id| ≳ 7.0e9 —
-ANSI Spark (the session default) aborts the whole job and DuckDB
-raises (and a non-ANSI session would wrap silently, the worst of the
-three), so the claimed cross-engine replay breaks exactly where ids
-get large (snowflake-style 64-bit ids). With the pre-reduction the
-product is bounded by P·M < 2^51 and the full int64 id range is safe. The order
+Determinism: the ordering key is the samplers' SHARED multiplicative
+hash (`operators/sampling.py::sample_order_hash` — one definition,
+the guarded_weight no-drift rule; since ADVICE r11 the shared helper
+itself pre-reduces the id mod P, so it is int64-overflow-free for
+every id — see its docstring for the bound). The order
 is TOTAL when ids are unique per group (the caller contract —
 duplicate ids would make rank assignment partitioning-dependent in
 BOTH engines) and the selected set replays exactly as
@@ -51,21 +45,10 @@ otherwise); NULL GROUP keys are fine and form their own group
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# The q_shuffle_order multiplicative-hash constants
-# (operators/sampling.py::sample_order_hash) — duplicated values would
-# drift, so tests/test_sampling_group.py pins this hash equal to
-# sample_order_hash on the raw form's safe id range.
-_MUL = 1315423911
-_P = 1000003
-
-
-def _order_hash(ids: Column) -> Column:
-    """sample_order_hash with the id pre-reduced mod P (module
-    docstring): identical residues, int64-overflow-free for every id."""
-    return ((ids % _P) * _MUL) % _P
+from food_panda_etl_spark.operators.sampling import sample_order_hash
 
 
 def group_bottomk_sample(
@@ -88,7 +71,7 @@ def group_bottomk_sample(
             "global sample use priority_sample with unit weights"
         )
     ids = F.col(id_col)
-    h = F.when(ids.isNotNull(), _order_hash(ids)).otherwise(
+    h = F.when(ids.isNotNull(), sample_order_hash(id_col)).otherwise(
         F.raise_error(
             F.lit(
                 f"group_bottomk_sample: {id_col} must be non-NULL (NULL "

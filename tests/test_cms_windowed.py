@@ -126,3 +126,23 @@ def test_null_contracts_and_validation(spark):
     flat = cms_sketch(df, "k", width=W, depth=D)
     with pytest.raises(ValueError, match="lacks columns"):
         cms_merge_groups(flat, group_cols=("g",))
+
+
+def test_merge_geometry_guard_fires_and_is_best_effort(spark):
+    """The declared-geometry check's raise path (ADVICE r10 guard,
+    untested until r12): merging a sketch built with a LARGER width
+    under smaller declared bounds raises in-plan once an out-of-bounds
+    cell is read. And the documented limit (ADVICE r11): a SMALLER-
+    geometry input fits the declared bounds and merges without error —
+    detection is best-effort, same-geometry stays a caller contract."""
+    df = spark.createDataFrame(
+        [(0, i) for i in range(200)], "g long, k long"
+    )
+    big = cms_sketch_by_group(df, "k", ("g",), width=4 * W, depth=D)
+    with pytest.raises(Exception, match="outside the declared"):
+        cms_merge_groups(big, group_cols=("g",), width=W, depth=D).collect()
+    small = cms_sketch_by_group(df, "k", ("g",), width=W // 2, depth=D)
+    rows = cms_merge_groups(
+        small, group_cols=("g",), width=W, depth=D
+    ).collect()
+    assert rows  # passes the bounds check — undetectable by design

@@ -246,3 +246,21 @@ def test_groupwise_sketch_and_estimate(spark):
     }
     assert est["a"] == flat["a"] and est["b"] == flat["b"]
     assert abs(est["a"] - 2000) / 2000 < 0.25
+
+
+def test_merge_accepts_reordered_rejects_duplicate_columns(spark):
+    """Order-insensitive, multiplicity-sensitive (ADVICE r10/r11): a
+    column-reordering select is the same sketch and must merge (and
+    merge(x, x) == x — idempotent max); a duplicated column name must
+    fail HERE with the clear message, not later inside select(*want)
+    as an ambiguous-reference error."""
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, k long")
+    grouped = hll_sketch(df, "k", group_cols=("g",))
+    reordered = grouped.select("rho", "reg", "g")
+    merged = hll_merge(grouped, reordered, group_cols=("g",))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, grouped.collect())
+    )
+    dup = grouped.select("g", "reg", "rho", "rho")
+    with pytest.raises(ValueError, match="group_cols must match"):
+        hll_merge(dup, group_cols=("g",))

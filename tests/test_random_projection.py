@@ -166,3 +166,23 @@ def test_oracle_sql_builder_shares_the_signs(spark):
     assert f"{float(signs[0][0])}" in sql
     for j in range(3):
         assert f"AS p{j}" in sql
+
+
+def test_oracle_sql_id_col_parameter_is_runnable():
+    """oracle_projection_sql(id_col=...) (parameterized r11, untested
+    until r12) must emit RUNNABLE SQL naming the custom id column —
+    driven through DuckDB on a renamed view of the real table."""
+    import duckdb
+
+    sql = oracle_projection_sql(64, 2, table="emb2", id_col="my_id")
+    assert "my_id" in sql and "vec_id" not in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW emb2 AS SELECT vec_id AS my_id, embedding "
+        "FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    out = con.execute(sql).fetch_arrow_table()
+    assert out.column_names == ["my_id", "p0", "p1"]
+    assert out.num_rows == con.execute(
+        "SELECT count(*) FROM emb2"
+    ).fetchone()[0]

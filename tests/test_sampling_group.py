@@ -104,40 +104,25 @@ def test_bottomk_carries_and_validates(spark):
         group_bottomk_sample(null_id, ("g",), 1, id_col="i").collect()
 
 
-def test_order_hash_no_drift_and_large_ids(spark):
-    """The local pre-reduced hash (ADVICE r10 overflow fix) equals the
-    shared sample_order_hash wherever the raw form is int64-safe, and
-    stays Python-exact at ids where the raw multiply wraps int64
-    (|id| ≳ 7.0e9) — the constants cannot drift silently."""
+def test_order_hash_exact_across_full_id_range(spark):
+    """The SHARED sample_order_hash (now pre-reduced in place — ADVICE
+    r11 moved the r10 overflow fix into the one definition every
+    sampler uses) answers Python-exact on small ids AND at ids where
+    the raw multiply would wrap int64 (|id| ≳ 7.0e9: ANSI Spark would
+    abort the whole job, DuckDB would raise) — Python bigints never
+    overflow, so (i * M) % P is the ground truth on both ranges."""
     from food_panda_etl_spark.operators.sampling import sample_order_hash
-    from food_panda_etl_spark.operators.sampling_group import (
-        _MUL,
-        _P,
-        _order_hash,
-    )
 
-    small = [0, 1, 999, 1000003, 7_000_000_000]
-    big = [7_010_988_561, 2**62, 2**63 - 1]
+    _MUL, _P = 1315423911, 1000003
+    ids = [0, 1, 999, 1000003, 7_000_000_000,
+           7_010_988_561, 2**62, 2**63 - 1]
     rows = (
-        spark.createDataFrame([(i,) for i in small], "i long")
-        .select(
-            "i",
-            _order_hash(F.col("i")).alias("h_safe"),
-            sample_order_hash("i").alias("h_raw"),
-        )
+        spark.createDataFrame([(i,) for i in ids], "i long")
+        .select("i", sample_order_hash("i").alias("h"))
         .collect()
     )
     for r in rows:
-        assert r["h_safe"] == r["h_raw"] == (r["i"] * _MUL) % _P
-    # Past ~7.0e9 the raw multiply leaves int64: ANSI Spark ABORTS the
-    # whole job (and DuckDB raises) — the pre-reduced form is the only
-    # one that answers at all, and it answers Python-exact.
-    big_df = spark.createDataFrame([(i,) for i in big], "i long")
-    rows = big_df.select("i", _order_hash(F.col("i")).alias("h_safe")).collect()
-    for r in rows:
-        assert r["h_safe"] == (r["i"] * _MUL) % _P  # Python-exact
-    with pytest.raises(Exception, match="(?i)overflow"):
-        big_df.select(sample_order_hash("i").alias("h")).collect()
+        assert r["h"] == (r["i"] * _MUL) % _P  # Python-exact
 
 
 def test_bottomk_exact_at_large_ids(spark):
