@@ -492,6 +492,58 @@ def r10_curves(spark, sizes) -> dict:
     return curves
 
 
+def r12_curves(spark, sizes) -> dict:
+    """r12 curve, runnable alone via `--r12` (min-of-two per point):
+    the order.py correctness pin's cost shape (the r10 carry-over task).
+
+    global_row_number / global_running_sum freeze the (row, pid)
+    binding with ONE lazy localCheckpoint before the counts/offsets and
+    main subtrees consume it (operators/order.py module docstring) —
+    the materialization is executor-local (MEMORY_AND_DISK of the
+    post-range-shuffle fact), so the claim to verify at 64× rows is a
+    ~linear curve (exponent ≈ 1): no driver funnel, no super-linear
+    blow-up from the pin. A naive single-partition global window is
+    deliberately NOT curved here — it is the shape the operator exists
+    to avoid, and equality against it is already pinned in
+    tests/test_order*.py / test_quantile_priority.py.
+    """
+    from food_panda_etl_spark.operators.order import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    curves: dict[str, dict[int, float]] = {
+        "global_row_number_pin": {},
+        "global_running_sum_pin": {},
+    }
+    for n in sizes:
+        # keys hashed out of order so the range shuffle does real work
+        d = (
+            spark.range(n)
+            .select(
+                F.xxhash64(F.col("id")).alias("k"),
+                F.col("id").alias("doc_id"),
+                (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(400)) + 1).alias(
+                    "w"
+                ),
+            )
+            .cache()
+        )
+        d.count()
+        run_rn = lambda: global_row_number(  # noqa: E731
+            d, ["k", "doc_id"]
+        ).write.format("noop").mode("overwrite").save()
+        curves["global_row_number_pin"][n] = min(timed(run_rn), timed(run_rn))
+        run_rs = lambda: global_running_sum(  # noqa: E731
+            d, ["k", "doc_id"], "w"
+        ).write.format("noop").mode("overwrite").save()
+        curves["global_running_sum_pin"][n] = min(
+            timed(run_rs), timed(run_rs)
+        )
+        d.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -516,6 +568,13 @@ def main() -> None:
     if "--r10" in sys.argv:  # only the r10 curves (group bottom-k / mixers)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r10_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r12" in sys.argv:  # only the r12 curve (the order.py pin)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r12_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))

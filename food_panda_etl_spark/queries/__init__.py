@@ -104,8 +104,12 @@ DECLARED_WINDOW = [
     "q_pps_stratified",
     "q_select_pipeline",
     "q_select_stratified",
-    # 19-50 the r8-era greens (oldest remaining evidence, 32 of 45 —
-    # the 13 left, the graph/funnel/clustering block, rotate in r13):
+    # 19 byte-changed THIS round (the nodes localCheckpoint hoist in
+    # operators/pagerank.py — VERDICT r10/r11 micro-nit): re-records
+    # on the touched bytes.
+    "q_pagerank",
+    # 20-50 the r8-era greens (oldest remaining evidence, 31 of 45 —
+    # the 14 left, the graph/funnel/clustering block, rotate in r13):
     # joins, windows, setops, sql-layer, storage/skew blocks.
     "q_inner_join",
     "q_left_join",
@@ -138,11 +142,10 @@ DECLARED_WINDOW = [
     "q_stratified_sample",
     "q_embed_centroid",
     "q_snapshot_diff",
-    "q_upsert",
 ]
 
-# R13 ROTATION PLAN: the 13 remaining r8-era keys (q_kmeans,
-# q_semantic_dedup, q_heavy_hitters, q_dsir_weight, q_pagerank, q_pmi,
+# R13 ROTATION PLAN: the 14 remaining r8-era keys (q_upsert, q_kmeans,
+# q_semantic_dedup, q_heavy_hitters, q_dsir_weight, q_pmi,
 # q_triangle_count, q_labelprop, q_cms_counts, q_quality_classifier,
 # q_funnel, q_retention, q_sessionize) plus any r12 byte-changed
 # operators' queries first; fill remaining slots from the r9-era
