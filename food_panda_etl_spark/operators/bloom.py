@@ -1,0 +1,183 @@
+"""Bloom filter over a key column — the mergeable set-membership
+summary (Bloom, CACM 1970) that answers "might key k be in the set?"
+in O(m) space with NO false negatives and a tunable false-positive
+rate. The membership sibling of `operators/cms.py` (point frequency)
+and `operators/hll.py` (cardinality): at 100 TB its jobs are
+join pre-filtering (probe the small side's filter before shuffling the
+big side), decontamination pre-screens, and incremental-ingest "seen
+key?" checks — all places where a one-sided error is acceptable and
+shipping the exact key set is not.
+
+PARTITIONED variant: k independent bit rows of m/k bits each (hash j
+owns row j), not one shared array — same asymptotic FPR (Kirsch &
+Mitzenmacher, ESA 2006 discuss the partitioned form's equivalence),
+and the row index makes the sketch a plain (j, b) relation:
+
+1. build — each key sets k bits (j, h_j(key)): one narrow k-way
+   explode + ONE distinct-style (j, b) hash aggregation. The sketch IS
+   a DataFrame of ≤ m set-bit rows — mergeable by construction
+   (Bloom merge is bitwise OR == row-set union);
+2. probe — candidate keys join the sketch on the same (j, b) cells; a
+   key is "maybe present" iff ALL k of its cells are set: one
+   ≤ m-row join (broadcast at any realistic geometry) + one per-key
+   count. Present keys ALWAYS probe true (no false negatives — the
+   audit column every declared query carries);
+3. merge — union + distinct across shard sketches, `bloom_merge`.
+
+Determinism: the bit positions reuse the CMS affine hash family
+(`cms._cell`: ((key mod P)·A_j + B_j) mod P mod width, overflow-free
+for any int64 key), so the sketch, every probe verdict, and the FPR
+audit are bit-identical in any engine — the declared query (slated
+r13) can hash-match the FULL set-bit replay in DuckDB, not just a
+gate verdict.
+
+Scale: the fact table is touched once, shuffling (j, bit) int pairs
+that the map-side distinct pre-collapses; m bounds state regardless of
+key cardinality. False-positive rate for the partitioned form with n
+distinct keys: (1 − (1 − k/m)^n)^k ≈ (1 − e^(−kn/m))^k — size m ≈
+1.44·k·n/ln2 bits for the classic optimum. Key column must be integral
+(string keys pre-fold with the portable polynomial, the cms.py
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.cms import _MULTS, _P, _cell
+
+
+def bloom_sketch(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build the (*group_cols, j, b) set-bit table — ≤ m_bits rows per
+    group (row j uses width m_bits // k_hashes; m_bits must divide
+    evenly so the declared geometry is exact).
+
+    Rows with a NULL key are skipped (the cms/hll NULL contract: count
+    NULL mass separately if it matters); NULL GROUP keys form their own
+    group (identical grouping semantics in both engines)."""
+    width = _validate(m_bits, k_hashes)
+    k = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))
+        for j in range(k_hashes)
+    ])
+    return (
+        df.filter(k.isNotNull())
+        .select(*[F.col(c) for c in group_cols], F.explode(cells).alias("__c"))
+        .groupBy(
+            *group_cols, F.col("__c.j").alias("j"), F.col("__c.b").alias("b")
+        )
+        .agg(F.lit(1).cast("int").alias("set"))
+    )
+
+
+def bloom_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Bitwise-OR of any number of shard sketches == distinct union of
+    their set-bit rows — the mergeable-summaries combine
+    (sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)), property-tested).
+    ALL inputs must come from bloom_sketch with the SAME (m_bits,
+    k_hashes) AND the SAME ``group_cols`` — same-geometry is a caller
+    contract (the cms_merge_groups lesson: bounds checks are
+    best-effort at most, so this merge validates SHAPE exactly and
+    leaves geometry to the caller). The column check is
+    order-insensitive and multiplicity-sensitive (sorted, not set —
+    the hll_merge ADVICE r11 lesson)."""
+    if not sketches:
+        raise ValueError("bloom_merge: need at least one sketch")
+    want = [*group_cols, "j", "b", "set"]
+    norm = []
+    for i, s in enumerate(sketches):
+        if sorted(s.columns) != sorted(want):
+            raise ValueError(
+                f"bloom_merge: sketch #{i} has columns {list(s.columns)}, "
+                f"expected {want} — group_cols must match the sketches' own"
+            )
+        norm.append(s.select(*want))
+    out = norm[0]
+    for s in norm[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "j", "b").agg(
+        F.max("set").alias("set")
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """(*probes.columns, maybe_present int) — 1 iff every one of the
+    key's k cells is set. Present keys ALWAYS return 1 (no false
+    negatives — the one-sided contract); absent keys return 1 with
+    probability ≈ (1 − e^(−kn/m))^k. (m_bits, k_hashes) MUST match the
+    build (same caller contract as the merge). The probe is one
+    broadcast-sized join on (j, b) + one per-key count — never a
+    shuffle of the sketch."""
+    width = _validate(m_bits, k_hashes)
+    k = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))
+        for j in range(k_hashes)
+    ])
+    exploded = probes.select(
+        *probes.columns, F.explode(cells).alias("__c")
+    ).select(
+        *probes.columns,
+        F.col("__c.j").alias("j"),
+        F.col("__c.b").alias("b"),
+    )
+    hits = exploded.join(F.broadcast(sketch), ["j", "b"], "left")
+    return (
+        hits.groupBy(*probes.columns)
+        .agg(
+            (F.sum(F.coalesce(F.col("set"), F.lit(0))) == k_hashes)
+            .cast("int")
+            .alias("maybe_present")
+        )
+    )
+
+
+def _validate(m_bits: int, k_hashes: int) -> int:
+    """Shared geometry validation → per-row width (m_bits / k_hashes)."""
+    if not 1 <= k_hashes <= len(_MULTS):
+        raise ValueError(
+            f"bloom: k_hashes must be in [1, {len(_MULTS)}], got {k_hashes}"
+        )
+    if m_bits < k_hashes or m_bits % k_hashes != 0:
+        raise ValueError(
+            f"bloom: m_bits ({m_bits}) must be a positive multiple of "
+            f"k_hashes ({k_hashes}) — each hash row owns m/k bits"
+        )
+    width = m_bits // k_hashes
+    if width > _P:
+        raise ValueError(
+            f"bloom: m_bits/k_hashes = {width} exceeds the hash grid "
+            f"P = {_P} — effective bits would silently cap at P per row"
+        )
+    return width
+
+
+def oracle_bloom_dm_sql(k_hashes: int) -> str:
+    """The DuckDB replay of the hash rows — the SAME affine (j, A_j,
+    B_j) rows interpolated from the operator's constants (one builder
+    per side, the cms _DM_VALUES convention). Returns a VALUES-table
+    SQL fragment callers CROSS JOIN and compute
+    ``((key % P) * a + c) % P % width`` with — a fragment, so build
+    and probe replays share one definition."""
+    from food_panda_etl_spark.operators.cms import _ADDS
+
+    rows = ", ".join(
+        f"({j}, {_MULTS[j]}, {_ADDS[j]})" for j in range(k_hashes)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(j, a, c))"

@@ -83,7 +83,10 @@ DECLARED_WINDOW = [
     "q_hll_xxhash_gate",
     "q_cms_windowed",
     "q_random_projection",
-    # 6-13 the r6-era greens — 5-round-old evidence, displaced twice
+    # +1 byte-changed THIS round: hll.py's merge column check tightened
+    # (ADVICE r11) — the flat HLL record re-records on the new bytes.
+    "q_hll_counts",
+    # 7-14 the r6-era greens — 5-round-old evidence, displaced twice
     # (VERDICT r11 task 1): all byte-unchanged pure-relational keys.
     "q_regex_extract",
     "q_math_funcs",
@@ -93,7 +96,7 @@ DECLARED_WINDOW = [
     "q_percentile",
     "q_pivot",
     "q_unpivot",
-    # 14-18 byte-changed THIS round (ADVICE r11 medium: the int64
+    # 15-19 byte-changed THIS round (ADVICE r11 medium: the int64
     # pre-reduction moved into the shared sample_order_hash, and the
     # duplicated hash in sampling_group.py deleted): every declared
     # query riding operators/sampling.py re-records on the fixed
@@ -104,12 +107,12 @@ DECLARED_WINDOW = [
     "q_pps_stratified",
     "q_select_pipeline",
     "q_select_stratified",
-    # 19 byte-changed THIS round (the nodes localCheckpoint hoist in
+    # 20 byte-changed THIS round (the nodes localCheckpoint hoist in
     # operators/pagerank.py — VERDICT r10/r11 micro-nit): re-records
     # on the touched bytes.
     "q_pagerank",
-    # 20-50 the r8-era greens (oldest remaining evidence, 31 of 45 —
-    # the 14 left, the graph/funnel/clustering block, rotate in r13):
+    # …-50 the r8-era greens (oldest remaining evidence, 30 of 45 —
+    # the 15 left, the graph/funnel/clustering block, rotate in r13):
     # joins, windows, setops, sql-layer, storage/skew blocks.
     "q_inner_join",
     "q_left_join",
@@ -141,10 +144,10 @@ DECLARED_WINDOW = [
     "q_skew_join",
     "q_stratified_sample",
     "q_embed_centroid",
-    "q_snapshot_diff",
 ]
 
-# R13 ROTATION PLAN: the 14 remaining r8-era keys (q_upsert, q_kmeans,
+# R13 ROTATION PLAN: the 15 remaining r8-era keys (q_snapshot_diff,
+# q_upsert, q_kmeans,
 # q_semantic_dedup, q_heavy_hitters, q_dsir_weight, q_pmi,
 # q_triangle_count, q_labelprop, q_cms_counts, q_quality_classifier,
 # q_funnel, q_retention, q_sessionize) plus any r12 byte-changed

@@ -102,7 +102,13 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(d, "n_chars", k=_PRI_K)
 
 
-def _hll_oracle(group_col: str | None = None) -> str:
+def _hll_oracle(
+    group_col: str | None = None,
+    key: str = "l_partkey",
+    relation: str = "lineitem",
+    prefix_ctes: str = "",
+    key_filter: str | None = None,
+) -> str:
     """The full register replay: same BIGINT-cast key, same two-round
     quadratic mod-Mersenne mix (outer-parenthesised — `%`/`*` equal
     precedence), same bit_count((w & -w) − 1) rank, same integer dyadic
@@ -112,19 +118,25 @@ def _hll_oracle(group_col: str | None = None) -> str:
     ``group_col`` threads a GROUP BY through every stage — the r11
     q_hll_by_group preview (tests/test_r11_oracle_previews.py) imports
     this with ``group_col="l_returnflag"`` so the grouped declaration
-    can never drift from the flat one."""
+    can never drift from the flat one. The same no-drift rule extends
+    to OTHER relations (``key``/``relation``/``prefix_ctes``/
+    ``key_filter`` — the r12 q_hll_windowed preview replays the
+    registers over a windowed events CTE through this exact builder;
+    defaults reproduce the lineitem strings verbatim)."""
     m, P, C = HLL_M, _HASH_MOD, _HASH_MUL
     cap = _rank_cap(m)
     grid = cap + 1
     numer = repr(float(_ALPHA[m]) * m * m * (1 << grid))
-    h = f"(((CAST(l_partkey AS BIGINT) % {P}) + {P}) % {P})"
+    if key_filter is None:
+        key_filter = f" WHERE {key} IS NOT NULL"
+    h = f"(((CAST({key} AS BIGINT) % {P}) + {P}) % {P})"
     for _ in range(2):
         h = f"(((({h} * {h}) % {P}) * {C}) % {P})"
     if group_col is None:
         return f"""
-    WITH r AS (SELECT CAST({h} % {m} AS INT) AS reg,
+    WITH {prefix_ctes}r AS (SELECT CAST({h} % {m} AS INT) AS reg,
                       CAST({h} // {m} AS BIGINT) AS w
-               FROM lineitem WHERE l_partkey IS NOT NULL),
+               FROM {relation}{key_filter}),
     sk AS (SELECT reg,
                   max(CASE WHEN w > 0
                            THEN bit_count((w & -w) - 1) + 1
@@ -134,8 +146,8 @@ def _hll_oracle(group_col: str | None = None) -> str:
                    CAST(coalesce(sum(CAST(1 AS BIGINT) << ({grid} - rho)), 0)
                         AS BIGINT) AS sp
             FROM sk),
-    ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
-           FROM lineitem)
+    ex AS (SELECT CAST(count(DISTINCT {key}) AS BIGINT) AS n_exact
+           FROM {relation})
     SELECT nonzero_regs,
            CAST(sp + ({m} - nonzero_regs)
                 * (CAST(1 AS BIGINT) << {grid}) AS BIGINT) AS dyadic_sum,
@@ -152,10 +164,10 @@ def _hll_oracle(group_col: str | None = None) -> str:
     """
     g = group_col
     return f"""
-    WITH r AS (SELECT {g} AS g,
+    WITH {prefix_ctes}r AS (SELECT {g} AS g,
                       CAST({h} % {m} AS INT) AS reg,
                       CAST({h} // {m} AS BIGINT) AS w
-               FROM lineitem WHERE l_partkey IS NOT NULL),
+               FROM {relation}{key_filter}),
     sk AS (SELECT g, reg,
                   max(CASE WHEN w > 0
                            THEN bit_count((w & -w) - 1) + 1
@@ -166,8 +178,8 @@ def _hll_oracle(group_col: str | None = None) -> str:
                         AS BIGINT) AS sp
             FROM sk GROUP BY g),
     ex AS (SELECT {g} AS g,
-                  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
-           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY {g})
+                  CAST(count(DISTINCT {key}) AS BIGINT) AS n_exact
+           FROM {relation}{key_filter} GROUP BY {g})
     SELECT agg.g AS {g}, nz AS nonzero_regs,
            CAST(sp + ({m} - nz)
                 * (CAST(1 AS BIGINT) << {grid}) AS BIGINT) AS dyadic_sum,

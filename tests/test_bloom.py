@@ -1,0 +1,128 @@
+"""Partitioned Bloom filter (r12 build-ahead, declared r13):
+set-bit-exact equality with an independent Python reference under any
+partitioning, duplicate-invariance, mergeability (OR == union build),
+the no-false-negative contract end-to-end, shape/geometry validation,
+and the grouped form's NULL contracts. The declared-query oracle form
+(slated r13) is the full set-bit replay these tests pin — the bit
+arithmetic is pure integer on the cms.py affine grid."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.bloom import (
+    bloom_merge,
+    bloom_probe,
+    bloom_sketch,
+)
+from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P
+
+M_BITS, K = 1024, 4
+WIDTH = M_BITS // K
+
+
+def _ref_bits(keys, width=WIDTH, k_hashes=K) -> set:
+    return {
+        (j, ((key % _P) * _MULTS[j] + _ADDS[j]) % _P % width)
+        for key in keys
+        if key is not None
+        for j in range(k_hashes)
+    }
+
+
+def _bits(df) -> set:
+    return {(r["j"], r["b"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("parts", [1, 3, 7])
+def test_sketch_equals_reference(spark, parts):
+    keys = [0, 1, 99, -5, 1_000_003, 2**62, -(2**61), 7, 7, 7]
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "k long"
+    ).repartition(parts)
+    got = bloom_sketch(df, "k", m_bits=M_BITS, k_hashes=K)
+    assert _bits(got) == _ref_bits(keys)
+    assert all(r["set"] == 1 for r in got.collect())
+
+
+def test_sketch_depends_only_on_distinct_set(spark):
+    a = spark.createDataFrame([(i % 10,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    assert _bits(bloom_sketch(a, "k", M_BITS, K)) == _bits(
+        bloom_sketch(b, "k", M_BITS, K)
+    )
+
+
+def test_merge_equals_union_build(spark):
+    xs = [1, 2, 3, 4, 50, 60]
+    a = spark.createDataFrame([(k,) for k in xs[:3]], "k long")
+    b = spark.createDataFrame([(k,) for k in xs[3:]], "k long")
+    u = spark.createDataFrame([(k,) for k in xs], "k long")
+    merged = bloom_merge(
+        bloom_sketch(a, "k", M_BITS, K), bloom_sketch(b, "k", M_BITS, K)
+    )
+    assert _bits(merged) == _bits(bloom_sketch(u, "k", M_BITS, K))
+    assert all(r["set"] == 1 for r in merged.collect())
+
+
+def test_no_false_negatives_and_deterministic_probe(spark):
+    present = [3, 17, 2**40, -9, 1_000_002]
+    df = spark.createDataFrame([(k,) for k in present], "k long")
+    sk = bloom_sketch(df, "k", M_BITS, K)
+    probes = spark.createDataFrame(
+        [(k,) for k in present + [5, 123456, -77]], "k long"
+    )
+    out = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_probe(sk, probes, "k", M_BITS, K).collect()
+    }
+    for k in present:
+        assert out[k] == 1, f"false negative at {k}"
+    # absent keys: replay the reference verdict (deterministic hashes —
+    # a false positive is the SAME false positive everywhere)
+    bits = _ref_bits(present)
+    for k in [5, 123456, -77]:
+        want = int(all(c in bits for c in _ref_bits([k])))
+        assert out[k] == want
+
+
+def test_grouped_sketch_and_null_contracts(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (None, 1), (0, None), (0, 2)], "g long, k long"
+    )
+    sk = bloom_sketch(df, "k", M_BITS, K, group_cols=("g",))
+    rows = sk.collect()
+    # NULL group is its own group; NULL key skipped (g=0 keeps key 2)
+    assert {r["g"] for r in rows} == {None, 0}
+    assert {(r["j"], r["b"]) for r in rows if r["g"] is None} == _ref_bits(
+        [1]
+    )
+    assert {(r["j"], r["b"]) for r in rows if r["g"] == 0} == _ref_bits([2])
+
+
+def test_validation_and_merge_shape(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="k_hashes must be"):
+        bloom_sketch(df, "k", M_BITS, 99)
+    with pytest.raises(ValueError, match="multiple of"):
+        bloom_sketch(df, "k", 1026, 4)
+    with pytest.raises(ValueError, match="exceeds the hash grid"):
+        bloom_sketch(df, "k", 8 * _P, 4)
+    with pytest.raises(ValueError, match="at least one"):
+        bloom_merge()
+    sk = bloom_sketch(df, "k", M_BITS, K)
+    # reordered columns are the same sketch (sorted-compare, the
+    # hll_merge ADVICE r11 convention) …
+    assert _bits(bloom_merge(sk.select("set", "b", "j"))) == _bits(sk)
+    # … a grouped sketch under flat group_cols is not
+    g = bloom_sketch(
+        spark.createDataFrame([(0, 1)], "g long, k long"),
+        "k",
+        M_BITS,
+        K,
+        group_cols=("g",),
+    )
+    with pytest.raises(ValueError, match="group_cols must match"):
+        bloom_merge(g)

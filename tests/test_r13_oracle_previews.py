@@ -1,0 +1,153 @@
+"""r13 declaration previews: the r12 build-ahead operators' future
+declared queries, run against their EXACT intended DuckDB oracle SQL
+through the same compare harness the driver uses — everything but the
+registry entries (which must wait for the r13 window per the rotation
+contract). When r13 declares them, the bodies and oracle strings move
+VERBATIM into a queries/ module and this file is rewritten
+registry-driven (the r10/r12 convention, now ENFORCED by
+tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
+— these ``*_preview`` functions fail the build if WINDOW_ROUND
+reaches 13 without the declarations landing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.tables import load_table
+from tests.oracle_compare import compare
+
+_SF01 = "/root/testdata/sf0.01"
+
+_BF_M, _BF_K, _BF_PROBES = 4096, 4, 2000
+_HW_WIN = 7
+_DAY_US = 86400 * 1000000
+
+
+@pytest.fixture(params=["sf0.001", "sf0.01"])
+def any_sf(request, sf_dir):
+    return _SF01 if request.param == "sf0.01" else sf_dir
+
+
+def test_bloom_filter_preview(spark, any_sf):
+    """Bloom membership over the order custkeys, probed on a fixed id
+    range spanning present AND absent keys: no false negatives ever
+    (the never_miss audit), and the false positives are THE SAME false
+    positives in both engines (deterministic affine bits) — so the
+    whole verdict table hash-matches, not just a gate."""
+    from food_panda_etl_spark.operators.bloom import (
+        bloom_probe,
+        bloom_sketch,
+        oracle_bloom_dm_sql,
+    )
+    from food_panda_etl_spark.operators.cms import _P
+
+    width = _BF_M // _BF_K
+    o = load_table(spark, any_sf, "orders")
+    sk = bloom_sketch(o, "o_custkey", m_bits=_BF_M, k_hashes=_BF_K)
+    probes = spark.range(_BF_PROBES).select(F.col("id").alias("k"))
+    mp = bloom_probe(sk, probes, "k", m_bits=_BF_M, k_hashes=_BF_K)
+    truth = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .withColumn("__t", F.lit(1))
+    )
+    got = mp.join(truth, "k", "left").select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("maybe_present"),
+        F.coalesce(F.col("__t"), F.lit(0)).cast("int").alias(
+            "truly_present"
+        ),
+        (F.col("maybe_present") >= F.coalesce(F.col("__t"), F.lit(0)))
+        .cast("int")
+        .alias("never_miss"),
+    )
+    oracle = f"""
+    WITH dm AS {oracle_bloom_dm_sql(_BF_K)},
+    keys AS (SELECT DISTINCT o_custkey AS key FROM orders
+             WHERE o_custkey IS NOT NULL),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT j, ((key % {_P}) * a + c) % {_P} % {width} AS b,
+               1 AS st
+        FROM keys CROSS JOIN dm),
+    pr AS (SELECT unnest(generate_series(0, {_BF_PROBES - 1})) AS k),
+    pc AS (SELECT k, j, ((k % {_P}) * a + c) % {_P} % {width} AS b
+           FROM pr CROSS JOIN dm),
+    hit AS (SELECT k,
+                   CAST(sum(coalesce(st, 0)) = {_BF_K} AS INT)
+                     AS maybe_present
+            FROM pc LEFT JOIN bits USING (j, b) GROUP BY k),
+    tr AS (SELECT pr.k,
+                  CAST(keys.key IS NOT NULL AS INT) AS truly_present
+           FROM pr LEFT JOIN keys ON pr.k = keys.key)
+    SELECT CAST(hit.k AS BIGINT) AS k,
+           hit.maybe_present,
+           tr.truly_present,
+           CAST(hit.maybe_present >= tr.truly_present AS INT) AS never_miss
+    FROM hit JOIN tr ON hit.k = tr.k
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+def test_hll_windowed_preview(spark, any_sf):
+    """Trailing-window distinct users from per-day HLL sketches
+    (`operators/hll_windowed.py`): filter the day groups → max
+    registers across the day dimension → estimate, NO rescan of the
+    fact — vs the oracle's register replay over the window's rows
+    through the SHARED `curation._hll_oracle` builder (one definition
+    for flat, grouped, AND windowed — the no-drift rule; the window
+    CTEs thread in via ``prefix_ctes``)."""
+    from food_panda_etl_spark.operators.hll import hll_estimate, hll_sketch
+    from food_panda_etl_spark.operators.hll_windowed import (
+        hll_merge_groups,
+    )
+    from food_panda_etl_spark.queries.curation import _hll_oracle
+
+    ev = (
+        load_table(spark, any_sf, "events")
+        .select(
+            F.col("user_id").alias("k"),
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_DAY_US}"
+            ).alias("day"),
+        )
+        .filter(F.col("k").isNotNull() & F.col("day").isNotNull())
+    )
+    by_day = hll_sketch(ev, "k", group_cols=("day",)).localCheckpoint(
+        eager=False
+    )
+    mx = by_day.agg(F.max("day").alias("md"))
+    recent = hll_merge_groups(
+        by_day.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.col("md") - _HW_WIN)
+        .drop("md")
+    )
+    est = hll_estimate(recent)
+    exact = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.col("md") - _HW_WIN)
+        .agg(F.countDistinct("k").cast("bigint").alias("n_exact"))
+    )
+    got = est.crossJoin(F.broadcast(exact)).select(
+        "nonzero_regs",
+        "dyadic_sum",
+        "raw_estimate",
+        "n_exact",
+        (F.col("raw_estimate") / F.col("n_exact").cast("double")).alias(
+            "ratio"
+        ),
+    )
+    prefix = f"""ev AS (SELECT user_id AS k,
+                      epoch_us(ts) // {_DAY_US} AS day
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    mx AS (SELECT max(day) AS md FROM ev),
+    win AS MATERIALIZED (
+        SELECT k FROM ev CROSS JOIN mx WHERE day > md - {_HW_WIN}),
+    """
+    oracle = _hll_oracle(
+        key="k", relation="win", prefix_ctes=prefix, key_filter=""
+    )
+    assert compare(got, oracle, any_sf) == []
