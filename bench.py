@@ -312,7 +312,7 @@ def main() -> None:
 
     # the printed line must survive the driver's 2000-char stdout tail;
     # if future HEADLINE growth outruns the budget, drop the CHEAPEST
-    # keys from the printed dict (never from BENCH_LOCAL.json, which
+    # keys from the printed dict (never from BENCH_LAST_RUN.json, which
     # keeps every key at full precision) rather than truncating or
     # aborting — an honest partial line beats a lost artifact.
     printed = {k.removeprefix("q_"): round(v, 2) for k, v in times.items()}

@@ -118,13 +118,34 @@ def bloom_probe(
     k_hashes: int = 4,
 ) -> DataFrame:
     """(*probes.columns, maybe_present int) — 1 iff every one of the
-    key's k cells is set. Present keys ALWAYS return 1 (no false
-    negatives — the one-sided contract); absent keys return 1 with
-    probability ≈ (1 − e^(−kn/m))^k. (m_bits, k_hashes) MUST match the
-    build (same caller contract as the merge). The probe is one
-    broadcast-sized join on (j, b) + one per-key count — never a
-    shuffle of the sketch."""
+    key's k cells is set; ONE row per DISTINCT probe row (the groupBy
+    collapses duplicates, and the verdict is a pure function of the
+    key). Present keys ALWAYS return 1 (no false negatives — the
+    one-sided contract); absent keys return 1 with probability ≈
+    (1 − e^(−kn/m))^k. (m_bits, k_hashes) MUST match the build (same
+    caller contract as the merge); the sketch SHAPE is validated here
+    too — a grouped sketch joined flat would multi-match cells and
+    silently produce false negatives (review-caught), the exact
+    silent-corruption class the merge check exists for. The verdict
+    counts DISTINCT hit hash rows, not matched sketch rows, so it is
+    also immune to duplicate probe rows (sum-of-matches was not:
+    2k hits ≠ k read as absent — review-caught). The probe is one
+    broadcast-sized join on (j, b) + one per-key agg — never a shuffle
+    of the sketch."""
     width = _validate(m_bits, k_hashes)
+    if sorted(sketch.columns) != ["b", "j", "set"]:
+        raise ValueError(
+            f"bloom_probe: sketch has columns {list(sketch.columns)}, "
+            "expected [j, b, set] — probe a grouped sketch per group "
+            "(filter or re-merge with bloom_merge(group_cols=()) after "
+            "selecting one group) rather than flat"
+        )
+    clash = sorted({"j", "b", "set"} & set(probes.columns))
+    if clash:
+        raise ValueError(
+            f"bloom_probe: probe columns {clash} collide with the "
+            "sketch's reserved (j, b, set) — rename them first"
+        )
     k = F.col(col)
     cells = F.array(*[
         F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))
@@ -141,7 +162,12 @@ def bloom_probe(
     return (
         hits.groupBy(*probes.columns)
         .agg(
-            (F.sum(F.coalesce(F.col("set"), F.lit(0))) == k_hashes)
+            (
+                F.count_distinct(
+                    F.when(F.col("set").isNotNull(), F.col("j"))
+                )
+                == k_hashes
+            )
             .cast("int")
             .alias("maybe_present")
         )
@@ -173,7 +199,10 @@ def oracle_bloom_dm_sql(k_hashes: int) -> str:
     B_j) rows interpolated from the operator's constants (one builder
     per side, the cms _DM_VALUES convention). Returns a VALUES-table
     SQL fragment callers CROSS JOIN and compute
-    ``((key % P) * a + c) % P % width`` with — a fragment, so build
+    ``(((key % P) + P) % P * a + c) % P % width`` with — the +P
+    re-reduction matters: the engine's `_cell` uses pmod (non-negative
+    residues) while DuckDB's % truncates, so the raw ``key % P`` form
+    diverges on NEGATIVE keys (review-caught). A fragment, so build
     and probe replays share one definition."""
     from food_panda_etl_spark.operators.cms import _ADDS
 

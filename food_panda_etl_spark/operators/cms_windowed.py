@@ -113,6 +113,16 @@ def cms_merge_groups(
                 f"(has {list(s.columns)}) — group_cols must be a subset "
                 "of every input's group dimensions"
             )
+        dups = sorted(c for c in need if s.columns.count(c) > 1)
+        if dups:
+            # the hll_merge ADVICE r11 lesson: a duplicated needed
+            # column passes a set-based test and dies later in the
+            # select with an ambiguous-reference error — fail here
+            raise ValueError(
+                f"cms_merge_groups: sketch #{i} has duplicated columns "
+                f"{dups} (has {list(s.columns)}) — deduplicate before "
+                "merging"
+            )
     cnt = F.col("cnt")
     if width is not None or depth is not None:
         ok = F.lit(True)

@@ -51,6 +51,17 @@ def hll_merge_groups(
                 f"(has {list(s.columns)}) — group_cols must be a subset "
                 "of every input's group dimensions"
             )
+        dups = sorted(c for c in need if s.columns.count(c) > 1)
+        if dups:
+            # the hll_merge ADVICE r11 lesson, applied to the subset
+            # check: a duplicated needed column (e.g. from a join)
+            # would pass a set-based test and die later inside the
+            # select with an ambiguous-reference error
+            raise ValueError(
+                f"hll_merge_groups: sketch #{i} has duplicated columns "
+                f"{dups} (has {list(s.columns)}) — deduplicate before "
+                "merging"
+            )
     parts = [s.select(*group_cols, "reg", "rho") for s in sketches]
     out = parts[0]
     for s in parts[1:]:

@@ -10,11 +10,16 @@ evidence.
 
 The query bodies and oracle strings moved VERBATIM from
 `tests/test_r11_oracle_previews.py`, where they were pre-verified end
-to end through the driver's own compare harness at sf0.001 and sf0.01
-(the only delta: the q_group_sample oracle uses the PRE-REDUCED hash
-form ``((doc_id % P) * M) % P`` matching the r11 engine fix in
-`operators/sampling_group.py` — residue-identical to the preview's raw
-form on every fixture id, and overflow-free on the full int64 range).
+to end through the driver's own compare harness at sf0.001 and sf0.01,
+with two intended deltas — both value-identical on every fixture row:
+the q_group_sample oracle uses the PRE-REDUCED hash form
+``((doc_id % P) * M) % P`` matching the r11 engine fix in
+`operators/sampling_group.py` (residue-identical to the preview's raw
+form on every fixture id, overflow-free on the full int64 range), and
+the q_cms_windowed oracle SIGN-NORMALIZES the key residue
+(``((k % P) + P) % P`` — review-caught: the engine's `_cell` uses
+pmod while DuckDB's % truncates, so the raw form diverges on negative
+keys; fixture user_ids are non-negative, hence value-identical here).
 """
 
 from __future__ import annotations
@@ -155,12 +160,12 @@ def q_hll_xxhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     win AS MATERIALIZED (
         SELECT k FROM ev CROSS JOIN mx WHERE day > md - {_CMSW_WIN}),
     sk AS MATERIALIZED (
-        SELECT d, ((k % {_P}) * a + c) % {_P} % {_CMSW_WIDTH} AS b,
+        SELECT d, (((k % {_P}) + {_P}) % {_P} * a + c) % {_P} % {_CMSW_WIDTH} AS b,
                count(*) AS cnt
         FROM win CROSS JOIN dm
-        GROUP BY d, ((k % {_P}) * a + c) % {_P} % {_CMSW_WIDTH}),
+        GROUP BY d, (((k % {_P}) + {_P}) % {_P} * a + c) % {_P} % {_CMSW_WIDTH}),
     pr AS (SELECT unnest(generate_series(0, {_CMSW_PROBES - 1})) AS k),
-    pc AS (SELECT k, d, ((k % {_P}) * a + c) % {_P} % {_CMSW_WIDTH} AS b
+    pc AS (SELECT k, d, (((k % {_P}) + {_P}) % {_P} * a + c) % {_P} % {_CMSW_WIDTH} AS b
            FROM pr CROSS JOIN dm),
     est AS (SELECT k, min(coalesce(cnt, 0)) AS est
             FROM pc LEFT JOIN sk USING (d, b) GROUP BY k),

@@ -126,3 +126,29 @@ def test_validation_and_merge_shape(spark):
     )
     with pytest.raises(ValueError, match="group_cols must match"):
         bloom_merge(g)
+
+
+def test_probe_duplicate_rows_and_shape_guards(spark):
+    """Review-caught r12: duplicate probe rows must NOT read as absent
+    (the old sum-of-matches verdict saw 2k hits != k); a grouped sketch
+    probed flat must raise, not silently multi-match into false
+    negatives; reserved probe column names must raise."""
+    present = [3, 17]
+    df = spark.createDataFrame([(k,) for k in present], "k long")
+    sk = bloom_sketch(df, "k", M_BITS, K)
+    dup_probes = spark.createDataFrame([(3,), (3,), (17,)], "k long")
+    out = bloom_probe(sk, dup_probes, "k", M_BITS, K).collect()
+    assert len(out) == 2  # one row per DISTINCT probe row
+    assert all(r["maybe_present"] == 1 for r in out)
+    g = bloom_sketch(
+        spark.createDataFrame([(0, 3), (1, 3)], "g long, k long"),
+        "k",
+        M_BITS,
+        K,
+        group_cols=("g",),
+    )
+    with pytest.raises(ValueError, match="probe a grouped sketch"):
+        bloom_probe(g, dup_probes, "k", M_BITS, K)
+    clash = spark.createDataFrame([(3, 1)], "k long, b int")
+    with pytest.raises(ValueError, match="collide with"):
+        bloom_probe(sk, clash, "k", M_BITS, K)

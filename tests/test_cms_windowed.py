@@ -146,3 +146,13 @@ def test_merge_geometry_guard_fires_and_is_best_effort(spark):
         small, group_cols=("g",), width=W, depth=D
     ).collect()
     assert rows  # passes the bounds check — undetectable by design
+
+
+def test_merge_groups_rejects_duplicate_columns(spark):
+    """Review-caught r12 (the hll_merge ADVICE r11 lesson): duplicated
+    needed columns fail loudly at the merge, not downstream."""
+    df = spark.createDataFrame([(0, 1)], "g long, k long")
+    sk = cms_sketch_by_group(df, "k", ("g",), width=W, depth=D)
+    dup = sk.select("g", "d", "b", "cnt", "cnt")
+    with pytest.raises(ValueError, match="duplicated columns"):
+        cms_merge_groups(dup, group_cols=("g",))

@@ -68,3 +68,14 @@ def test_merge_groups_validates(spark):
     flat = hll_sketch(df, "k")
     with pytest.raises(ValueError, match="lacks columns"):
         hll_merge_groups(flat, group_cols=("day",))
+
+
+def test_merge_groups_rejects_duplicate_columns(spark):
+    """Review-caught r12 (the hll_merge ADVICE r11 lesson applied to
+    the subset check): a duplicated needed column must fail loudly
+    here, not as a downstream ambiguous-reference error."""
+    df = spark.createDataFrame([(1, 0)], "k long, day int")
+    sk = hll_sketch(df, "k", group_cols=("day",))
+    dup = sk.select("day", "reg", "rho", "rho")
+    with pytest.raises(ValueError, match="duplicated columns"):
+        hll_merge_groups(dup, group_cols=("day",))

@@ -69,11 +69,12 @@ def test_bloom_filter_preview(spark, any_sf):
     keys AS (SELECT DISTINCT o_custkey AS key FROM orders
              WHERE o_custkey IS NOT NULL),
     bits AS MATERIALIZED (
-        SELECT DISTINCT j, ((key % {_P}) * a + c) % {_P} % {width} AS b,
+        SELECT DISTINCT j,
+               (((key % {_P}) + {_P}) % {_P} * a + c) % {_P} % {width} AS b,
                1 AS st
         FROM keys CROSS JOIN dm),
     pr AS (SELECT unnest(generate_series(0, {_BF_PROBES - 1})) AS k),
-    pc AS (SELECT k, j, ((k % {_P}) * a + c) % {_P} % {width} AS b
+    pc AS (SELECT k, j, (((k % {_P}) + {_P}) % {_P} * a + c) % {_P} % {width} AS b
            FROM pr CROSS JOIN dm),
     hit AS (SELECT k,
                    CAST(sum(coalesce(st, 0)) = {_BF_K} AS INT)
