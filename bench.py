@@ -189,10 +189,19 @@ HEADLINE = [
     "q_hll_counts",
     "q_priority_sample",
     "q_curriculum_mix",
+    # round-12 additions: the five newly declared sketch/sampling keys
+    # (group bottom-k via WindowGroupLimit, grouped HLL, the xxhash64
+    # HLL gate, the trailing-window CMS, and the map-only JL sign
+    # projection).
+    "q_group_sample",
+    "q_hll_by_group",
+    "q_hll_xxhash_gate",
+    "q_cms_windowed",
+    "q_random_projection",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 99 of the 148 declared
-# keys are timed above. The 49 excluded, by category:
+# Bench coverage accounting (VERDICT r6 task 7): 104 of the 153
+# declared keys are timed above. The 49 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —
 #     q_project q_ceil_div q_case_when q_null_handling q_epoch_cast
