@@ -544,6 +544,68 @@ def r12_curves(spark, sizes) -> dict:
     return curves
 
 
+def r13_curves(spark, sizes) -> dict:
+    """r13 build-ahead curves, runnable alone via `--r13` (min-of-two
+    per point):
+
+    - Bloom filter (r12 build-ahead): build (one k-way explode + one
+      distinct hash agg, ≤ m rows out) + probe (broadcast join + per-
+      key distinct-hit count over a fixed 2k-probe frame). Expected
+      near-linear in rows with the scan floor dominating — the sketch
+      side of the probe join is bounded by m regardless of n.
+    - Windowed HLL (r12 build-ahead): per-day register sketches + the
+      trailing-window re-bucket (max across the day dimension) +
+      estimate. Expected the hll_portable cost shape — one narrow
+      projection + one (day, reg) hash agg; the merge agg touches
+      ≤ days·m rows, invariant in n.
+    """
+    from food_panda_etl_spark.operators.bloom import (
+        bloom_probe,
+        bloom_sketch,
+    )
+    from food_panda_etl_spark.operators.hll import hll_estimate, hll_sketch
+    from food_panda_etl_spark.operators.hll_windowed import (
+        hll_merge_groups,
+    )
+
+    curves: dict[str, dict[int, float]] = {
+        "bloom_build_probe": {},
+        "hll_windowed": {},
+    }
+    for n in sizes:
+        d = (
+            spark.range(n)
+            .select(
+                (F.pmod(F.xxhash64(F.col("id")), F.lit(n))).alias("k"),
+                (F.pmod(F.xxhash64(F.col("id") + 29), F.lit(30))).alias(
+                    "day"
+                ),
+            )
+            .cache()
+        )
+        d.count()
+        probes = spark.range(2000).select(F.col("id").alias("pk"))
+
+        def run_bloom():
+            sk = bloom_sketch(d, "k", m_bits=65536, k_hashes=4)
+            bloom_probe(sk, probes, "pk", m_bits=65536, k_hashes=4).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        curves["bloom_build_probe"][n] = min(timed(run_bloom), timed(run_bloom))
+
+        def run_hllw():
+            by_day = hll_sketch(d, "k", group_cols=("day",))
+            recent = hll_merge_groups(by_day.filter(F.col("day") >= 23))
+            hll_estimate(recent).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        curves["hll_windowed"][n] = min(timed(run_hllw), timed(run_hllw))
+        d.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -575,6 +637,13 @@ def main() -> None:
     if "--r12" in sys.argv:  # only the r12 curve (the order.py pin)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r12_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r13" in sys.argv:  # only the r13 curves (bloom / windowed HLL)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r13_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))

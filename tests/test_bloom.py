@@ -152,3 +152,20 @@ def test_probe_duplicate_rows_and_shape_guards(spark):
     clash = spark.createDataFrame([(3, 1)], "k long, b int")
     with pytest.raises(ValueError, match="collide with"):
         bloom_probe(sk, clash, "k", M_BITS, K)
+
+
+def test_probe_plan_is_broadcast_join(spark, sf_dir):
+    """The probe's join against the ≤ m-row sketch must plan as a
+    BroadcastHashJoin — the big probe side never shuffles (the
+    cms_estimate convention); and the map-only build/probe pipeline
+    plans with no CartesianProduct."""
+    from food_panda_etl_spark.plans import plan_summary
+    from food_panda_etl_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    sk = bloom_sketch(o, "o_custkey", m_bits=4096, k_hashes=4)
+    probes = spark.range(500).select(F.col("id").alias("k"))
+    s = plan_summary(bloom_probe(sk, probes, "k", 4096, 4))
+    assert s.broadcast_joins >= 1
+    assert s.sort_merge_joins == 0
+    assert s.cartesian_products == 0 and s.nested_loop_joins == 0
