@@ -136,9 +136,9 @@ def bloom_probe(
     if sorted(sketch.columns) != ["b", "j", "set"]:
         raise ValueError(
             f"bloom_probe: sketch has columns {list(sketch.columns)}, "
-            "expected [j, b, set] — probe a grouped sketch per group "
-            "(filter or re-merge with bloom_merge(group_cols=()) after "
-            "selecting one group) rather than flat"
+            "expected [j, b, set] — to probe a grouped sketch, filter "
+            "to ONE group and select('j', 'b', 'set') (a single group's "
+            "rows ARE a flat sketch) rather than probing flat"
         )
     clash = sorted({"j", "b", "set"} & set(probes.columns))
     if clash:

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.cms import _MULTS, _P, _cell
+from food_panda_etl_spark.operators.sketch_checks import check_merge_columns
 
 
 def cms_sketch_by_group(
@@ -104,25 +105,9 @@ def cms_merge_groups(
     the sketch and compare before merging."""
     if not sketches:
         raise ValueError("cms_merge_groups: need at least one sketch")
-    need = {*group_cols, "d", "b", "cnt"}
-    for i, s in enumerate(sketches):
-        missing = sorted(need - set(s.columns))
-        if missing:
-            raise ValueError(
-                f"cms_merge_groups: sketch #{i} lacks columns {missing} "
-                f"(has {list(s.columns)}) — group_cols must be a subset "
-                "of every input's group dimensions"
-            )
-        dups = sorted(c for c in need if s.columns.count(c) > 1)
-        if dups:
-            # the hll_merge ADVICE r11 lesson: a duplicated needed
-            # column passes a set-based test and dies later in the
-            # select with an ambiguous-reference error — fail here
-            raise ValueError(
-                f"cms_merge_groups: sketch #{i} has duplicated columns "
-                f"{dups} (has {list(s.columns)}) — deduplicate before "
-                "merging"
-            )
+    check_merge_columns(
+        "cms_merge_groups", {*group_cols, "d", "b", "cnt"}, sketches
+    )
     cnt = F.col("cnt")
     if width is not None or depth is not None:
         ok = F.lit(True)

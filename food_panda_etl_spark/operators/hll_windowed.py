@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from food_panda_etl_spark.operators.sketch_checks import check_merge_columns
+
 
 def hll_merge_groups(
     *sketches: DataFrame, group_cols: tuple[str, ...] = ()
@@ -42,26 +44,9 @@ def hll_merge_groups(
     are whatever else the input carries)."""
     if not sketches:
         raise ValueError("hll_merge_groups: need at least one sketch")
-    need = {*group_cols, "reg", "rho"}
-    for i, s in enumerate(sketches):
-        missing = sorted(need - set(s.columns))
-        if missing:
-            raise ValueError(
-                f"hll_merge_groups: sketch #{i} lacks columns {missing} "
-                f"(has {list(s.columns)}) — group_cols must be a subset "
-                "of every input's group dimensions"
-            )
-        dups = sorted(c for c in need if s.columns.count(c) > 1)
-        if dups:
-            # the hll_merge ADVICE r11 lesson, applied to the subset
-            # check: a duplicated needed column (e.g. from a join)
-            # would pass a set-based test and die later inside the
-            # select with an ambiguous-reference error
-            raise ValueError(
-                f"hll_merge_groups: sketch #{i} has duplicated columns "
-                f"{dups} (has {list(s.columns)}) — deduplicate before "
-                "merging"
-            )
+    check_merge_columns(
+        "hll_merge_groups", {*group_cols, "reg", "rho"}, sketches
+    )
     parts = [s.select(*group_cols, "reg", "rho") for s in sketches]
     out = parts[0]
     for s in parts[1:]:
