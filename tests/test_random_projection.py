@@ -186,3 +186,20 @@ def test_oracle_sql_id_col_parameter_is_runnable():
     assert out.num_rows == con.execute(
         "SELECT count(*) FROM emb2"
     ).fetchone()[0]
+
+
+def test_projection_plan_is_map_only(spark, sf_dir):
+    """The declared q_random_projection claim — ONE map-only narrow
+    projection — machine-asserted: zero exchanges, zero joins, and the
+    scan reads only the two needed columns (column pruning reached the
+    parquet scan)."""
+    from food_panda_etl_spark.plans import plan_summary
+    from food_panda_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = plan_summary(random_project(e, "embedding", 64, 4))
+    assert s.exchanges == 0
+    assert s.broadcast_joins == 0 and s.sort_merge_joins == 0
+    assert s.cartesian_products == 0 and s.nested_loop_joins == 0
+    assert len(s.read_schemas) == 1
+    assert s.read_schemas[0].count(":") == 2  # vec_id + embedding only
