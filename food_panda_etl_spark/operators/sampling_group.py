@@ -91,3 +91,83 @@ def group_bottomk_sample(
         .filter(F.col("rk") <= int(k))
         .drop("__h")
     )
+
+
+def group_priority_sample(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Weighted bottom-k PER GROUP — sequential Poisson (priority)
+    sampling (`operators/sampling_priority.py`, Ohlsson 1998) with the
+    group dimension threaded through: the ≤ k rows with the smallest
+    hash/weight priority in each group, inclusion approximately
+    proportional to weight WITHIN the group. The weighted counterpart
+    of :func:`group_bottomk_sample` exactly as flat priority sampling
+    is the weighted counterpart of flat bottom-k (unit weights make
+    the two coincide — property-tested), and the same engine shape:
+    ONE narrow projection + ONE per-group window whose rank filter
+    rewrites to WindowGroupLimit (≤ k rows per (group, partition) move;
+    plan-gated), vs the stratified systematic sampler's global prefix
+    sum + broadcast rebase — use this for "per language, ~k docs,
+    longer ones more often" selection where plan cost dominates, the
+    stratified sampler when exact per-stratum inclusion probabilities
+    feed a weighted estimator.
+
+    Returns (*group_cols, id_col, *carry_cols, weight bigint,
+    priority double, rk int) — exactly min(k, #w>0 rows) per group.
+    Determinism: priority = ONE IEEE division of integer-derived
+    doubles on the shared hash (the priority_sample convention —
+    bit-equal cross-engine), total order via the id tiebreak, so the
+    selected set replays as `row_number() OVER (PARTITION BY g ORDER
+    BY CAST(h AS DOUBLE)/w, id) <= k`. Zero weights are never
+    selected; negative/NULL/NaN weights raise in-plan
+    (`guarded_weight`); NULL ids raise (NULL sort position differs
+    across engines); NULL groups are their own group; mergeable like
+    bottom-k (over SETS — dedup (group, id) on overlapping shards
+    before re-sampling)."""
+    from food_panda_etl_spark.operators.sampling import guarded_weight
+
+    if int(k) < 1:
+        raise ValueError(
+            f"group_priority_sample: k must be >= 1, got {k!r}"
+        )
+    if not group_cols:
+        raise ValueError(
+            "group_priority_sample: group_cols must be non-empty — for "
+            "a global sample use priority_sample"
+        )
+    ids = F.col(id_col)
+    h = F.when(ids.isNotNull(), sample_order_hash(id_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"group_priority_sample: {id_col} must be non-NULL "
+                "(NULL sort position differs across engines)"
+            )
+        )
+    )
+    keyed = df.select(
+        *[F.col(c) for c in group_cols],
+        ids.alias(id_col),
+        *[F.col(c) for c in carry_cols],
+        guarded_weight(weight_col, "group_priority_sample").alias("__w"),
+        h.alias("__h"),
+    ).filter(F.col("__w") > 0)
+    pri = F.col("__h").cast("double") / F.col("__w").cast("double")
+    w = Window.partitionBy(*group_cols).orderBy("priority", id_col)
+    return (
+        keyed.withColumn("priority", pri)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            *group_cols,
+            id_col,
+            *carry_cols,
+            F.col("__w").alias("weight"),
+            "priority",
+            "rk",
+        )
+    )

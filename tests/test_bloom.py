@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.bloom import (
     bloom_merge,
+    bloom_prefilter,
     bloom_probe,
     bloom_sketch,
 )
@@ -169,3 +170,49 @@ def test_probe_plan_is_broadcast_join(spark, sf_dir):
     assert s.broadcast_joins >= 1
     assert s.sort_merge_joins == 0
     assert s.cartesian_products == 0 and s.nested_loop_joins == 0
+
+
+def test_prefilter_matches_probe_and_plans_map_only(spark, sf_dir):
+    """The fact-scale prefilter must agree with bloom_probe verdict-
+    for-verdict (same bits, same hashes), return 0 for NULL keys, and
+    plan with ZERO exchanges on the fact side — the sketch folds into
+    one broadcast row, the fact is a map-only projection after it."""
+    present = [3, 17, 2**40, -9]
+    base = spark.createDataFrame([(k,) for k in present], "k long")
+    sk = bloom_sketch(base, "k", M_BITS, K)
+    probe_keys = present + [5, 123456, -77]
+    probes = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    want = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_probe(sk, probes, "k", M_BITS, K).collect()
+    }
+    got_df = bloom_prefilter(sk, probes, "k", M_BITS, K)
+    got = {r["k"]: r["maybe_present"] for r in got_df.collect()}
+    assert got == want
+    nulls = spark.createDataFrame([(None,), (3,)], "k long")
+    out = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_prefilter(sk, nulls, "k", M_BITS, K).collect()
+    }
+    assert out[None] == 0 and out[3] == 1
+    # plan: every exchange sits on the ≤ m-row sketch subtree (the
+    # sketch build agg, the per-j map fold, the one-row fold); the
+    # parquet fact side itself never exchanges before the broadcast
+    from food_panda_etl_spark.plans import plan_summary
+    from food_panda_etl_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    s = plan_summary(bloom_prefilter(sk, o, "o_custkey", M_BITS, K))
+    assert s.cartesian_products == 0
+    assert s.sort_merge_joins == 0
+    assert s.exchanges <= 3  # all on the ≤ m-row sketch subtree
+    # shape guards mirror bloom_probe's
+    g = bloom_sketch(
+        spark.createDataFrame([(0, 1)], "g long, k long"),
+        "k", M_BITS, K, group_cols=("g",),
+    )
+    with pytest.raises(ValueError, match="filter to ONE group"):
+        bloom_prefilter(g, probes, "k", M_BITS, K)
+    with pytest.raises(ValueError, match="different out_col"):
+        bloom_prefilter(sk, probes.withColumn("maybe_present", F.lit(1)),
+                        "k", M_BITS, K)

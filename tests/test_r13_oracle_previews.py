@@ -152,3 +152,105 @@ def test_hll_windowed_preview(spark, any_sf):
         key="k", relation="win", prefix_ctes=prefix, key_filter=""
     )
     assert compare(got, oracle, any_sf) == []
+
+
+_GPS_K = 10
+
+
+def test_group_priority_sample_preview(spark, any_sf):
+    """Per-language WEIGHTED bottom-10 (priority sampling per group,
+    weight = n_chars): inclusion ~proportional to length within each
+    language at WindowGroupLimit cost — the
+    row_number-over-(h/w, id) replay; priorities are single IEEE
+    divisions of integer-derived doubles, so even the double column
+    hash-matches."""
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+
+    d = load_table(spark, any_sf, "documents")
+    got = group_priority_sample(d, ("lang",), "n_chars", _GPS_K)
+    oracle = f"""
+    WITH h AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+                      ((doc_id % 1000003) * 1315423911) % 1000003 AS h
+               FROM documents),
+    p AS (SELECT lang, doc_id, w,
+                 CAST(h AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+          FROM h WHERE w > 0),
+    r AS (SELECT lang, doc_id, w, priority,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY priority, doc_id) AS INT) AS rk
+          FROM p)
+    SELECT lang, doc_id, w AS weight, priority, rk
+    FROM r WHERE rk <= {_GPS_K}
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+def test_bloom_prefilter_preview(spark, any_sf):
+    """The Bloom operator's actual 100 TB job, driver-evidenced: build
+    over the SMALL join side (high-balance customers), pre-filter the
+    FACT (orders) with the zero-fact-shuffle broadcast form, and report
+    the one-row audit — total orders, orders passing the filter, the
+    exact semi-join count, and the no-false-negative verdict
+    (n_pass >= n_exact ALWAYS; the gap is the deterministic FP mass
+    both engines reproduce bit-for-bit)."""
+    from food_panda_etl_spark.operators.bloom import (
+        bloom_prefilter,
+        bloom_sketch,
+        oracle_bloom_dm_sql,
+    )
+    from food_panda_etl_spark.operators.cms import _P
+
+    width = _BF_M // _BF_K
+    c = load_table(spark, any_sf, "customer").filter(
+        F.col("c_acctbal") > 5000
+    )
+    sk = bloom_sketch(c, "c_custkey", m_bits=_BF_M, k_hashes=_BF_K)
+    o = load_table(spark, any_sf, "orders")
+    flt = bloom_prefilter(sk, o, "o_custkey", m_bits=_BF_M, k_hashes=_BF_K)
+    agg = flt.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("maybe_present").cast("bigint").alias("n_pass"),
+    )
+    ex = (
+        o.join(
+            c.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            "o_custkey",
+            "semi",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    got = agg.crossJoin(F.broadcast(ex)).select(
+        "n_orders",
+        "n_pass",
+        "n_exact",
+        (F.col("n_pass") >= F.col("n_exact")).cast("int").alias(
+            "never_miss"
+        ),
+    )
+    oracle = f"""
+    WITH dm AS {oracle_bloom_dm_sql(_BF_K)},
+    keys AS (SELECT DISTINCT c_custkey AS key FROM customer
+             WHERE c_acctbal > 5000 AND c_custkey IS NOT NULL),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT j,
+               (((key % {_P}) + {_P}) % {_P} * a + c) % {_P} % {width} AS b,
+               1 AS st
+        FROM keys CROSS JOIN dm),
+    pc AS (SELECT o_orderkey, j,
+                  (((o_custkey % {_P}) + {_P}) % {_P} * a + c)
+                    % {_P} % {width} AS b
+           FROM orders CROSS JOIN dm),
+    verd AS (SELECT o_orderkey,
+                    CAST(sum(coalesce(st, 0)) = {_BF_K} AS INT) AS mp
+             FROM pc LEFT JOIN bits USING (j, b) GROUP BY o_orderkey),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(mp) AS BIGINT) AS n_pass FROM verd),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM orders
+           WHERE o_custkey IN (SELECT key FROM keys))
+    SELECT n_orders, n_pass, n_exact,
+           CAST(n_pass >= n_exact AS INT) AS never_miss
+    FROM agg CROSS JOIN ex
+    """
+    assert compare(got, oracle, any_sf) == []

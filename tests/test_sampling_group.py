@@ -146,3 +146,119 @@ def test_bottomk_plan_is_window_group_limit(spark, sf_dir):
     s = plan_summary(group_bottomk_sample(d, ("lang",), 10))
     assert s.window_group_limits >= 1
     assert s.cartesian_products == 0 and s.nested_loop_joins == 0
+
+
+def _pri_ref(rows, k):
+    """rows = {(g, id, w)}; returns {(g, id, rk)} by h/w, id."""
+    _MUL, _P = 1315423911, 1000003
+    out = set()
+    by_g = {}
+    for g, i, w in rows:
+        if w > 0:
+            by_g.setdefault(g, []).append(i)
+    for g, ids in by_g.items():
+        wmap = {i: w for gg, i, w in rows if gg == g}
+        order = sorted(
+            ids, key=lambda i: (((i * _MUL) % _P) / wmap[i], i)
+        )
+        out.update((g, i, r + 1) for r, i in enumerate(order[:k]))
+    return out
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_group_priority_equals_reference(spark, parts):
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+
+    rows = {(i % 3, i, (i * 7) % 11) for i in range(60)}
+    df = spark.createDataFrame(
+        sorted(rows), "g long, doc_id long, w long"
+    ).repartition(parts)
+    got = {
+        (r["g"], r["doc_id"], r["rk"])
+        for r in group_priority_sample(df, ("g",), "w", 5).collect()
+    }
+    assert got == _pri_ref(rows, 5)
+
+
+def test_group_priority_unit_weights_coincide_with_bottomk(spark):
+    """Unit weights make weighted-bottom-k select the SAME ids in the
+    SAME per-group order as the unweighted sampler (priority = h/1 —
+    the module-docstring coincidence, now machine-checked)."""
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, i, 1) for i in range(60)], "g long, doc_id long, w long"
+    )
+    got = {
+        (r["g"], r["doc_id"], r["rk"])
+        for r in group_priority_sample(df, ("g",), "w", 5).collect()
+    }
+    want = {
+        (r["g"], r["doc_id"], r["rk"])
+        for r in group_bottomk_sample(df, ("g",), 5).collect()
+    }
+    assert got == want
+
+
+def test_group_priority_weights_bias_and_validation(spark):
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+
+    # zero-weight rows never selected; heavy row ~always first at
+    # extreme weight ratios (h < P while h/w -> 0 for w >> P)
+    df = spark.createDataFrame(
+        [(0, i, 0) for i in range(10)] + [(0, 99, 10**9), (0, 7, 1)],
+        "g long, doc_id long, w long",
+    )
+    got = group_priority_sample(df, ("g",), "w", 2).collect()
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rk"])] == [
+        99,
+        7,
+    ]
+    with pytest.raises(ValueError, match="k must be"):
+        group_priority_sample(df, ("g",), "w", 0)
+    with pytest.raises(ValueError, match="group_cols must be non-empty"):
+        group_priority_sample(df, (), "w", 1)
+    neg = spark.createDataFrame([(0, 1, -2)], "g long, doc_id long, w long")
+    with pytest.raises(Exception, match="non-negative"):
+        group_priority_sample(neg, ("g",), "w", 1).collect()
+    null_id = spark.createDataFrame(
+        [(0, None, 3)], "g long, doc_id long, w long"
+    )
+    with pytest.raises(Exception, match="must be non-NULL"):
+        group_priority_sample(null_id, ("g",), "w", 1).collect()
+
+
+def test_group_priority_is_mergeable_and_plan_gated(spark, sf_dir):
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+    from food_panda_etl_spark.plans import plan_summary
+    from food_panda_etl_spark.tables import load_table
+
+    rows = {(i % 2, i, 1 + (i * 13) % 7) for i in range(80)}
+    a = [r for r in rows if r[1] % 3 == 0]
+    b = [r for r in rows if r[1] % 3 != 0]
+    schema = "g long, doc_id long, w long"
+    pa_ = group_priority_sample(
+        spark.createDataFrame(a, schema), ("g",), "w", 6
+    ).select("g", "doc_id", F.col("weight").alias("w"))
+    pb = group_priority_sample(
+        spark.createDataFrame(b, schema), ("g",), "w", 6
+    ).select("g", "doc_id", F.col("weight").alias("w"))
+    remerged = {
+        (r["g"], r["doc_id"], r["rk"])
+        for r in group_priority_sample(
+            pa_.unionByName(pb), ("g",), "w", 6
+        ).collect()
+    }
+    assert remerged == _pri_ref(rows, 6)
+    d = load_table(spark, sf_dir, "documents")
+    s = plan_summary(group_priority_sample(d, ("lang",), "n_chars", 10))
+    assert s.window_group_limits >= 1
+    assert s.cartesian_products == 0 and s.nested_loop_joins == 0
