@@ -187,10 +187,15 @@ def bloom_prefilter(
     100 TB job the module docstring promises). :func:`bloom_probe`
     aggregates per probe key, which is right for a verdict TABLE but
     costs a groupBy — a shuffle of the probe frame. Here the whole
-    sketch is folded into ONE broadcast row (a j → (bit → 1) map of
-    ≤ m entries, built by one ≤ m-row aggregation), so the fact side
-    is ONE map-only projection after a broadcast: zero fact shuffles,
-    zero fact aggregations (plan-gated). Same one-sided contract:
+    sketch is folded into ONE broadcast row — a FLAT (j·width + b) → 1
+    map of ≤ m entries (positions are < width, so the flattening is
+    collision-free) built by ONE ≤ m-row aggregation over the DISTINCT
+    cells (the distinct also makes naively-unioned shard sketches work
+    instead of aborting map_from_entries on a duplicate key,
+    review-caught; `bloom_merge` remains the documented combine) — so
+    the fact side is ONE map-only projection after a broadcast: zero
+    fact shuffles, zero fact aggregations (plan-gated, exchange count
+    PINNED). Same one-sided contract:
     present keys ALWAYS get 1; NULL keys get 0 (a NULL can never match
     the equi-join this guards). Lookups use try_element_at — ANSI
     element_at raises on missing map keys, and a missing key is the
@@ -207,22 +212,22 @@ def bloom_prefilter(
             f"bloom_prefilter: df already has a {out_col!r}/__bloom "
             "column — pass a different out_col or rename"
         )
-    per_j = sketch.groupBy("j").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("b"), F.col("set")))
-        ).alias("__m")
-    )
-    one = per_j.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("j"), F.col("__m")))
-        ).alias("__bloom")
+    one = (
+        sketch.select(
+            (F.col("j").cast("long") * width + F.col("b")).alias("__jb")
+        )
+        .distinct()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__jb"), F.lit(1)))
+            ).alias("__bloom")
+        )
     )
     k = F.col(col)
     hit_all = None
     for j in range(k_hashes):
         hit = F.try_element_at(
-            F.try_element_at(F.col("__bloom"), F.lit(j)),
-            _cell(k, j, width),
+            F.col("__bloom"), F.lit(j * width) + _cell(k, j, width)
         ).isNotNull()
         hit_all = hit if hit_all is None else (hit_all & hit)
     return (

@@ -122,6 +122,18 @@ def sample_order_hash(id_col: str):
     return ((F.col(id_col) % 1000003) * 1315423911) % 1000003
 
 
+def priority_expr(h_col: str = "__h", w_col: str = "__w"):
+    """The priority samplers' shared h/w priority — ONE IEEE division
+    of integer-derived doubles (bit-equal cross-engine: identical
+    int64→double casts, identical division — the repo's division
+    convention). Shared by the flat and group-wise priority samplers
+    for the same no-drift reason as :func:`guarded_weight` — a change
+    to one side's division would silently break the documented
+    unit-weight coincidence and both oracle replays (review-caught
+    r12: the expression had been defined independently twice)."""
+    return F.col(h_col).cast("double") / F.col(w_col).cast("double")
+
+
 def tick_count(k_expr):
     """Systematic ticks inside the row's weight interval:
     (k·cum) div T − (k·(cum−w)) div T over the in-scope __cum/__w/__tot

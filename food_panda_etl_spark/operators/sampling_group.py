@@ -48,7 +48,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.sampling import sample_order_hash
+from food_panda_etl_spark.operators.sampling import (
+    guarded_weight,
+    priority_expr,
+    sample_order_hash,
+)
+
+
+def _guarded_hash(id_col: str, op_name: str):
+    """sample_order_hash with the NULL-id raise both group samplers
+    share (review-caught r12: the guard had been duplicated verbatim —
+    the guarded_weight no-drift rule applies to guards too)."""
+    return F.when(
+        F.col(id_col).isNotNull(), sample_order_hash(id_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op_name}: {id_col} must be non-NULL (NULL sort "
+                "position differs across engines)"
+            )
+        )
+    )
+
+
+def _check_reserved(
+    op_name: str,
+    reserved: tuple[str, ...],
+    group_cols: tuple[str, ...],
+    id_col: str,
+    carry_cols: tuple[str, ...],
+) -> None:
+    """The samplers APPEND output columns; a group/id/carry column
+    named like one would be silently overwritten (review-caught r12:
+    carry_cols=("priority",) returned the internal h/w values in the
+    caller's column) — refuse loudly instead."""
+    clash = sorted(
+        set(reserved) & {*group_cols, id_col, *carry_cols}
+    )
+    if clash:
+        raise ValueError(
+            f"{op_name}: column(s) {clash} collide with the sampler's "
+            f"output columns {list(reserved)} — rename them first"
+        )
 
 
 def group_bottomk_sample(
@@ -70,22 +111,17 @@ def group_bottomk_sample(
             "group_bottomk_sample: group_cols must be non-empty — for a "
             "global sample use priority_sample with unit weights"
         )
-    ids = F.col(id_col)
-    h = F.when(ids.isNotNull(), sample_order_hash(id_col)).otherwise(
-        F.raise_error(
-            F.lit(
-                f"group_bottomk_sample: {id_col} must be non-NULL (NULL "
-                "sort position differs across engines)"
-            )
-        )
+    _check_reserved(
+        "group_bottomk_sample", ("rk", "__h"), group_cols, id_col,
+        carry_cols,
     )
     w = Window.partitionBy(*group_cols).orderBy("__h", id_col)
     return (
         df.select(
             *[F.col(c) for c in group_cols],
-            ids.alias(id_col),
+            F.col(id_col),
             *[F.col(c) for c in carry_cols],
-            h.alias("__h"),
+            _guarded_hash(id_col, "group_bottomk_sample").alias("__h"),
         )
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= int(k))
@@ -129,8 +165,6 @@ def group_priority_sample(
     across engines); NULL groups are their own group; mergeable like
     bottom-k (over SETS — dedup (group, id) on overlapping shards
     before re-sampling)."""
-    from food_panda_etl_spark.operators.sampling import guarded_weight
-
     if int(k) < 1:
         raise ValueError(
             f"group_priority_sample: k must be >= 1, got {k!r}"
@@ -140,23 +174,19 @@ def group_priority_sample(
             "group_priority_sample: group_cols must be non-empty — for "
             "a global sample use priority_sample"
         )
-    ids = F.col(id_col)
-    h = F.when(ids.isNotNull(), sample_order_hash(id_col)).otherwise(
-        F.raise_error(
-            F.lit(
-                f"group_priority_sample: {id_col} must be non-NULL "
-                "(NULL sort position differs across engines)"
-            )
-        )
+    _check_reserved(
+        "group_priority_sample",
+        ("weight", "priority", "rk", "__w", "__h"),
+        group_cols, id_col, carry_cols,
     )
     keyed = df.select(
         *[F.col(c) for c in group_cols],
-        ids.alias(id_col),
+        F.col(id_col),
         *[F.col(c) for c in carry_cols],
         guarded_weight(weight_col, "group_priority_sample").alias("__w"),
-        h.alias("__h"),
+        _guarded_hash(id_col, "group_priority_sample").alias("__h"),
     ).filter(F.col("__w") > 0)
-    pri = F.col("__h").cast("double") / F.col("__w").cast("double")
+    pri = priority_expr()
     w = Window.partitionBy(*group_cols).orderBy("priority", id_col)
     return (
         keyed.withColumn("priority", pri)

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.sampling import (
     guarded_weight,
+    priority_expr,
     sample_order_hash,
 )
 
@@ -65,9 +66,7 @@ def priority_sample(
         guarded_weight(weight_col, "priority_sample").alias("__w"),
         sample_order_hash(id_col).alias("__h"),
     ).filter(F.col("__w") > 0)
-    pri = (F.col("__h").cast("double") / F.col("__w").cast("double")).alias(
-        "priority"
-    )
+    pri = priority_expr().alias("priority")
     return (
         keyed.select(id_col, *carry_cols, F.col("__w").alias("weight"), pri)
         .orderBy("priority", id_col)

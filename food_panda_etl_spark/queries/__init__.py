@@ -112,7 +112,7 @@ DECLARED_WINDOW = [
     # on the touched bytes.
     "q_pagerank",
     # …-50 the r8-era greens (oldest remaining evidence, 30 of 45 —
-    # the 15 left, the graph/funnel/clustering block, rotate in r13):
+    # the 14 left, the graph/funnel/clustering block, rotate in r13):
     # joins, windows, setops, sql-layer, storage/skew blocks.
     "q_inner_join",
     "q_left_join",
@@ -146,13 +146,22 @@ DECLARED_WINDOW = [
     "q_embed_centroid",
 ]
 
-# R13 ROTATION PLAN: the 15 remaining r8-era keys (q_snapshot_diff,
-# q_upsert, q_kmeans,
-# q_semantic_dedup, q_heavy_hitters, q_dsir_weight, q_pmi,
-# q_triangle_count, q_labelprop, q_cms_counts, q_quality_classifier,
-# q_funnel, q_retention, q_sessionize) plus any r12 byte-changed
-# operators' queries first; fill remaining slots from the r9-era
-# greens — keeping every key's latest evidence ≤ 4 rounds old.
+# R13 ROTATION PLAN: FOUR pre-verified declarations first — bodies and
+# oracle strings move VERBATIM from tests/test_r13_oracle_previews.py
+# into a new queries/ module (the executed r12 flow; the preview guard
+# in tests/test_registry_rotation.py FAILS the build if WINDOW_ROUND
+# reaches 13 without them): q_bloom_filter (operators/bloom.py verdict
+# table), q_bloom_prefilter (the zero-fact-shuffle broadcast
+# pre-filter audit), q_hll_windowed (operators/hll_windowed.py
+# trailing-window distinct via the parameterized curation._hll_oracle),
+# q_group_priority_sample (operators/sampling_group.py weighted
+# bottom-k per group). Then the 14 remaining r8-era keys
+# (q_snapshot_diff, q_upsert, q_kmeans, q_semantic_dedup,
+# q_heavy_hitters, q_dsir_weight, q_pmi, q_triangle_count,
+# q_labelprop, q_cms_counts, q_quality_classifier, q_funnel,
+# q_retention, q_sessionize) plus any r13 byte-changed operators'
+# queries; fill remaining slots from the r9-era greens — keeping
+# every key's latest evidence ≤ 4 rounds old.
 
 
 def _load_all() -> None:
