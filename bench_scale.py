@@ -571,6 +571,7 @@ def r13_curves(spark, sizes) -> dict:
     curves: dict[str, dict[int, float]] = {
         "bloom_build_probe": {},
         "hll_windowed": {},
+        "jaccard_prefix_join": {},
     }
     for n in sizes:
         d = (
@@ -603,6 +604,41 @@ def r13_curves(spark, sizes) -> dict:
 
         curves["hll_windowed"][n] = min(timed(run_hllw), timed(run_hllw))
         d.unpersist()
+
+    # prefix join over a near-dup-heavy corpus: every doc appears twice
+    # (ids 2i, 2i+1 share text), so TRUE pairs are ~n/2 and candidate
+    # volume tracks them — the linear regime the operator exists for
+    # (the brute-force inverted index pays the same here, but explodes
+    # quadratically once a hot shingle appears; see test_prefix_join).
+    from food_panda_etl_spark.operators.prefix_join import (
+        jaccard_prefix_join,
+    )
+
+    for n in sizes:
+        docs = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit(f"t{j}_"),
+                            ((F.col("id") / 2).cast("long") * 31 + j)
+                            .cast("string"),
+                        )
+                        for j in range(8)
+                    ],
+                ).alias("text"),
+            )
+            .cache()
+        )
+        docs.count()
+        run_pj = lambda: jaccard_prefix_join(  # noqa: E731
+            docs, "doc_id", "text", n=3
+        ).write.format("noop").mode("overwrite").save()
+        curves["jaccard_prefix_join"][n] = min(timed(run_pj), timed(run_pj))
+        docs.unpersist()
     return curves
 
 

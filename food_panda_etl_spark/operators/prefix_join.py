@@ -1,0 +1,123 @@
+"""Exact set-similarity join via PREFIX FILTERING — the EXACT-Jaccard
+scale path (Chaudhuri-Ganti-Kaushik SSJoin, ICDE 2006; Xiao-Wang-Lin-Yu
+PPJoin, WWW 2008). `operators/dedup.py::exact_jaccard_pairs` is exact
+but generates a candidate for every co-occurring shingle pair —
+O(Σ df(s)²) blows up on hot shingles, which is why it is documented as
+the non-scale path with MinHash+LSH as the APPROXIMATE replacement.
+Prefix filtering closes the gap: an EXACT join whose candidate
+generation is bounded.
+
+The theorem: order every document's shingles by ONE global canonical
+order and keep only each document's first
+p = |d| − ⌈τ·|d|⌉ + 1 shingles (its "prefix"). Any pair with
+Jaccard ≥ τ must share at least one PREFIX shingle — if two documents
+disjoint on their prefixes, their intersection is at most
+min(|A|, |B|) − p < τ·|union| — so equi-joining prefixes loses NOTHING
+(completeness is machine-checked: output == the brute-force join,
+and the declared query's oracle IS the brute-force SQL). Ordering by
+ascending document frequency puts the RAREST shingles in prefixes, so
+the candidate join fans out on exactly the tokens that co-occur least
+— candidate volume tracks near-duplicate mass, not hot-shingle df².
+A size filter (min/|max| ≥ τ, integer-exact) prunes further before
+the verify stage, which counts intersections ONLY for candidate pairs.
+
+Determinism: the canonical order is (df ASC, shingle ASC) — a total
+order, identical in any engine; the prefix length is computed on the
+INTEGER grid (threshold as a num/den rational: ⌈num·n/den⌉ =
+(num·n + den − 1) div den — no float ceil), and the final Jaccard
+threshold compare uses the exact double num/den both engines derive
+from the same integers. The whole plan is joins + hash aggs + one
+per-doc window (partitioned by doc — never a global sort).
+
+Scale: ONE shingle pass (shared, checkpointed), one df agg, one
+per-doc rank window, a prefix×prefix equi-join bounded by rare-token
+co-occurrence, and a candidates-only verify join — each shuffle keyed
+on 8-byte ids/shingle hashes. The 100 TB shape for EXACT near-dup at
+high τ; MinHash+LSH remains the choice when approximate recall is
+acceptable or τ is low (prefixes grow as τ falls: p ≈ (1−τ)·|d|+1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.dedup import shingle_table
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard double) — EXACTLY the pairs with n-gram
+    Jaccard ≥ threshold_num/threshold_den and doc_a < doc_b, equal
+    row-for-row to the brute-force inverted-index join (the
+    completeness property test / declared-query oracle). The threshold
+    is a RATIONAL so the prefix length stays on the integer grid; the
+    default 4/5 is the repo's θ=0.8 near-dup convention."""
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(
+            f"jaccard_prefix_join: need 0 < num <= den, got {num}/{den}"
+        )
+    tau = float(num) / float(den)
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # canonical rank within each doc: rarest-first, shingle tiebreak
+    pos = F.row_number().over(
+        Window.partitionBy("doc").orderBy("__df", "shingle")
+    )
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__pos", pos)
+        .join(sizes, "doc")
+    )
+    # p = n − ⌈τ·n⌉ + 1 on the integer grid (`div` — exact integer
+    # division, identical in Spark and DuckDB on non-negative operands)
+    ceil_tn = F.expr(f"({num} * n_sh + {den - 1}) div {den}")
+    prefix = ranked.filter(
+        F.col("__pos") <= F.col("n_sh") - ceil_tn + 1
+    ).select("doc", "shingle", "n_sh")
+    a = prefix.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shingle"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = prefix.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shingle"),
+        F.col("n_sh").alias("n_b"),
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter, integer-exact: jaccard ≥ τ ⇒ min·den ≥ num·max
+        .filter(
+            (F.least("n_a", "n_b") * den)
+            >= (F.greatest("n_a", "n_b") * num)
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    # verify on candidates only: count the true intersection per pair
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    jac = F.col("__inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("__inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )

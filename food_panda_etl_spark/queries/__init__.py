@@ -146,7 +146,7 @@ DECLARED_WINDOW = [
     "q_embed_centroid",
 ]
 
-# R13 ROTATION PLAN: FOUR pre-verified declarations first — bodies and
+# R13 ROTATION PLAN: FIVE pre-verified declarations first — bodies and
 # oracle strings move VERBATIM from tests/test_r13_oracle_previews.py
 # into a new queries/ module (the executed r12 flow; the preview guard
 # in tests/test_registry_rotation.py FAILS the build if WINDOW_ROUND
@@ -155,7 +155,10 @@ DECLARED_WINDOW = [
 # pre-filter audit), q_hll_windowed (operators/hll_windowed.py
 # trailing-window distinct via the parameterized curation._hll_oracle),
 # q_group_priority_sample (operators/sampling_group.py weighted
-# bottom-k per group). Then the 14 remaining r8-era keys
+# bottom-k per group), q_jaccard_prefix_join (operators/prefix_join.py
+# exact-Jaccard scale path — oracle is the brute-force q_ngram_jaccard
+# SQL, so the hash-match IS the completeness theorem). Then the 14
+# remaining r8-era keys
 # (q_snapshot_diff, q_upsert, q_kmeans, q_semantic_dedup,
 # q_heavy_hitters, q_dsir_weight, q_pmi, q_triangle_count,
 # q_labelprop, q_cms_counts, q_quality_classifier, q_funnel,

@@ -254,3 +254,23 @@ def test_bloom_prefilter_preview(spark, any_sf):
     FROM agg CROSS JOIN ex
     """
     assert compare(got, oracle, any_sf) == []
+
+
+def test_jaccard_prefix_join_preview(spark, any_sf):
+    """EXACT 5-gram Jaccard pairs at θ=4/5 via prefix filtering
+    (`operators/prefix_join.py`) — the exact-Jaccard SCALE path. The
+    oracle is deliberately the BRUTE-FORCE inverted-index SQL (the
+    declared q_ngram_jaccard oracle form): hash-matching it IS the
+    prefix-filtering completeness theorem checked by the driver —
+    candidates bounded by rare-shingle co-occurrence, yet not one pair
+    lost."""
+    from food_panda_etl_spark.operators.prefix_join import (
+        jaccard_prefix_join,
+    )
+    from food_panda_etl_spark.queries import ORACLES
+
+    d = load_table(spark, any_sf, "documents")
+    got = jaccard_prefix_join(
+        d, "doc_id", "text", n=5, threshold_num=4, threshold_den=5
+    )
+    assert compare(got, ORACLES["q_ngram_jaccard"], any_sf) == []
