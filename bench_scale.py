@@ -558,6 +558,11 @@ def r13_curves(spark, sizes) -> dict:
       estimate. Expected the hll_portable cost shape — one narrow
       projection + one (day, reg) hash agg; the merge agg touches
       ≤ days·m rows, invariant in n.
+    - Exact-Jaccard prefix join (r12 build-ahead): near-dup-heavy
+      corpus (every doc duplicated — candidates linear by
+      construction). Expected near-linear warm; first runs per size
+      spike on ContextCleaner lag (SCALE.md records the isolated
+      min-of-three probe).
     """
     from food_panda_etl_spark.operators.bloom import (
         bloom_probe,
@@ -677,7 +682,7 @@ def main() -> None:
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))
         return
-    if "--r13" in sys.argv:  # only the r13 curves (bloom / windowed HLL)
+    if "--r13" in sys.argv:  # r13 curves (bloom / windowed HLL / prefix join)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r13_curves(spark, sizes)
         print(json.dumps(

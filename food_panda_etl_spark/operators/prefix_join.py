@@ -45,27 +45,19 @@ from pyspark.sql import functions as F
 from food_panda_etl_spark.operators.dedup import shingle_table
 
 
-def jaccard_prefix_join(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 5,
-    threshold_num: int = 4,
-    threshold_den: int = 5,
+def prefix_candidates(
+    sh: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard double) — EXACTLY the pairs with n-gram
-    Jaccard ≥ threshold_num/threshold_den and doc_a < doc_b, equal
-    row-for-row to the brute-force inverted-index join (the
-    completeness property test / declared-query oracle). The threshold
-    is a RATIONAL so the prefix length stays on the integer grid; the
-    default 4/5 is the repo's θ=0.8 near-dup convention."""
+    """(doc_a, doc_b, n_a, n_b) distinct candidate pairs from the
+    prefix×prefix equi-join + integer-exact size filter over a
+    (doc, shingle) table — the pruning stage, public so its VOLUME is
+    testable (review-caught r12: completeness tests hold under ANY
+    global order, so a regression that destroys pruning — df DESC, a
+    widened prefix — was invisible until candidate counts were
+    asserted directly)."""
     num, den = int(threshold_num), int(threshold_den)
-    if not (0 < num <= den):
-        raise ValueError(
-            f"jaccard_prefix_join: need 0 < num <= den, got {num}/{den}"
-        )
-    tau = float(num) / float(den)
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     # canonical rank within each doc: rarest-first, shingle tiebreak
@@ -93,7 +85,7 @@ def jaccard_prefix_join(
         F.col("shingle"),
         F.col("n_sh").alias("n_b"),
     )
-    cand = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # size filter, integer-exact: jaccard ≥ τ ⇒ min·den ≥ num·max
@@ -104,6 +96,30 @@ def jaccard_prefix_join(
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard double) — EXACTLY the pairs with n-gram
+    Jaccard ≥ threshold_num/threshold_den and doc_a < doc_b, equal
+    row-for-row to the brute-force inverted-index join (the
+    completeness property test / declared-query oracle). The threshold
+    is a RATIONAL so the prefix length stays on the integer grid; the
+    default 4/5 is the repo's θ=0.8 near-dup convention."""
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(
+            f"jaccard_prefix_join: need 0 < num <= den, got {num}/{den}"
+        )
+    tau = float(num) / float(den)
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    cand = prefix_candidates(sh, num, den)
     # verify on candidates only: count the true intersection per pair
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("shingle"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("shingle"))

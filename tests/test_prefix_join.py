@@ -63,33 +63,47 @@ def test_equals_brute_force(spark, num, den, parts):
 
 
 def test_prefix_actually_prunes(spark):
-    """The point of the operator: the prefix×prefix candidate set is
-    strictly smaller than the all-pairs co-occurrence candidate set on
-    a corpus with a hot shingle (every doc shares one stop-gram — the
-    df² blow-up shape the brute-force path pays)."""
+    """The point of the operator, asserted on CANDIDATE VOLUME (a
+    review-caught gap: completeness tests hold under ANY global order,
+    so a regression that destroys pruning — df DESC, a widened prefix
+    — was invisible until the candidate stage's row count was pinned
+    directly): on a corpus with a hot stop-gram the brute-force
+    inverted index enters the join with all 30·29/2 co-occurring
+    pairs, while the prefix stage emits ZERO candidates (prefixes are
+    the df=1 rare grams); on the engineered near-dup corpus it emits
+    exactly the pairs that share rare prefix shingles — bounded by
+    near-dup mass, strictly below brute force."""
+    from food_panda_etl_spark.operators.dedup import shingle_table
+    from food_panda_etl_spark.operators.prefix_join import (
+        prefix_candidates,
+    )
+
     rows = [
         (i, "the common stop gram " + " ".join(f"t{i}_{j}" for j in range(8)))
         for i in range(30)
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    # brute force co-occurrence candidates (n=3): every doc pair shares
-    # 'the common stop' etc. → ~30·29/2 pairs enter the join
     brute_cands = (
         exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.0)
         .count()
     )
-    out = jaccard_prefix_join(d, "doc_id", "text", n=3)
-    assert out.count() == 0  # nothing actually clears θ=0.8
-    assert brute_cands == 30 * 29 // 2  # the blow-up is real
-    # the prefix join's verify stage only ever sees candidate pairs
-    # that share a RARE prefix shingle — here prefixes are the t{i}_{j}
-    # grams (df=1), so zero candidates survive to verify. Assert via
-    # the physical count of the candidate subtree being zero rows:
-    # (replay the candidate construction cheaply at the operator's
-    # contract level: no pair output AND no exact pair either)
-    assert _pairs(
-        exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
-    ) == set()
+    assert brute_cands == 30 * 29 // 2  # the df² blow-up is real
+    sh = shingle_table(d, "doc_id", "text", 3)
+    assert prefix_candidates(sh, 4, 5).count() == 0  # fully pruned
+    assert jaccard_prefix_join(d, "doc_id", "text", n=3).count() == 0
+    # near-dup corpus: candidates bounded by near-dup mass — strictly
+    # fewer than the brute-force co-occurrence pairs, and a superset
+    # of the true θ=0.8 pairs (completeness at the candidate level)
+    docs = _mk_docs(spark)
+    sh2 = shingle_table(docs, "doc_id", "text", 3)
+    n_cand = prefix_candidates(sh2, 4, 5).count()
+    n_brute = exact_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0
+    ).count()
+    n_true = exact_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).count()
+    assert n_true <= n_cand < n_brute
 
 
 def test_validates(spark):
