@@ -1,0 +1,156 @@
+"""Mergeable sketches under Structured Streaming (the §2.9 extension
+for the r10-r12 sketch family): per-micro-batch PARTIAL sketches
+merged into a versioned parquet state via foreachBatch must equal the
+batch sketch of the full input — HLL (register max, via `hll_merge`)
+and CMS (cell sum, via `cms_merge_groups`) — driven through an actual
+availableNow file-source replay. This is the 100 TB ingestion story
+the operators' mergeability property tests promise: distinct-users-
+per-day and per-user frequency maintained INCREMENTALLY at
+sketch-sized state, no reprocessing of prior days, and the trailing-
+window answers computed from state alone match the batch analogs."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.cms import cms_estimate
+from food_panda_etl_spark.operators.cms_windowed import (
+    cms_merge_groups,
+    cms_sketch_by_group,
+)
+from food_panda_etl_spark.operators.hll import (
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+from food_panda_etl_spark.operators.hll_windowed import hll_merge_groups
+from food_panda_etl_spark.streaming import read_events_stream
+
+W, D = 64, 3
+
+
+def _event(eid, ts, user):
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": user,
+        "event_type": "click",
+        "value": 1.0,
+        "props": "{}",
+    }
+
+
+def _keyed(df):
+    """(k, day) from raw events — one definition for the streaming
+    batches and the batch baseline (the no-drift rule)."""
+    return df.select(
+        F.col("user_id").alias("k"),
+        F.to_date("ts").cast("string").alias("day"),
+    ).filter(F.col("k").isNotNull() & F.col("day").isNotNull())
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_sketch_state_equals_batch(spark, out_dir):
+    """Three micro-batches spanning four days, including re-deliveries
+    of users across batches: after the replay, the maintained HLL
+    state is register-identical and the CMS state cell-identical to
+    sketching ALL events at once, and the trailing-2-day window
+    answers derived from state alone (re-bucket + estimate) match the
+    batch pipeline."""
+    src = os.path.join(out_dir, "in")
+    state = os.path.join(out_dir, "state")
+    ckpt = os.path.join(out_dir, "ckpt")
+    os.makedirs(src)
+    batches = [
+        [_event(1, "2024-01-01 10:00:00", 1),
+         _event(2, "2024-01-01 11:00:00", 2),
+         _event(3, "2024-01-02 09:00:00", 1)],
+        [_event(4, "2024-01-02 10:00:00", 3),
+         _event(5, "2024-01-03 10:00:00", 1),
+         _event(6, "2024-01-03 11:00:00", 1)],
+        [_event(7, "2024-01-04 08:00:00", 4),
+         _event(8, "2024-01-04 09:00:00", 2),
+         _event(9, "2024-01-01 23:00:00", 4)],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i:03d}.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    latest = os.path.join(out_dir, "latest.txt")
+
+    def merge_batch(df, batch_id):
+        ev = _keyed(df)
+        part_hll = hll_sketch(ev, "k", group_cols=("day",))
+        part_cms = cms_sketch_by_group(
+            ev, "k", ("day",), width=W, depth=D
+        )
+        if os.path.exists(latest):
+            with open(latest) as f:
+                prev = f.read().strip()
+            prev_hll = spark.read.parquet(os.path.join(prev, "hll"))
+            prev_cms = spark.read.parquet(os.path.join(prev, "cms"))
+            part_hll = hll_merge(prev_hll, part_hll, group_cols=("day",))
+            part_cms = cms_merge_groups(
+                prev_cms, part_cms, group_cols=("day",), width=W, depth=D
+            )
+        vdir = os.path.join(state, f"v{batch_id}")
+        part_hll.write.parquet(os.path.join(vdir, "hll"))
+        part_cms.write.parquet(os.path.join(vdir, "cms"))
+        with open(latest, "w") as f:
+            f.write(vdir)
+
+    q = (
+        read_events_stream(spark, src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    with open(latest) as f:
+        vdir = f.read().strip()
+    state_hll = spark.read.parquet(os.path.join(vdir, "hll"))
+    state_cms = spark.read.parquet(os.path.join(vdir, "cms"))
+
+    full = _keyed(
+        spark.read.schema(
+            read_events_stream(spark, src).schema
+        ).json(src)
+    )
+    batch_hll = hll_sketch(full, "k", group_cols=("day",))
+    batch_cms = cms_sketch_by_group(full, "k", ("day",), width=W, depth=D)
+    assert _rows(state_hll, ["day", "reg", "rho"]) == _rows(
+        batch_hll, ["day", "reg", "rho"]
+    )
+    assert _rows(state_cms, ["day", "d", "b", "cnt"]) == _rows(
+        batch_cms, ["day", "d", "b", "cnt"]
+    )
+
+    # trailing-window answers FROM STATE ONLY == batch pipeline
+    win = F.col("day") >= "2024-01-03"
+    est_state = hll_estimate(hll_merge_groups(state_hll.filter(win)))
+    est_batch = hll_estimate(hll_merge_groups(batch_hll.filter(win)))
+    assert est_state.collect() == est_batch.collect()
+    probes = spark.range(6).select(F.col("id").alias("k"))
+    cms_state_win = cms_merge_groups(
+        state_cms.filter(win), width=W, depth=D
+    )
+    cms_batch_win = cms_merge_groups(
+        batch_cms.filter(win), width=W, depth=D
+    )
+    got = cms_estimate(cms_state_win, probes, "k", width=W, depth=D)
+    want = cms_estimate(cms_batch_win, probes, "k", width=W, depth=D)
+    assert _rows(got, ["k", "est"]) == _rows(want, ["k", "est"])
+    # and the window answer is the REAL trailing count: user 1 has 2
+    # events on 2024-01-03 and none on the 4th
+    est_map = {r["k"]: r["est"] for r in got.collect()}
+    assert est_map[1] >= 2  # CMS one-sided: never under
