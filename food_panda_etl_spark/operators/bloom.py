@@ -110,6 +110,36 @@ def bloom_merge(
     )
 
 
+def bloom_merge_groups(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """OR set bits across sketches AND across any group dimensions not
+    in ``group_cols`` — the re-bucketing combine completing the family
+    symmetry (`cms_merge_groups` sums cells, `hll_merge_groups` maxes
+    registers, this unions bits): day-filters → trailing-window
+    membership ("seen this key in the last N days?") at ≤ m rows per
+    surviving group, no rescan. Same-geometry is the caller contract
+    (the bloom_merge rule); shape is checked via the shared
+    `check_merge_columns` (subset semantics — extra columns are the
+    dims being dropped; duplicated needed columns rejected loudly)."""
+    from food_panda_etl_spark.operators.sketch_checks import (
+        check_merge_columns,
+    )
+
+    if not sketches:
+        raise ValueError("bloom_merge_groups: need at least one sketch")
+    check_merge_columns(
+        "bloom_merge_groups", {*group_cols, "j", "b", "set"}, sketches
+    )
+    parts = [s.select(*group_cols, "j", "b", "set") for s in sketches]
+    out = parts[0]
+    for s in parts[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "j", "b").agg(
+        F.max("set").alias("set")
+    )
+
+
 def bloom_probe(
     sketch: DataFrame,
     probes: DataFrame,

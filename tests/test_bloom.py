@@ -230,3 +230,32 @@ def test_prefilter_matches_probe_and_plans_map_only(spark, sf_dir):
     with pytest.raises(ValueError, match="different out_col"):
         bloom_prefilter(sk, probes.withColumn("maybe_present", F.lit(1)),
                         "k", M_BITS, K)
+
+
+def test_merge_groups_rebuckets_and_windows(spark):
+    """The re-bucketing combine (family symmetry with cms/hll
+    merge_groups): per-day sketches OR'd across the day dimension ==
+    the direct sketch of all rows; a day-filtered re-bucket answers
+    trailing-window membership from state alone with no false
+    negatives; shape validation via the shared checker."""
+    from food_panda_etl_spark.operators.bloom import bloom_merge_groups
+
+    rows = [(d, 100 * d + i) for d in range(4) for i in range(5)]
+    df = spark.createDataFrame(rows, "day int, k long")
+    by_day = bloom_sketch(df, "k", M_BITS, K, group_cols=("day",))
+    rebucketed = bloom_merge_groups(by_day)
+    assert _bits(rebucketed) == _bits(bloom_sketch(df, "k", M_BITS, K))
+    # trailing window (days >= 2): present keys all probe 1
+    recent = bloom_merge_groups(by_day.filter(F.col("day") >= 2))
+    win_keys = [k for d, k in rows if d >= 2]
+    probes = spark.createDataFrame([(k,) for k in win_keys], "k long")
+    out = bloom_probe(recent, probes, "k", M_BITS, K).collect()
+    assert all(r["maybe_present"] == 1 for r in out)
+    with pytest.raises(ValueError, match="at least one"):
+        bloom_merge_groups()
+    flat = bloom_sketch(df, "k", M_BITS, K)
+    with pytest.raises(ValueError, match="lacks columns"):
+        bloom_merge_groups(flat, group_cols=("day",))
+    dup = by_day.select("day", "j", "b", "set", "set")
+    with pytest.raises(ValueError, match="duplicated columns"):
+        bloom_merge_groups(dup, group_cols=("day",))
