@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.cms import _MULTS, _P, _cell
+from food_panda_etl_spark.operators.sketch_checks import check_merge_columns
 
 
 def bloom_sketch(
@@ -94,20 +95,16 @@ def bloom_merge(
     if not sketches:
         raise ValueError("bloom_merge: need at least one sketch")
     want = [*group_cols, "j", "b", "set"]
-    norm = []
     for i, s in enumerate(sketches):
         if sorted(s.columns) != sorted(want):
             raise ValueError(
                 f"bloom_merge: sketch #{i} has columns {list(s.columns)}, "
                 f"expected {want} — group_cols must match the sketches' own"
             )
-        norm.append(s.select(*want))
-    out = norm[0]
-    for s in norm[1:]:
-        out = out.unionByName(s)
-    return out.groupBy(*group_cols, "j", "b").agg(
-        F.max("set").alias("set")
-    )
+    # the combine itself is the re-bucketing combine with nothing
+    # dropped — ONE definition (review-caught: a duplicated body here
+    # is the cms/hll drift class sketch_checks.py exists to prevent)
+    return bloom_merge_groups(*sketches, group_cols=group_cols)
 
 
 def bloom_merge_groups(
@@ -122,10 +119,6 @@ def bloom_merge_groups(
     (the bloom_merge rule); shape is checked via the shared
     `check_merge_columns` (subset semantics — extra columns are the
     dims being dropped; duplicated needed columns rejected loudly)."""
-    from food_panda_etl_spark.operators.sketch_checks import (
-        check_merge_columns,
-    )
-
     if not sketches:
         raise ValueError("bloom_merge_groups: need at least one sketch")
     check_merge_columns(

@@ -11,7 +11,6 @@ window answers computed from state alone match the batch analogs."""
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import functions as F
@@ -28,19 +27,10 @@ from food_panda_etl_spark.operators.hll import (
 )
 from food_panda_etl_spark.operators.hll_windowed import hll_merge_groups
 from food_panda_etl_spark.streaming import read_events_stream
+from food_panda_etl_spark.streaming.runner import EVENTS_STREAM_SCHEMA
+from tests.test_streaming import _event, _write_files
 
 W, D = 64, 3
-
-
-def _event(eid, ts, user):
-    return {
-        "event_id": eid,
-        "ts": ts,
-        "user_id": user,
-        "event_type": "click",
-        "value": 1.0,
-        "props": "{}",
-    }
 
 
 def _keyed(df):
@@ -63,27 +53,20 @@ def test_streaming_sketch_state_equals_batch(spark, out_dir):
     sketching ALL events at once, and the trailing-2-day window
     answers derived from state alone (re-bucket + estimate) match the
     batch pipeline."""
-    src = os.path.join(out_dir, "in")
     state = os.path.join(out_dir, "state")
     ckpt = os.path.join(out_dir, "ckpt")
-    os.makedirs(src)
     batches = [
-        [_event(1, "2024-01-01 10:00:00", 1),
-         _event(2, "2024-01-01 11:00:00", 2),
-         _event(3, "2024-01-02 09:00:00", 1)],
-        [_event(4, "2024-01-02 10:00:00", 3),
-         _event(5, "2024-01-03 10:00:00", 1),
-         _event(6, "2024-01-03 11:00:00", 1)],
-        [_event(7, "2024-01-04 08:00:00", 4),
-         _event(8, "2024-01-04 09:00:00", 2),
-         _event(9, "2024-01-01 23:00:00", 4)],
+        [_event(1, "2024-01-01 10:00:00", user=1),
+         _event(2, "2024-01-01 11:00:00", user=2),
+         _event(3, "2024-01-02 09:00:00", user=1)],
+        [_event(4, "2024-01-02 10:00:00", user=3),
+         _event(5, "2024-01-03 10:00:00", user=1),
+         _event(6, "2024-01-03 11:00:00", user=1)],
+        [_event(7, "2024-01-04 08:00:00", user=4),
+         _event(8, "2024-01-04 09:00:00", user=2),
+         _event(9, "2024-01-01 23:00:00", user=4)],
     ]
-    for i, rows in enumerate(batches):
-        p = os.path.join(src, f"b{i:03d}.jsonl")
-        with open(p, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
-        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = _write_files(out_dir, batches)
 
     latest = os.path.join(out_dir, "latest.txt")
 
@@ -115,17 +98,20 @@ def test_streaming_sketch_state_equals_batch(spark, out_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        # the run_available_now convention (streaming/runner.py): a
+        # False return means timeout — stop and fail loudly instead of
+        # reading half-written state with a misleading diff
+        if not q.awaitTermination(180):
+            raise TimeoutError("availableNow replay exceeded 180 s")
+    finally:
+        q.stop()
     with open(latest) as f:
         vdir = f.read().strip()
     state_hll = spark.read.parquet(os.path.join(vdir, "hll"))
     state_cms = spark.read.parquet(os.path.join(vdir, "cms"))
 
-    full = _keyed(
-        spark.read.schema(
-            read_events_stream(spark, src).schema
-        ).json(src)
-    )
+    full = _keyed(spark.read.schema(EVENTS_STREAM_SCHEMA).json(src))
     batch_hll = hll_sketch(full, "k", group_cols=("day",))
     batch_cms = cms_sketch_by_group(full, "k", ("day",), width=W, depth=D)
     assert _rows(state_hll, ["day", "reg", "rho"]) == _rows(
