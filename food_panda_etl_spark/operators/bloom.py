@@ -64,6 +64,14 @@ def bloom_sketch(
     NULL mass separately if it matters); NULL GROUP keys form their own
     group (identical grouping semantics in both engines)."""
     width = _validate(m_bits, k_hashes)
+    clash = sorted({"j", "b", "set"} & set(group_cols))
+    if clash:
+        raise ValueError(
+            f"bloom_sketch: group_cols {clash} collide with the sketch's "
+            "reserved (j, b, set) output columns — rename them first "
+            "(ADVICE r12: an unguarded build side yields duplicate column "
+            "names that only fail far from the cause)"
+        )
     k = F.col(col)
     cells = F.array(*[
         F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))
@@ -234,6 +242,13 @@ def bloom_prefilter(
         raise ValueError(
             f"bloom_prefilter: df already has a {out_col!r}/__bloom "
             "column — pass a different out_col or rename"
+        )
+    if out_col.startswith("__"):
+        raise ValueError(
+            f"bloom_prefilter: out_col {out_col!r} uses the operator's "
+            "reserved __-prefix — out_col='__bloom' would silently "
+            "overwrite the broadcast map and then be dropped (ADVICE "
+            "r12); pick an unprefixed name"
         )
     one = (
         sketch.select(

@@ -67,104 +67,100 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order matches it, so a planned rotation that fails to land in code
 # fails loudly instead of silently (round 8 shipped zero commits because
 # the plan lived only in a comment).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 DECLARED_WINDOW = [
-    # 1-5 NEW in r12: the five r10/r11 build-ahead operators' first
-    # driver evidence — bodies and oracle strings moved VERBATIM from
-    # tests/test_r11_oracle_previews.py (now registry-driven, the r10
-    # convention) into queries/sketch_extras.py, where they were
-    # pre-verified at sf0.001+sf0.01 through the driver's own compare
-    # harness (the only delta: the q_group_sample oracle uses the
-    # PRE-REDUCED hash form matching the r11 engine fix — VERDICT r11
-    # "what's wrong" #2).
-    "q_group_sample",
-    "q_hll_by_group",
-    "q_hll_xxhash_gate",
-    "q_cms_windowed",
-    "q_random_projection",
-    # +1 byte-changed THIS round: hll.py's merge column check tightened
-    # (ADVICE r11) — the flat HLL record re-records on the new bytes.
-    "q_hll_counts",
-    # 7-14 the r6-era greens — 5-round-old evidence, displaced twice
-    # (VERDICT r11 task 1): all byte-unchanged pure-relational keys.
-    "q_regex_extract",
-    "q_math_funcs",
-    "q_rollup",
-    "q_cube",
-    "q_histogram",
-    "q_percentile",
-    "q_pivot",
-    "q_unpivot",
-    # 15-19 byte-changed THIS round (ADVICE r11 medium: the int64
-    # pre-reduction moved into the shared sample_order_hash, and the
-    # duplicated hash in sampling_group.py deleted): every declared
-    # query riding operators/sampling.py re-records on the fixed
-    # bytes. Residue-identical on all prior ids, so these must
-    # re-record green byte-for-byte.
-    "q_priority_sample",
-    "q_pps_sample",
-    "q_pps_stratified",
+    # 1-5 NEW in r13: the five r12 build-ahead operators' first driver
+    # evidence — bodies and oracle strings moved VERBATIM from
+    # tests/test_r13_oracle_previews.py (now registry-driven, the
+    # r10/r12 convention) into queries/scale_sketches.py, where they
+    # were pre-verified at sf0.001+sf0.01 through the driver's own
+    # compare harness.
+    "q_bloom_filter",
+    "q_bloom_prefilter",
+    "q_hll_windowed",
+    "q_group_priority_sample",
+    "q_jaccard_prefix_join",
+    # 6 NEW in r13 (VERDICT r12 task 6): the Bloom FPR audit gate —
+    # completes the sketch-gate symmetry (every other sketch family
+    # already carries a driver-evidenced quality gate).
+    "q_bloom_fpr_gate",
+    # 7-20 the 14 remaining r8-era greens — 5-round-old evidence
+    # (VERDICT r12 task 2; the list pre-encoded in the r12 rotation
+    # plan comment): graph/funnel/clustering/storage-CDC blocks.
+    "q_snapshot_diff",
+    "q_upsert",
+    "q_kmeans",
+    "q_semantic_dedup",
+    "q_heavy_hitters",
+    "q_dsir_weight",
+    "q_pmi",
+    "q_triangle_count",
+    "q_labelprop",
+    "q_cms_counts",
+    "q_quality_classifier",
+    "q_funnel",
+    "q_retention",
+    "q_sessionize",
+    # 21-39 byte-changed THIS round (ADVICE r12 low #3: the remaining
+    # raw-form (doc_id * M) % P oracle strings move to the PRE-REDUCED
+    # ((doc_id % P) * M) % P, matching the r11 engine fix in
+    # operators/sampling.py::sample_order_hash — residue-identical on
+    # every fixture id, overflow-free on full int64). text.py carries
+    # one such oracle (q_select_pipeline), so ALL text.py queries
+    # re-record on the new bytes (the file-granular evidence rule).
     "q_select_pipeline",
+    "q_array_explode",
+    "q_binary_meta",
+    "q_decontaminate",
+    "q_fingerprint",
+    "q_langid",
+    "q_quality_score",
+    "q_repetition",
+    "q_text_clean",
+    "q_tfidf",
+    "q_token_count",
+    "q_token_count_bpe",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_corpus_stats",
+    "q_lm_score",
+    "q_nfc_normalize",
+    "q_pii_redact",
+    "q_substring_dedup",
+    # 40-42 curation.py riders of the same ADVICE fix
+    # (q_priority_sample's oracle): the whole file re-records.
+    "q_priority_sample",
+    "q_curriculum_mix",
+    "q_hll_counts",
+    # 43-47 selection.py riders of the same ADVICE fix
+    # (q_pps_stratified's and q_select_stratified's oracles).
+    "q_pps_stratified",
     "q_select_stratified",
-    # 20 byte-changed THIS round (the nodes localCheckpoint hoist in
-    # operators/pagerank.py — VERDICT r10/r11 micro-nit): re-records
-    # on the touched bytes.
-    "q_pagerank",
-    # …-50 the r8-era greens (oldest remaining evidence, 30 of 45 —
-    # the 14 left, the graph/funnel/clustering block, rotate in r13):
-    # joins, windows, setops, sql-layer, storage/skew blocks.
-    "q_inner_join",
-    "q_left_join",
-    "q_semi_join",
-    "q_anti_join",
-    "q_range_join",
-    "q_join_1n_agg",
-    "q_asof_join",
-    "q_nullsafe_join",
-    "q_exists_subquery",
-    "q_interval_join",
-    "q_topk_per_group",
-    "q_rank",
-    "q_lag_lead",
-    "q_running_sum",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_grouping_sets",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_partition_prune",
-    "q_train_split",
-    "q_zorder",
-    "q_skew_agg",
-    "q_skew_join",
-    "q_stratified_sample",
-    "q_embed_centroid",
+    "q_domain_drift",
+    "q_token_fertility",
+    "q_padding_waste",
+    # 48-50 fills from the r9-era greens (oldest remaining evidence;
+    # the bulk of the 45-key r9 block rotates in r14).
+    "q_vendor_enrich",
+    "q_group_heavy_hitters",
+    "q_bm25",
 ]
 
-# R13 ROTATION PLAN: FIVE pre-verified declarations first — bodies and
-# oracle strings move VERBATIM from tests/test_r13_oracle_previews.py
-# into a new queries/ module (the executed r12 flow; the preview guard
-# in tests/test_registry_rotation.py FAILS the build if WINDOW_ROUND
-# reaches 13 without them): q_bloom_filter (operators/bloom.py verdict
-# table), q_bloom_prefilter (the zero-fact-shuffle broadcast
-# pre-filter audit), q_hll_windowed (operators/hll_windowed.py
-# trailing-window distinct via the parameterized curation._hll_oracle),
-# q_group_priority_sample (operators/sampling_group.py weighted
-# bottom-k per group), q_jaccard_prefix_join (operators/prefix_join.py
-# exact-Jaccard scale path — oracle is the brute-force q_ngram_jaccard
-# SQL, so the hash-match IS the completeness theorem). Then the 14
-# remaining r8-era keys
-# (q_snapshot_diff, q_upsert, q_kmeans, q_semantic_dedup,
-# q_heavy_hitters, q_dsir_weight, q_pmi, q_triangle_count,
-# q_labelprop, q_cms_counts, q_quality_classifier, q_funnel,
-# q_retention, q_sessionize) plus any r13 byte-changed operators'
-# queries; fill remaining slots from the r9-era greens — keeping
-# every key's latest evidence ≤ 4 rounds old.
+# R14 ROTATION PLAN: any r14 build-ahead declarations pre-verified in
+# tests/test_r14_oracle_previews.py first (the preview guard in
+# tests/test_registry_rotation.py FAILS the build if WINDOW_ROUND
+# reaches 14 without them), then the remaining r9-era greens — the
+# approx_gates block (9), retrieval's q_chunk_text/q_hybrid_rrf,
+# similarity.py's 16 r9 keys (rotate the WHOLE file if its bytes
+# change — e.g. the q_simhash_neardup shingle-sharing idea, VERDICT
+# r12 what's-wrong #2), udx (q_map_funcs, q_to_json, q_udaf), and
+# sketch.py re-records — keeping every key's latest evidence ≤ 4
+# rounds old (tests/test_registry_rotation.py::test_evidence_age now
+# enforces this). If storage.py rotates, move q_pps_sample's oracle
+# to the pre-reduced hash form and add it to
+# tests/test_r11_oracle_previews.py::_PREREDUCED_ORACLES (the one
+# remaining raw-form sample_order_hash rider — ADVICE r12 low #3).
 
 
 def _load_all() -> None:
@@ -199,7 +195,16 @@ def _load_all() -> None:
         vendor_pipeline,
         retrieval,
         similarity,
+        scale_sketches,
     )
+
+    # q_jaccard_prefix_join's oracle IS the brute-force q_ngram_jaccard
+    # SQL — ONE definition (queries/similarity.py), aliased here after
+    # every module has registered (a decoration-time ORACLES lookup in
+    # scale_sketches would silently depend on import order). The driver
+    # hash-match against the brute-force SQL is the prefix-filtering
+    # completeness theorem.
+    ORACLES["q_jaccard_prefix_join"] = ORACLES["q_ngram_jaccard"]
 
     # PROMOTION PASS: registration is module-granular; DECLARED_WINDOW
     # is the exact driver-window order. Dict order is what queries()

@@ -75,7 +75,7 @@ def q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_priority_sample",
     oracle=f"""
     WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wgt,
-                      (doc_id * 1315423911) % 1000003 AS h
+                      ((doc_id % 1000003) * 1315423911) % 1000003 AS h
                FROM documents WHERE n_chars > 0)
     SELECT doc_id, wgt AS weight,
            CAST(h AS DOUBLE) / CAST(wgt AS DOUBLE) AS priority

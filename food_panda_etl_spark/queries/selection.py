@@ -85,7 +85,7 @@ def _stratified_replay(quotas: dict, extra_col: str = "") -> str:
     "q_pps_stratified",
     oracle=f"""
     WITH sw AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS wgt,
-                       (doc_id * 1315423911) % 1000003 AS h
+                       ((doc_id % 1000003) * 1315423911) % 1000003 AS h
                 FROM documents),
     {_stratified_replay(_STRAT_QUOTAS)}
     """,
@@ -125,7 +125,8 @@ def q_pps_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel AS (SELECT doc_id, dsir_score FROM ds
             WHERE dsir_score >= {_DSIR_KEEP}),
     sw AS (SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS wgt,
-                  (d.doc_id * 1315423911) % 1000003 AS h, sel.dsir_score
+                  ((d.doc_id % 1000003) * 1315423911) % 1000003 AS h,
+                  sel.dsir_score
            FROM documents d JOIN sel ON d.doc_id = sel.doc_id),
     {_stratified_replay(_SEL_QUOTAS, extra_col=", dsir_score")}
     """,

@@ -810,7 +810,8 @@ _SEL_K = 20
     sel AS (SELECT doc_id, dsir_score FROM ds
             WHERE dsir_score >= {_DSIR_KEEP}),
     sw AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS wgt,
-                  (d.doc_id * 1315423911) % 1000003 AS h, sel.dsir_score
+                  ((d.doc_id % 1000003) * 1315423911) % 1000003 AS h,
+                  sel.dsir_score
            FROM documents d JOIN sel ON d.doc_id = sel.doc_id),
     c AS (SELECT doc_id, wgt, dsir_score,
                  sum(wgt) OVER (ORDER BY h, doc_id

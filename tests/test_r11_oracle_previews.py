@@ -39,11 +39,29 @@ def test_r12_declared_matches_oracle(spark, any_sf, name):
     assert compare(QUERIES[name](spark, any_sf), ORACLES[name], any_sf) == []
 
 
-def test_group_sample_oracle_uses_prereduced_hash():
-    """The declared oracle must carry the overflow-free hash form —
-    the raw ``(doc_id * M) % P`` would re-introduce the int64 contract
-    the r11 engine fix removed (DuckDB raises, ANSI Spark aborts at
-    |id| ≳ 7e9)."""
-    sql = ORACLES["q_group_sample"]
-    assert "((doc_id % 1000003) * 1315423911) % 1000003" in sql
-    assert "(doc_id * 1315423911)" not in sql
+# Every declared oracle riding operators/sampling.py::sample_order_hash
+# (ADVICE r12 low #3 widened the r11 pin from q_group_sample to the
+# whole family as their files rotated): residue-identical to the raw
+# form on every non-overflowing id, but the raw ``(doc_id * M) % P``
+# would re-introduce the int64 contract the r11 engine fix removed
+# (DuckDB raises, ANSI Spark aborts at |id| ≳ 7e9). q_pps_sample's
+# oracle (queries/storage.py) is the one remaining raw-form rider —
+# it joins this list when storage.py rotates in r14 (file-granular
+# evidence rule: touching storage.py re-records all 12 of its keys,
+# which the r13 window cannot absorb).
+_PREREDUCED_ORACLES = [
+    "q_group_sample",
+    "q_group_priority_sample",
+    "q_priority_sample",
+    "q_pps_stratified",
+    "q_select_stratified",
+    "q_select_pipeline",
+]
+
+
+@pytest.mark.parametrize("name", _PREREDUCED_ORACLES)
+def test_sample_order_hash_oracles_use_prereduced_hash(name):
+    """See _PREREDUCED_ORACLES: the overflow-free hash form, pinned."""
+    sql = ORACLES[name]
+    assert "% 1000003) * 1315423911) % 1000003" in sql
+    assert "_id * 1315423911)" not in sql
