@@ -92,6 +92,41 @@ def test_preview_verified_queries_get_declared():
         )
 
 
+def test_evidence_age():
+    """The rotation policy itself, as a failing test (VERDICT r12 task
+    8, the preview-guard treatment for task 2's rule): no declared
+    key's latest driver evidence may be older than 4 rounds by the END
+    of the current round — so every key whose latest CORRECTNESS
+    record is ≤ WINDOW_ROUND − 5 must sit in DECLARED_WINDOW (it gets
+    re-recorded this round) or the build fails. Keys with NO evidence
+    are handled by test_new_declarations_are_in_the_window."""
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        import re
+
+        n = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            payload = json.load(f)
+        entries = payload.get("queries", payload)
+        if isinstance(entries, dict):
+            for k in entries:
+                latest[k] = max(latest.get(k, 0), n)
+    if not latest:  # fresh clone — nothing recorded yet
+        return
+    overdue = [
+        f"{k} (r{latest[k]})"
+        for k in QUERIES
+        if k in latest
+        and latest[k] <= WINDOW_ROUND - 5
+        and k not in DECLARED_WINDOW
+    ]
+    assert not overdue, (
+        f"declared keys whose evidence would age past 4 rounds this "
+        f"round (WINDOW_ROUND={WINDOW_ROUND}) and are not in the "
+        f"window: {overdue} — rotate them into DECLARED_WINDOW"
+    )
+
+
 def test_window_keys_have_usable_oracles():
     """Window keys are what the driver hash-checks this round: each is
     either oracled (non-empty SQL) or one of the documented rows-only
