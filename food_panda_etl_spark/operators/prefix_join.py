@@ -45,6 +45,28 @@ from pyspark.sql import functions as F
 from food_panda_etl_spark.operators.dedup import shingle_table
 
 
+def ranked_shingles(sh: DataFrame) -> DataFrame:
+    """(doc, shingle, n_sh, __pos) — each document's shingles under the
+    ONE global canonical order (df ASC, shingle ASC: rarest first,
+    total), ranked per doc by a doc-partitioned window (never a global
+    sort). The shared core of every prefix-filtering scheme: Jaccard
+    keeps ``__pos ≤ n_sh − ⌈τ·n_sh⌉ + 1`` (:func:`prefix_candidates`),
+    absolute overlap keeps ``__pos ≤ n_sh − c + 1``
+    (`operators/overlap_join.py`) — one ranking definition, no drift
+    between the schemes' pruning stages."""
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc").orderBy("__df", "shingle")
+    )
+    return (
+        sh.join(dfreq, "shingle")
+        .withColumn("__pos", pos)
+        .join(sizes, "doc")
+        .select("doc", "shingle", "n_sh", "__pos")
+    )
+
+
 def prefix_candidates(
     sh: DataFrame,
     threshold_num: int,
@@ -58,17 +80,7 @@ def prefix_candidates(
     widened prefix — was invisible until candidate counts were
     asserted directly)."""
     num, den = int(threshold_num), int(threshold_den)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    # canonical rank within each doc: rarest-first, shingle tiebreak
-    pos = F.row_number().over(
-        Window.partitionBy("doc").orderBy("__df", "shingle")
-    )
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn("__pos", pos)
-        .join(sizes, "doc")
-    )
+    ranked = ranked_shingles(sh)
     # p = n − ⌈τ·n⌉ + 1 on the integer grid (`div` — exact integer
     # division, identical in Spark and DuckDB on non-negative operands)
     ceil_tn = F.expr(f"({num} * n_sh + {den - 1}) div {den}")
