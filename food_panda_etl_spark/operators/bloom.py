@@ -64,13 +64,13 @@ def bloom_sketch(
     NULL mass separately if it matters); NULL GROUP keys form their own
     group (identical grouping semantics in both engines)."""
     width = _validate(m_bits, k_hashes)
-    clash = sorted({"j", "b", "set"} & set(group_cols))
+    clash = sorted({"j", "b", "set", "__c"} & set(group_cols))
     if clash:
         raise ValueError(
             f"bloom_sketch: group_cols {clash} collide with the sketch's "
-            "reserved (j, b, set) output columns — rename them first "
-            "(ADVICE r12: an unguarded build side yields duplicate column "
-            "names that only fail far from the cause)"
+            "reserved (j, b, set) output / __c temp columns — rename them "
+            "first (ADVICE r12: an unguarded build side yields duplicate "
+            "column names that only fail far from the cause)"
         )
     k = F.col(col)
     cells = F.array(*[
@@ -171,11 +171,11 @@ def bloom_probe(
             "to ONE group and select('j', 'b', 'set') (a single group's "
             "rows ARE a flat sketch) rather than probing flat"
         )
-    clash = sorted({"j", "b", "set"} & set(probes.columns))
+    clash = sorted({"j", "b", "set", "__c"} & set(probes.columns))
     if clash:
         raise ValueError(
             f"bloom_probe: probe columns {clash} collide with the "
-            "sketch's reserved (j, b, set) — rename them first"
+            "sketch's reserved (j, b, set) / __c temp — rename them first"
         )
     k = F.col(col)
     cells = F.array(*[
@@ -309,10 +309,9 @@ def oracle_bloom_dm_sql(k_hashes: int) -> str:
     re-reduction matters: the engine's `_cell` uses pmod (non-negative
     residues) while DuckDB's % truncates, so the raw ``key % P`` form
     diverges on NEGATIVE keys (review-caught). A fragment, so build
-    and probe replays share one definition."""
-    from food_panda_etl_spark.operators.cms import _ADDS
+    and probe replays share one definition — since r13 a thin alias of
+    the family-wide `cms.oracle_dm_sql` builder (review r13: four
+    hand-joined copies of the fragment had accumulated)."""
+    from food_panda_etl_spark.operators.cms import oracle_dm_sql
 
-    rows = ", ".join(
-        f"({j}, {_MULTS[j]}, {_ADDS[j]})" for j in range(k_hashes)
-    )
-    return f"(SELECT * FROM (VALUES {rows}) AS t(j, a, c))"
+    return oracle_dm_sql(k_hashes, dim="j")

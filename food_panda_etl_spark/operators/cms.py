@@ -58,6 +58,25 @@ _ADDS = (402653189, 805306457, 201326611, 100663319,
 _P = 1000003
 
 
+def oracle_dm_sql(depth: int, dim: str = "d") -> str:
+    """The DuckDB replay of the affine hash rows — the SAME
+    (dim, A_i, B_i) rows interpolated from the operator's constants:
+    ONE builder for every oracle that cross-joins the depth/row table
+    and computes ``(((key % P) + P) % P * a + c) % P % width`` (the +P
+    re-reduction matters: `_cell` uses pmod where DuckDB's % truncates,
+    so the raw ``key % P`` form diverges on NEGATIVE keys). ``dim``
+    names the row column ("d" for CMS depths, "j" for Bloom hash rows
+    via `bloom.oracle_bloom_dm_sql`). Review r13: this consolidates
+    what had grown to four hand-joined copies of the fragment —
+    queries/sketch.py and queries/sketch_extras.py still carry inline
+    copies byte-frozen to their recorded evidence and switch here when
+    their files next rotate (r14 plan)."""
+    rows = ", ".join(
+        f"({i}, {_MULTS[i]}, {_ADDS[i]})" for i in range(depth)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t({dim}, a, c))"
+
+
 def _cell(key_col, d: int, width: int):
     """Depth-d bucket of an integral key: ((k mod P)·A_d + B_d) mod P
     mod width — the key is reduced mod P BEFORE the multiply so the

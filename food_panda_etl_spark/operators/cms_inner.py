@@ -72,8 +72,16 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
             )
         )
         .select(
+            # division form — the guard's own product would overflow in
+            # exactly the regime it protects (review r13): under
+            # non-ANSI a 1.6e19 product wraps negative and PASSES the
+            # <= test; na ≤ MAX div nb ⟺ na·nb ≤ MAX for nb ≥ 1
             F.when(
-                F.col("__na") * F.col("__nb") <= F.lit(_MAX_PRODUCT),
+                (F.col("__nb") == 0)
+                | (
+                    F.col("__na")
+                    <= F.expr(f"{_MAX_PRODUCT} div greatest(__nb, 1)")
+                ),
                 F.lit(1),
             )
             .otherwise(

@@ -140,11 +140,18 @@ DECLARED_WINDOW = [
     "q_domain_drift",
     "q_token_fertility",
     "q_padding_waste",
-    # 48-50 fills from the r9-era greens (oldest remaining evidence;
-    # the bulk of the 45-key r9 block rotates in r14).
+    # 48-49 fills from the r9-era greens (oldest remaining evidence;
+    # the bulk of the 45-key r9 block rotates in r14 —
+    # test_evidence_age now forces it).
     "q_vendor_enrich",
     "q_group_heavy_hitters",
-    "q_bm25",
+    # 50 byte-changed THIS round: operators/cms.py grew the shared
+    # oracle_dm_sql builder (review r13 — four hand-joined copies of
+    # the affine dm VALUES fragment consolidated), so the one declared
+    # key riding cms.py from OUTSIDE this window (via
+    # operators/cms_windowed.py) re-records on the new bytes; sketch.py
+    # and scale_sketches riders are already windowed above.
+    "q_cms_windowed",
 ]
 
 # R14 ROTATION PLAN: any r14 build-ahead declarations pre-verified in

@@ -61,9 +61,11 @@ def test_candidate_volume_is_pruned(spark, sf_dir):
         .count()
     )
     true_pairs = _brute_force(sh, 20).count()
-    # every true pair is a candidate; candidates ≤ 40% of co-occurring
-    # pairs on the fixture (measured ~23 vs ~36+ at sf0.001)
-    assert true_pairs <= cand <= max(int(cooc * 0.8), true_pairs)
+    # every true pair is a candidate; candidates ≤ 70% of co-occurring
+    # pairs (measured: cand == true_pairs == 23 vs 36 co-occurring at
+    # sf0.001 — PERFECT pruning at c=20; the 0.7 factor leaves room for
+    # fixture drift, not for a destroyed prefix)
+    assert true_pairs <= cand <= max(int(cooc * 0.7), true_pairs)
     assert cand < cooc
 
 

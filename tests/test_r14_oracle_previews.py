@@ -24,7 +24,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P
+from food_panda_etl_spark.operators.cms import _P, oracle_dm_sql
 from food_panda_etl_spark.operators.hll import HLL_M
 from food_panda_etl_spark.operators.overlap_join import SHINGLE5_CTE_SQL
 from food_panda_etl_spark.queries import ORACLES
@@ -36,7 +36,6 @@ _SF01 = "/root/testdata/sf0.01"
 _OV_C = 20
 
 _JS_W, _JS_D = 1024, 4
-_JS_DM = ", ".join(f"({d}, {_MULTS[d]}, {_ADDS[d]})" for d in range(_JS_D))
 
 _HI_TOL_NUM, _HI_TOL_DEN = 15, 100
 _HI_YA, _HI_YB = 1995, 1996
@@ -140,7 +139,7 @@ def test_cms_join_size_preview(spark, any_sf):
         )
     )
     oracle = f"""
-    WITH dm AS (SELECT * FROM (VALUES {_JS_DM}) AS t(d, a, c)),
+    WITH dm AS {oracle_dm_sql(_JS_D)},
     ca AS (SELECT d, (((l_partkey % {_P}) + {_P}) % {_P} * a + c)
                     % {_P} % {_JS_W} AS b,
                   CAST(count(*) AS BIGINT) AS cnt
