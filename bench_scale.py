@@ -647,6 +647,77 @@ def r13_curves(spark, sizes) -> dict:
     return curves
 
 
+def r14_curves(spark, sizes) -> dict:
+    """r14 build-ahead curves, runnable alone via `--r14` (min-of-two
+    per point):
+
+    - CMS inner product (r13 build-ahead): two sketch builds (one
+      narrow depth-way explode + ONE (d, b) hash agg each, ≤ W·D rows
+      out) + the ≤ W·D-row inner-product join + min. Expected
+      near-linear in rows with the scan floor dominating — the product
+      stage is invariant in n by construction.
+    - Exact overlap join (r13 build-ahead): the same near-dup-heavy
+      duplicated-doc corpus as the prefix-join curve (true pairs ~n/2,
+      candidates track them — the linear regime); absolute threshold
+      c=4 over 6 shared 3-gram shingles per duplicate pair.
+    """
+    from food_panda_etl_spark.operators.cms import cms_sketch
+    from food_panda_etl_spark.operators.cms_inner import cms_inner_product
+    from food_panda_etl_spark.operators.overlap_join import overlap_join
+
+    curves: dict[str, dict[int, float]] = {
+        "cms_inner_product": {},
+        "overlap_join": {},
+    }
+    for n in sizes:
+        d = (
+            spark.range(n)
+            .select(
+                (F.pmod(F.xxhash64(F.col("id")), F.lit(n))).alias("k"),
+                (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(3))).alias("g"),
+            )
+            .cache()
+        )
+        d.count()
+
+        def run_ip():
+            a = cms_sketch(d.filter(F.col("g") == 0), "k")
+            b = cms_sketch(d.filter(F.col("g") != 0), "k")
+            cms_inner_product(a, b).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        curves["cms_inner_product"][n] = min(timed(run_ip), timed(run_ip))
+        d.unpersist()
+
+    for n in sizes:
+        docs = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit(f"t{j}_"),
+                            ((F.col("id") / 2).cast("long") * 31 + j)
+                            .cast("string"),
+                        )
+                        for j in range(8)
+                    ],
+                ).alias("text"),
+            )
+            .cache()
+        )
+        docs.count()
+        run_ov = lambda: overlap_join(  # noqa: E731
+            docs, "doc_id", "text", n=3, min_overlap=4
+        ).write.format("noop").mode("overwrite").save()
+        curves["overlap_join"][n] = min(timed(run_ov), timed(run_ov))
+        docs.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -685,6 +756,13 @@ def main() -> None:
     if "--r13" in sys.argv:  # r13 curves (bloom / windowed HLL / prefix join)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r13_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r14" in sys.argv:  # r14 curves (cms inner product / overlap join)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r14_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))
