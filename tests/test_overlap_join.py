@@ -110,3 +110,21 @@ def test_guards(spark, sf_dir):
     sh = shingle_table(d, "doc_id", "text", 5)
     with pytest.raises(ValueError, match="min_overlap >= 1"):
         overlap_candidates(sh, -2)
+
+
+def test_plan_has_no_global_window(spark, sf_dir):
+    """The canonical ranking must stay a doc-partitioned window (never
+    a global sort): every windowspecdefinition in the optimized plan
+    leads with a partition column (the test_plan_quality shape — a
+    global window's first argument is an ORDER field carrying
+    ASC/DESC)."""
+    import re
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = overlap_join(d, "doc_id", "text", 5, 20)._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^,]*)", plan)
+    assert specs, "expected the per-doc rank window in the plan"
+    for spec in specs:
+        assert " ASC" not in spec and " DESC" not in spec, (
+            f"partition-less window: windowspecdefinition({spec}, ..."
+        )

@@ -140,3 +140,94 @@ def test_streaming_sketch_state_equals_batch(spark, out_dir):
     # events on 2024-01-03 and none on the 4th
     est_map = {r["k"]: r["est"] for r in got.collect()}
     assert est_map[1] >= 2  # CMS one-sided: never under
+
+
+def test_streaming_bloom_state_equals_batch(spark, out_dir):
+    """The membership sibling of the HLL/CMS maintenance above (r13 —
+    completes the family symmetry in the STREAMING dimension too):
+    per-micro-batch per-day Bloom set-bit relations OR-merged into
+    versioned parquet state == the batch sketch of the full input, and
+    the trailing-2-day "seen this user recently?" verdicts derived
+    from state alone match the batch pipeline AND the ground truth
+    (never-miss on present keys; the absent probe's 0 is deterministic
+    — same affine bits both paths)."""
+    from food_panda_etl_spark.operators.bloom import (
+        bloom_merge,
+        bloom_merge_groups,
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    m_bits, k_hashes = 4096, 4
+    state = os.path.join(out_dir, "bstate")
+    ckpt = os.path.join(out_dir, "bckpt")
+    batches = [
+        [_event(1, "2024-01-01 10:00:00", user=1),
+         _event(2, "2024-01-01 11:00:00", user=2),
+         _event(3, "2024-01-02 09:00:00", user=3)],
+        [_event(4, "2024-01-03 10:00:00", user=1),
+         _event(5, "2024-01-04 08:00:00", user=4),
+         _event(6, "2024-01-04 09:00:00", user=2)],
+        [_event(7, "2024-01-01 23:00:00", user=4)],
+    ]
+    src = _write_files(out_dir, batches)
+    latest = os.path.join(out_dir, "blatest.txt")
+
+    def merge_batch(df, batch_id):
+        ev = _keyed(df)
+        part = bloom_sketch(
+            ev, "k", m_bits=m_bits, k_hashes=k_hashes, group_cols=("day",)
+        )
+        if os.path.exists(latest):
+            with open(latest) as f:
+                prev = f.read().strip()
+            part = bloom_merge(
+                spark.read.parquet(prev), part, group_cols=("day",)
+            )
+        vdir = os.path.join(state, f"v{batch_id}")
+        part.write.parquet(vdir)
+        with open(latest, "w") as f:
+            f.write(vdir)
+
+    q = (
+        read_events_stream(spark, src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("availableNow replay exceeded 180 s")
+    finally:
+        q.stop()
+    with open(latest) as f:
+        vdir = f.read().strip()
+    state_bits = spark.read.parquet(vdir)
+
+    full = _keyed(spark.read.schema(EVENTS_STREAM_SCHEMA).json(src))
+    batch_bits = bloom_sketch(
+        full, "k", m_bits=m_bits, k_hashes=k_hashes, group_cols=("day",)
+    )
+    assert _rows(state_bits, ["day", "j", "b", "set"]) == _rows(
+        batch_bits, ["day", "j", "b", "set"]
+    )
+
+    # trailing-window membership FROM STATE ONLY == batch == truth:
+    # window 2024-01-03..04 contains users {1, 2, 4}; user 3 (day 2
+    # only) reads 0 — deterministic affine bits, both paths agree
+    win = F.col("day") >= "2024-01-03"
+    probes = spark.range(1, 5).select(F.col("id").alias("k"))
+    got = bloom_probe(
+        bloom_merge_groups(state_bits.filter(win)),
+        probes, "k", m_bits=m_bits, k_hashes=k_hashes,
+    )
+    want = bloom_probe(
+        bloom_merge_groups(batch_bits.filter(win)),
+        probes, "k", m_bits=m_bits, k_hashes=k_hashes,
+    )
+    assert _rows(got, ["k", "maybe_present"]) == _rows(
+        want, ["k", "maybe_present"]
+    )
+    verdicts = {r["k"]: r["maybe_present"] for r in got.collect()}
+    assert verdicts == {1: 1, 2: 1, 3: 0, 4: 1}
