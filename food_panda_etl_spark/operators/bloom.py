@@ -45,7 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.cms import _MULTS, _P, _cell
+from food_panda_etl_spark.operators.cms import (
+    _MULTS,
+    _P,
+    _cell,
+    oracle_dm_sql,
+)
 from food_panda_etl_spark.operators.sketch_checks import check_merge_columns
 
 
@@ -312,6 +317,4 @@ def oracle_bloom_dm_sql(k_hashes: int) -> str:
     and probe replays share one definition — since r13 a thin alias of
     the family-wide `cms.oracle_dm_sql` builder (review r13: four
     hand-joined copies of the fragment had accumulated)."""
-    from food_panda_etl_spark.operators.cms import oracle_dm_sql
-
     return oracle_dm_sql(k_hashes, dim="j")

@@ -71,6 +71,13 @@ def oracle_dm_sql(depth: int, dim: str = "d") -> str:
     queries/sketch.py and queries/sketch_extras.py still carry inline
     copies byte-frozen to their recorded evidence and switch here when
     their files next rotate (r14 plan)."""
+    if not 1 <= depth <= len(_MULTS):
+        # loud, at the cause: depth 0 would emit 'VALUES ' (a DuckDB
+        # syntax error surfacing only when the assembled oracle parses)
+        # and depth 9 a bare IndexError mid-f-string
+        raise ValueError(
+            f"oracle_dm_sql: depth must be in [1, {len(_MULTS)}], got {depth}"
+        )
     rows = ", ".join(
         f"({i}, {_MULTS[i]}, {_ADDS[i]})" for i in range(depth)
     )

@@ -46,6 +46,51 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def _run_versioned_merge(spark, out_dir, src, tag, step):
+    """The shared foreachBatch versioned-parquet maintenance harness
+    (review r13 — the Bloom test had copy-pasted it): replay ``src``
+    with availableNow, calling ``step(keyed_events, prev)`` per
+    micro-batch — ``prev`` is None on the first batch, else a
+    ``name -> DataFrame`` loader over the previous version — and
+    writing the returned ``{name: DataFrame}`` as version
+    ``v{batch_id}``. Returns a loader over the FINAL version. Timeouts
+    fail loudly (the run_available_now convention) instead of reading
+    half-written state with a misleading diff."""
+    state = os.path.join(out_dir, f"{tag}_state")
+    ckpt = os.path.join(out_dir, f"{tag}_ckpt")
+    latest = os.path.join(out_dir, f"{tag}_latest.txt")
+
+    def loader(vdir):
+        return lambda name: spark.read.parquet(os.path.join(vdir, name))
+
+    def merge_batch(df, batch_id):
+        prev = None
+        if os.path.exists(latest):
+            with open(latest) as f:
+                prev = loader(f.read().strip())
+        out = step(_keyed(df), prev)
+        vdir = os.path.join(state, f"v{batch_id}")
+        for name, frame in out.items():
+            frame.write.parquet(os.path.join(vdir, name))
+        with open(latest, "w") as f:
+            f.write(vdir)
+
+    q = (
+        read_events_stream(spark, src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("availableNow replay exceeded 180 s")
+    finally:
+        q.stop()
+    with open(latest) as f:
+        return loader(f.read().strip())
+
+
 def test_streaming_sketch_state_equals_batch(spark, out_dir):
     """Three micro-batches spanning four days, including re-deliveries
     of users across batches: after the replay, the maintained HLL
@@ -53,8 +98,6 @@ def test_streaming_sketch_state_equals_batch(spark, out_dir):
     sketching ALL events at once, and the trailing-2-day window
     answers derived from state alone (re-bucket + estimate) match the
     batch pipeline."""
-    state = os.path.join(out_dir, "state")
-    ckpt = os.path.join(out_dir, "ckpt")
     batches = [
         [_event(1, "2024-01-01 10:00:00", user=1),
          _event(2, "2024-01-01 11:00:00", user=2),
@@ -68,48 +111,21 @@ def test_streaming_sketch_state_equals_batch(spark, out_dir):
     ]
     src = _write_files(out_dir, batches)
 
-    latest = os.path.join(out_dir, "latest.txt")
-
-    def merge_batch(df, batch_id):
-        ev = _keyed(df)
+    def step(ev, prev):
         part_hll = hll_sketch(ev, "k", group_cols=("day",))
         part_cms = cms_sketch_by_group(
             ev, "k", ("day",), width=W, depth=D
         )
-        if os.path.exists(latest):
-            with open(latest) as f:
-                prev = f.read().strip()
-            prev_hll = spark.read.parquet(os.path.join(prev, "hll"))
-            prev_cms = spark.read.parquet(os.path.join(prev, "cms"))
-            part_hll = hll_merge(prev_hll, part_hll, group_cols=("day",))
+        if prev is not None:
+            part_hll = hll_merge(prev("hll"), part_hll, group_cols=("day",))
             part_cms = cms_merge_groups(
-                prev_cms, part_cms, group_cols=("day",), width=W, depth=D
+                prev("cms"), part_cms, group_cols=("day",), width=W, depth=D
             )
-        vdir = os.path.join(state, f"v{batch_id}")
-        part_hll.write.parquet(os.path.join(vdir, "hll"))
-        part_cms.write.parquet(os.path.join(vdir, "cms"))
-        with open(latest, "w") as f:
-            f.write(vdir)
+        return {"hll": part_hll, "cms": part_cms}
 
-    q = (
-        read_events_stream(spark, src)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # the run_available_now convention (streaming/runner.py): a
-        # False return means timeout — stop and fail loudly instead of
-        # reading half-written state with a misleading diff
-        if not q.awaitTermination(180):
-            raise TimeoutError("availableNow replay exceeded 180 s")
-    finally:
-        q.stop()
-    with open(latest) as f:
-        vdir = f.read().strip()
-    state_hll = spark.read.parquet(os.path.join(vdir, "hll"))
-    state_cms = spark.read.parquet(os.path.join(vdir, "cms"))
+    final = _run_versioned_merge(spark, out_dir, src, "hllcms", step)
+    state_hll = final("hll")
+    state_cms = final("cms")
 
     full = _keyed(spark.read.schema(EVENTS_STREAM_SCHEMA).json(src))
     batch_hll = hll_sketch(full, "k", group_cols=("day",))
@@ -159,8 +175,6 @@ def test_streaming_bloom_state_equals_batch(spark, out_dir):
     )
 
     m_bits, k_hashes = 4096, 4
-    state = os.path.join(out_dir, "bstate")
-    ckpt = os.path.join(out_dir, "bckpt")
     batches = [
         [_event(1, "2024-01-01 10:00:00", user=1),
          _event(2, "2024-01-01 11:00:00", user=2),
@@ -171,39 +185,18 @@ def test_streaming_bloom_state_equals_batch(spark, out_dir):
         [_event(7, "2024-01-01 23:00:00", user=4)],
     ]
     src = _write_files(out_dir, batches)
-    latest = os.path.join(out_dir, "blatest.txt")
 
-    def merge_batch(df, batch_id):
-        ev = _keyed(df)
+    def step(ev, prev):
         part = bloom_sketch(
             ev, "k", m_bits=m_bits, k_hashes=k_hashes, group_cols=("day",)
         )
-        if os.path.exists(latest):
-            with open(latest) as f:
-                prev = f.read().strip()
-            part = bloom_merge(
-                spark.read.parquet(prev), part, group_cols=("day",)
-            )
-        vdir = os.path.join(state, f"v{batch_id}")
-        part.write.parquet(vdir)
-        with open(latest, "w") as f:
-            f.write(vdir)
+        if prev is not None:
+            part = bloom_merge(prev("bits"), part, group_cols=("day",))
+        return {"bits": part}
 
-    q = (
-        read_events_stream(spark, src)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    state_bits = _run_versioned_merge(spark, out_dir, src, "bloom", step)(
+        "bits"
     )
-    try:
-        if not q.awaitTermination(180):
-            raise TimeoutError("availableNow replay exceeded 180 s")
-    finally:
-        q.stop()
-    with open(latest) as f:
-        vdir = f.read().strip()
-    state_bits = spark.read.parquet(vdir)
 
     full = _keyed(spark.read.schema(EVENTS_STREAM_SCHEMA).json(src))
     batch_bits = bloom_sketch(
