@@ -543,3 +543,76 @@ def test_pps_nan_weight_raises(spark):
     )
     with pytest.raises(Exception, match="non-negative non-NULL"):
         pps_systematic_sample(df, "n_chars", k=2).collect()
+
+
+# --- r13 sketch/join family invariants (few examples, real Spark) ---
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]), min_size=3, max_size=12
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SET
+@given(docs=docs_strategy, c=st.integers(min_value=1, max_value=4))
+def test_overlap_join_equals_brute_force_random(spark, docs, c):
+    """overlap_join completeness on RANDOM corpora (3-gram shingles,
+    random thresholds) — the engineered-fixture tests pin known
+    shapes; this pins the theorem on shapes nobody engineered."""
+    from food_panda_etl_spark.operators.dedup import shingle_table
+    from food_panda_etl_spark.operators.overlap_join import overlap_join
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.overlap)
+        for r in overlap_join(d, "doc_id", "text", 3, c).collect()
+    )
+    sh = shingle_table(d, "doc_id", "text", 3)
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    want = sorted(
+        (r.doc_a, r.doc_b, r.overlap)
+        for r in a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("overlap"))
+        .filter(F.col("overlap") >= c)
+        .collect()
+    )
+    assert got == want
+
+
+keys_strategy = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=0, max_size=60
+)
+
+
+@SET
+@given(a=keys_strategy, b=keys_strategy)
+def test_cms_inner_product_never_under_random(spark, a, b):
+    """cms_inner_product ≥ the exact inner product on RANDOM multisets
+    (negative keys included — the pmod residue grid). Width 8 forces
+    heavy collisions on purpose: the one-sided bound must hold under
+    collision pressure, not only in the collision-free regime the
+    fixture tests exercise."""
+    from collections import Counter
+
+    from food_panda_etl_spark.operators.cms import cms_sketch
+    from food_panda_etl_spark.operators.cms_inner import cms_inner_product
+
+    da = spark.createDataFrame([(k,) for k in a] or [(None,)], "k long")
+    db = spark.createDataFrame([(k,) for k in b] or [(None,)], "k long")
+    est = cms_inner_product(
+        cms_sketch(da, "k", width=8, depth=3),
+        cms_sketch(db, "k", width=8, depth=3),
+    ).collect()[0]["est"]
+    ca, cb = Counter(a), Counter(b)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    assert est >= exact
+    # and the trivial upper bound: min over depths can never exceed
+    # the all-collisions-in-one-bucket mass
+    assert est <= sum(ca.values()) * sum(cb.values())
