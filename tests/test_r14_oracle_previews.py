@@ -16,6 +16,10 @@ Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning):
 - HLL intersect tolerance 15% (realized |err| 4.0%/3.0%/4.7% with the
   linear-counting small-range correction; raw estimates alone run
   +49% at sf0.001 — n=116 ≪ 2.5m is the biased regime).
+
+Beyond the two preview SFs below, all three compares were ALSO run
+once against sf0.1 (r13, manually through the same harness) and
+hash-matched — the r14 sweep should hold with no constant retuning.
 """
 
 from __future__ import annotations
