@@ -564,6 +564,7 @@ def test_overlap_join_equals_brute_force_random(spark, docs, c):
     shapes; this pins the theorem on shapes nobody engineered."""
     from food_panda_etl_spark.operators.dedup import shingle_table
     from food_panda_etl_spark.operators.overlap_join import overlap_join
+    from tests.test_overlap_join import _brute_force
 
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     d = spark.createDataFrame(rows, "doc_id long, text string")
@@ -571,17 +572,11 @@ def test_overlap_join_equals_brute_force_random(spark, docs, c):
         (r.doc_a, r.doc_b, r.overlap)
         for r in overlap_join(d, "doc_id", "text", 3, c).collect()
     )
-    sh = shingle_table(d, "doc_id", "text", 3)
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    # ONE brute-force oracle definition (the test_streaming_sketches
+    # cross-import convention) — a second inline copy could drift
     want = sorted(
         (r.doc_a, r.doc_b, r.overlap)
-        for r in a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("bigint").alias("overlap"))
-        .filter(F.col("overlap") >= c)
-        .collect()
+        for r in _brute_force(shingle_table(d, "doc_id", "text", 3), c).collect()
     )
     assert got == want
 
