@@ -154,20 +154,32 @@ DECLARED_WINDOW = [
     "q_cms_windowed",
 ]
 
-# R14 ROTATION PLAN: any r14 build-ahead declarations pre-verified in
-# tests/test_r14_oracle_previews.py first (the preview guard in
-# tests/test_registry_rotation.py FAILS the build if WINDOW_ROUND
-# reaches 14 without them), then the remaining r9-era greens — the
-# approx_gates block (9), retrieval's q_chunk_text/q_hybrid_rrf,
-# similarity.py's 16 r9 keys (rotate the WHOLE file if its bytes
-# change — e.g. the q_simhash_neardup shingle-sharing idea, VERDICT
-# r12 what's-wrong #2), udx (q_map_funcs, q_to_json, q_udaf), and
-# sketch.py re-records — keeping every key's latest evidence ≤ 4
-# rounds old (tests/test_registry_rotation.py::test_evidence_age now
-# enforces this). If storage.py rotates, move q_pps_sample's oracle
-# to the pre-reduced hash form and add it to
-# tests/test_r11_oracle_previews.py::_PREREDUCED_ORACLES (the one
-# remaining raw-form sample_order_hash rider — ADVICE r12 low #3).
+# R14 ROTATION PLAN — the window is essentially FULLY ALLOCATED, do
+# NOT add more r14 previews (the arithmetic, computed r13):
+# MANDATORY 33 = the 3 pre-verified declarations (q_overlap_join,
+# q_cms_join_size, q_hll_intersect_gate — bodies move verbatim from
+# tests/test_r14_oracle_previews.py; the preview guard FAILS the
+# build if WINDOW_ROUND reaches 14 without them) + ALL 30 r9-era
+# keys, which hit evidence-age 5 at r14 (test_evidence_age fails the
+# build otherwise): q_ann_recall q_approx_distinct_gate q_array_size
+# q_bm25 q_chunk_text q_cosine_lsh_gate q_cosine_topk
+# q_cosine_topk_lsh q_dedup_components q_dedup_components_lsh
+# q_dedup_keep_rep q_dedup_keep_rep_lsh q_embed_lsh_gate
+# q_embed_neardup q_embed_neardup_lsh q_hybrid_rrf q_image_decode
+# q_ivf_gate q_ivf_topk q_map_funcs q_minhash_gate q_minhash_neardup
+# q_ngram_jaccard q_png_decode q_quantize_embed q_simhash_gate
+# q_simhash_neardup q_to_json q_udaf q_vector_norm.
+# OPTIONAL with the remaining 17 slots: (a) rotate storage.py
+# (12 riders — all its keys) to move q_pps_sample's oracle to the
+# pre-reduced hash (ADVICE r12 low #3; then add it to
+# tests/test_r11_oracle_previews.py::_PREREDUCED_ORACLES) and switch
+# q_shuffle_order's raw-form inline hashes; (b) byte-change
+# similarity.py (its 16 r9 keys are already mandatory; +4 riders
+# q_embed_outlier q_image_resize q_jpeg_decode q_embed_centroid) to
+# consolidate its shingle CTE onto overlap_join.SHINGLE5_CTE_SQL and
+# its dm fragment onto cms.oracle_dm_sql. (a)+(b) = 49/50 — pick at
+# most both, nothing else; sketch.py/sketch_extras dm consolidation
+# waits for their own rotations.
 
 
 def _load_all() -> None:
