@@ -44,7 +44,11 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     columns. Both inputs must come from `cms.cms_sketch` with the SAME
     (width, depth) — same-geometry is the caller contract (the
     cms_merge rule: bounds checks are best-effort at most; SHAPE is
-    validated exactly). The whole computation is two ≤ width·depth-row
+    validated exactly — columns here at build time, the depth SETS
+    in-plan below: unlike width, a depth mismatch is cheaply
+    detectable on these ≤ width·depth-row frames, and minning over
+    only sk_a's depth rows would silently answer a different
+    question). The whole computation is two ≤ width·depth-row
     frames: an inner join on (d, b) (absent cells are zero counts —
     zero product mass, inner join is exact), one per-depth sum, one
     global min."""
@@ -97,6 +101,55 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
             .alias("__ok")
         )
     )
+    # depth-set guard (ADVICE r13): a geometry-contract violation where
+    # the two sketches disagree on depth rows must FAIL, not silently
+    # min over sk_a's depths only. Full-outer-join the two ≤ depth-row
+    # distinct lists and count one-sided rows — in-plan like __ok, so
+    # Catalyst cannot prune the raise away.
+    dguard = (
+        sk_a.select("d")
+        .distinct()
+        .withColumn("__ia", F.lit(1))
+        .join(
+            sk_b.select("d").distinct().withColumn("__ib", F.lit(1)),
+            "d",
+            "full",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("__ia").isNull() | F.col("__ib").isNull()).cast(
+                        "int"
+                    )
+                ),
+                F.lit(0),
+            ).alias("__dmis"),
+            # an EMPTY sketch (zero rows == all-zero counters) is a
+            # valid operand with inner product 0, not a geometry
+            # violation — only flag when BOTH sides carry depth rows
+            F.coalesce(F.sum(F.col("__ia")), F.lit(0)).alias("__nda"),
+            F.coalesce(F.sum(F.col("__ib")), F.lit(0)).alias("__ndb"),
+        )
+        .select(
+            F.when(
+                (F.col("__dmis") == 0)
+                | (F.col("__nda") == 0)
+                | (F.col("__ndb") == 0),
+                F.lit(1),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "cms_inner_product: sketches disagree on %s depth"
+                        " rows — same (width, depth) geometry is the"
+                        " caller contract",
+                        F.col("__dmis").cast("string"),
+                    )
+                ).cast("int")
+            )
+            .alias("__dok")
+        )
+    )
     per_cell = (
         a.join(b, ["d", "b"])
         .groupBy("d")
@@ -112,8 +165,12 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     )
     return (
         per_depth.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dguard))
         .agg(
-            F.coalesce(F.min(F.col("__s") * F.col("__ok")), F.lit(0))
+            F.coalesce(
+                F.min(F.col("__s") * F.col("__ok") * F.col("__dok")),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("est")
         )

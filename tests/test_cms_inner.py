@@ -107,12 +107,24 @@ def test_shape_guard(spark):
         cms_inner_product(good, bad)
 
 
+def test_depth_mismatch_raises_in_plan(spark):
+    # geometry contract violation: sk_b built at depth 2 vs sk_a's 4 —
+    # the min must not silently run over sk_a's depth rows only
+    # (ADVICE r13); like __ok the guard rides the result expression
+    a = spark.range(20).select(F.col("id").alias("k"))
+    sk4 = cms_sketch(a, "k", width=_W, depth=4)
+    sk2 = cms_sketch(a, "k", width=_W, depth=2)
+    with pytest.raises(Exception, match="disagree on 2 depth rows"):
+        cms_inner_product(sk4, sk2).collect()
+    # and symmetrically when sk_b has the EXTRA depths
+    with pytest.raises(Exception, match="disagree on 2 depth rows"):
+        cms_inner_product(sk2, sk4).collect()
+
+
 def test_overflow_guard_raises_in_plan(spark):
     # hand-built sketches whose depth-0 totals multiply past 4e18: the
     # guard must raise at EXECUTION (it rides the result expression —
     # Catalyst cannot prune it away)
-    import pyspark
-
     huge = spark.createDataFrame(
         [(d, 0, 3 * 10**9) for d in range(_D)], "d int, b int, cnt long"
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from food_panda_etl_spark.queries import (
     DECLARED_WINDOW,
@@ -69,8 +70,6 @@ def test_preview_verified_queries_get_declared():
     file whose round is ≤ WINDOW_ROUND means the promotion did not
     land. (After promotion the file is rewritten registry-driven —
     the r10/r12 convention — and carries no ``*_preview`` functions.)"""
-    import re
-
     for path in glob.glob(
         os.path.join(REPO, "tests", "test_r*_oracle_previews.py")
     ):
@@ -102,8 +101,6 @@ def test_evidence_age():
     are handled by test_new_declarations_are_in_the_window."""
     latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        import re
-
         n = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
             payload = json.load(f)

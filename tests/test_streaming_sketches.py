@@ -71,7 +71,10 @@ def _run_versioned_merge(spark, out_dir, src, tag, step):
         out = step(_keyed(df), prev)
         vdir = os.path.join(state, f"v{batch_id}")
         for name, frame in out.items():
-            frame.write.parquet(os.path.join(vdir, name))
+            # overwrite, not error-if-exists: foreachBatch may replay a
+            # batch_id after a failure, and an idempotent re-write of
+            # the SAME version dir is exactly the exactly-once contract
+            frame.write.mode("overwrite").parquet(os.path.join(vdir, name))
         with open(latest, "w") as f:
             f.write(vdir)
 
