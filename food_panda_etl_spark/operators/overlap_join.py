@@ -39,12 +39,13 @@ from food_panda_etl_spark.operators.dedup import shingle_table
 from food_panda_etl_spark.operators.prefix_join import ranked_shingles
 
 #: The DuckDB replay of `operators/dedup.py::shingle_table` at n=5 —
-#: distinct whitespace 5-grams per document. MUST stay textually
-#: identical to the fragment inlined in the declared q_ngram_jaccard
-#: oracle (queries/similarity.py) — pinned by
-#: tests/test_r14_oracle_previews.py::test_shingle_cte_matches_ngram_jaccard
-#: until similarity.py's r14 rotation switches its oracles to this
-#: constant (ONE definition rule).
+#: distinct whitespace 5-grams per document. THE one shingle-replay
+#: definition (ONE definition rule, completed by the r14 similarity.py
+#: rotation): every oracle that replays the shingle table builds on
+#: this constant — `NGRAM_JACCARD_ORACLE_SQL` below (q_ngram_jaccard
+#: AND q_jaccard_prefix_join, threaded by `queries._load_all`),
+#: similarity.py's `_JACCARD_PAIR_CTES`, and the q_overlap_join
+#: oracle (queries/cross_sketches.py).
 SHINGLE5_CTE_SQL = """sh AS (
       SELECT DISTINCT doc_id AS doc, shingle FROM (
         SELECT doc_id,
@@ -54,6 +55,29 @@ SHINGLE5_CTE_SQL = """sh AS (
                       string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
                       string_split(text,' ')[i+4])) AS shingle
         FROM documents) WHERE shingle <> '')"""
+
+#: The brute-force exact-Jaccard pair SQL at τ=0.8 — the declared
+#: oracle of BOTH q_ngram_jaccard (the inverted-index brute force it
+#: literally describes) and q_jaccard_prefix_join (whose hash-match
+#: against this UNPRUNED form is the prefix-filtering completeness
+#: theorem). Owned here, next to the shingle replay it builds on, so
+#: `queries/scale_sketches.py` needs no post-import ORACLES alias
+#: (the r13 `_load_all` arrangement this retires was import-order
+#: load-bearing) and the string is byte-identical to the r13-recorded
+#: oracle (verified at extraction).
+NGRAM_JACCARD_ORACLE_SQL = f"""
+    WITH {SHINGLE5_CTE_SQL},
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc
+    JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
+    """
 
 
 def overlap_candidates(sh: DataFrame, min_overlap: int) -> DataFrame:

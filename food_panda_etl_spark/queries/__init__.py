@@ -67,119 +67,100 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order matches it, so a planned rotation that fails to land in code
 # fails loudly instead of silently (round 8 shipped zero commits because
 # the plan lived only in a comment).
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 DECLARED_WINDOW = [
-    # 1-5 NEW in r13: the five r12 build-ahead operators' first driver
-    # evidence — bodies and oracle strings moved VERBATIM from
-    # tests/test_r13_oracle_previews.py (now registry-driven, the
-    # r10/r12 convention) into queries/scale_sketches.py, where they
-    # were pre-verified at sf0.001+sf0.01 through the driver's own
-    # compare harness.
-    "q_bloom_filter",
-    "q_bloom_prefilter",
-    "q_hll_windowed",
-    "q_group_priority_sample",
-    "q_jaccard_prefix_join",
-    # 6 NEW in r13 (VERDICT r12 task 6): the Bloom FPR audit gate —
-    # completes the sketch-gate symmetry (every other sketch family
-    # already carries a driver-evidenced quality gate).
-    "q_bloom_fpr_gate",
-    # 7-20 the 14 remaining r8-era greens — 5-round-old evidence
-    # (VERDICT r12 task 2; the list pre-encoded in the r12 rotation
-    # plan comment): graph/funnel/clustering/storage-CDC blocks.
+    # 1-3 NEW in r14: the three r13 build-ahead components' first
+    # driver evidence — bodies and oracle strings moved VERBATIM from
+    # tests/test_r14_oracle_previews.py (now registry-driven, the
+    # r10/r12/r13 convention) into queries/cross_sketches.py, where
+    # they were pre-verified at sf0.001+sf0.01 (and once manually at
+    # sf0.1) through the driver's own compare harness.
+    "q_overlap_join",
+    "q_cms_join_size",
+    "q_hll_intersect_gate",
+    # 4-33 ALL 30 r9-era keys — they hit evidence-age 5 this round and
+    # test_evidence_age fails the build otherwise (the allocation
+    # pinned by the r13 plan comment, executed verbatim). 16 of these
+    # live in queries/similarity.py, byte-changed this round by the
+    # shingle-CTE consolidation (VERDICT r13 task 3), so the
+    # file-granular evidence rule independently forces them.
+    "q_ann_recall",
+    "q_approx_distinct_gate",
+    "q_array_size",
+    "q_bm25",
+    "q_chunk_text",
+    "q_cosine_lsh_gate",
+    "q_cosine_topk",
+    "q_cosine_topk_lsh",
+    "q_dedup_components",
+    "q_dedup_components_lsh",
+    "q_dedup_keep_rep",
+    "q_dedup_keep_rep_lsh",
+    "q_embed_lsh_gate",
+    "q_embed_neardup",
+    "q_embed_neardup_lsh",
+    "q_hybrid_rrf",
+    "q_image_decode",
+    "q_ivf_gate",
+    "q_ivf_topk",
+    "q_map_funcs",
+    "q_minhash_gate",
+    "q_minhash_neardup",
+    "q_ngram_jaccard",
+    "q_png_decode",
+    "q_quantize_embed",
+    "q_simhash_gate",
+    "q_simhash_neardup",
+    "q_to_json",
+    "q_udaf",
+    "q_vector_norm",
+    # 34-45 queries/storage.py — byte-changed this round (VERDICT r13
+    # task 2: q_pps_sample's and q_shuffle_order's oracles move to the
+    # pre-reduced overflow-free hash, residue-identical on every
+    # fixture id; q_shuffle_order's Spark side now rides the shared
+    # sample_order_hash), so ALL 12 of its keys re-record.
+    "q_partition_prune",
+    "q_train_split",
+    "q_stratified_sample",
+    "q_pack_chunks",
     "q_snapshot_diff",
+    "q_zorder",
     "q_upsert",
-    "q_kmeans",
-    "q_semantic_dedup",
-    "q_heavy_hitters",
-    "q_dsir_weight",
-    "q_pmi",
-    "q_triangle_count",
-    "q_labelprop",
-    "q_cms_counts",
-    "q_quality_classifier",
-    "q_funnel",
-    "q_retention",
-    "q_sessionize",
-    # 21-39 byte-changed THIS round (ADVICE r12 low #3: the remaining
-    # raw-form (doc_id * M) % P oracle strings move to the PRE-REDUCED
-    # ((doc_id % P) * M) % P, matching the r11 engine fix in
-    # operators/sampling.py::sample_order_hash — residue-identical on
-    # every fixture id, overflow-free on full int64). text.py carries
-    # one such oracle (q_select_pipeline), so ALL text.py queries
-    # re-record on the new bytes (the file-granular evidence rule).
-    "q_select_pipeline",
-    "q_array_explode",
-    "q_binary_meta",
-    "q_decontaminate",
-    "q_fingerprint",
-    "q_langid",
-    "q_quality_score",
-    "q_repetition",
-    "q_text_clean",
-    "q_tfidf",
-    "q_token_count",
-    "q_token_count_bpe",
-    "q_bpe_encode",
-    "q_bpe_train",
-    "q_corpus_stats",
-    "q_lm_score",
-    "q_nfc_normalize",
-    "q_pii_redact",
-    "q_substring_dedup",
-    # 40-42 curation.py riders of the same ADVICE fix
-    # (q_priority_sample's oracle): the whole file re-records.
-    "q_priority_sample",
-    "q_curriculum_mix",
-    "q_hll_counts",
-    # 43-47 selection.py riders of the same ADVICE fix
-    # (q_pps_stratified's and q_select_stratified's oracles).
-    "q_pps_stratified",
-    "q_select_stratified",
-    "q_domain_drift",
-    "q_token_fertility",
-    "q_padding_waste",
-    # 48-49 fills from the r9-era greens (oldest remaining evidence;
-    # the bulk of the 45-key r9 block rotates in r14 —
-    # test_evidence_age now forces it).
-    "q_vendor_enrich",
-    "q_group_heavy_hitters",
-    # 50 byte-changed THIS round: operators/cms.py grew the shared
-    # oracle_dm_sql builder (review r13 — four hand-joined copies of
-    # the affine dm VALUES fragment consolidated), so the one declared
-    # key riding cms.py from OUTSIDE this window (via
-    # operators/cms_windowed.py) re-records on the new bytes; sketch.py
-    # and scale_sketches riders are already windowed above.
-    "q_cms_windowed",
+    "q_mix_to_target",
+    "q_shuffle_order",
+    "q_pps_sample",
+    "q_temperature_mix",
+    "q_incremental_agg",
+    # 46-49 the 4 similarity.py riders of the shingle-CTE
+    # consolidation (the other 16 similarity keys are in the r9 block
+    # above — together that is ALL 20 of the byte-changed file's keys).
+    "q_embed_outlier",
+    "q_image_resize",
+    "q_jpeg_decode",
+    "q_embed_centroid",
+    # 50 q_jaccard_prefix_join: its oracle PROVENANCE moved this round
+    # (the _load_all post-import ORACLES alias retired in favor of the
+    # shared overlap_join.NGRAM_JACCARD_ORACLE_SQL constant — VERDICT
+    # r13 "What's wrong" #2). The assembled string is byte-identical
+    # to the r13-recorded oracle, but fresh driver evidence under the
+    # new plumbing costs one slot and removes all doubt.
+    "q_jaccard_prefix_join",
 ]
 
-# R14 ROTATION PLAN — the window is essentially FULLY ALLOCATED, do
-# NOT add more r14 previews (the arithmetic, computed r13):
-# MANDATORY 33 = the 3 pre-verified declarations (q_overlap_join,
-# q_cms_join_size, q_hll_intersect_gate — bodies move verbatim from
-# tests/test_r14_oracle_previews.py; the preview guard FAILS the
-# build if WINDOW_ROUND reaches 14 without them) + ALL 30 r9-era
-# keys, which hit evidence-age 5 at r14 (test_evidence_age fails the
-# build otherwise): q_ann_recall q_approx_distinct_gate q_array_size
-# q_bm25 q_chunk_text q_cosine_lsh_gate q_cosine_topk
-# q_cosine_topk_lsh q_dedup_components q_dedup_components_lsh
-# q_dedup_keep_rep q_dedup_keep_rep_lsh q_embed_lsh_gate
-# q_embed_neardup q_embed_neardup_lsh q_hybrid_rrf q_image_decode
-# q_ivf_gate q_ivf_topk q_map_funcs q_minhash_gate q_minhash_neardup
-# q_ngram_jaccard q_png_decode q_quantize_embed q_simhash_gate
-# q_simhash_neardup q_to_json q_udaf q_vector_norm.
-# OPTIONAL with the remaining 17 slots: (a) rotate storage.py
-# (12 riders — all its keys) to move q_pps_sample's oracle to the
-# pre-reduced hash (ADVICE r12 low #3; then add it to
-# tests/test_r11_oracle_previews.py::_PREREDUCED_ORACLES) and switch
-# q_shuffle_order's raw-form inline hashes; (b) byte-change
-# similarity.py (its 16 r9 keys are already mandatory; +4 riders
-# q_embed_outlier q_image_resize q_jpeg_decode q_embed_centroid) to
-# consolidate its shingle CTE onto overlap_join.SHINGLE5_CTE_SQL and
-# its dm fragment onto cms.oracle_dm_sql. (a)+(b) = 49/50 — pick at
-# most both, nothing else; sketch.py/sketch_extras dm consolidation
-# waits for their own rotations.
+# R15 ROTATION PLAN (the arithmetic, computed r14): NOTHING hits the
+# evidence-age wall at r15 (after this round's rotation the oldest
+# evidence is r11, age 4 at r15's END only if untouched through r15 —
+# the 35 r11-era keys hit the wall at r16, the ~40 r12-era keys at
+# r17). So the r15 window is free for (a) the r14 build-ahead
+# declarations (see tests/test_r15_oracle_previews.py — the preview
+# guard forces them once WINDOW_ROUND reaches 15) and (b) an EARLY
+# start on the 35-key r11 block (relational.py/sorts.py's TPC-H core
+# + the text/curation r11 riders) so r16 never needs a 35-mandatory
+# window; fill remaining slots oldest-evidence-first. sketch.py /
+# sketch_extras.py still carry inline dm VALUES fragments — their
+# rotation (consolidate onto cms.oracle_dm_sql) should ride whichever
+# round windows their keys.
 
 
 def _load_all() -> None:
@@ -215,15 +196,22 @@ def _load_all() -> None:
         retrieval,
         similarity,
         scale_sketches,
+        cross_sketches,
+    )
+    from food_panda_etl_spark.operators.overlap_join import (
+        NGRAM_JACCARD_ORACLE_SQL,
     )
 
     # q_jaccard_prefix_join's oracle IS the brute-force q_ngram_jaccard
-    # SQL — ONE definition (queries/similarity.py), aliased here after
-    # every module has registered (a decoration-time ORACLES lookup in
-    # scale_sketches would silently depend on import order). The driver
-    # hash-match against the brute-force SQL is the prefix-filtering
-    # completeness theorem.
-    ORACLES["q_jaccard_prefix_join"] = ORACLES["q_ngram_jaccard"]
+    # SQL — ONE definition, owned since r14 by operators/overlap_join
+    # next to the shingle replay it builds on (q_ngram_jaccard's
+    # decorator uses the SAME constant; the r13 post-import
+    # ORACLES→ORACLES alias this replaces was import-order
+    # load-bearing). scale_sketches.py stays byte-frozen to its r13
+    # evidence, so the assignment lives here rather than in its
+    # decorator. The driver hash-match against the brute-force SQL is
+    # the prefix-filtering completeness theorem.
+    ORACLES["q_jaccard_prefix_join"] = NGRAM_JACCARD_ORACLE_SQL
 
     # PROMOTION PASS: registration is module-granular; DECLARED_WINDOW
     # is the exact driver-window order. Dict order is what queries()

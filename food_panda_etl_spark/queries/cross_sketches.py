@@ -1,0 +1,287 @@
+"""Declared cross-sketch algebra queries (r14) — the three r13
+build-ahead components' first driver evidence: the exact set-OVERLAP
+join via prefix filtering (`operators/overlap_join.py` — the
+absolute-threshold companion of r13's `q_jaccard_prefix_join`), the
+CMS join-size estimate (`operators/cms_inner.py` — an equi-join
+cardinality answer from two ≤ width·depth-row summaries, the
+join-planning primitive), and the HLL intersection gate
+(inclusion-exclusion over three m-row register sketches with the
+linear-counting small-range correction, Flajolet et al. 2007). A NEW
+module (the `queries/scale_sketches.py` convention) so every
+previously-green queries file stays byte-identical to its recorded
+evidence.
+
+The query bodies and oracle strings moved VERBATIM from
+`tests/test_r14_oracle_previews.py`, where they were pre-verified end
+to end through the driver's own compare harness at sf0.001 and sf0.01
+(and once manually at sf0.1). Pinned constants (measured at all three
+SFs before pinning, r13):
+
+- overlap c=20 → 23 true pairs at both preview SFs;
+- CMS join-size slack 3·N_A·N_B/W + 8 (realized overshoot
+  0/0.56×/0.95× of N_A·N_B/W at the three SFs — the min over depths
+  stays ≤ ~1×);
+- HLL intersect tolerance 15% (realized |err| 4.0%/3.0%/4.7% WITH the
+  linear-counting correction; raw estimates alone run +49% at
+  sf0.001 — n=116 ≪ 2.5m is the biased regime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.cms import _P, oracle_dm_sql
+from food_panda_etl_spark.operators.hll import HLL_M
+from food_panda_etl_spark.operators.overlap_join import SHINGLE5_CTE_SQL
+from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.tables import load_table
+
+_OV_C = 20
+
+_JS_W, _JS_D = 1024, 4
+
+_HI_TOL_NUM, _HI_TOL_DEN = 15, 100
+_HI_YA, _HI_YB = 1995, 1996
+
+
+@query(
+    "q_overlap_join",
+    oracle=f"""
+    WITH {SHINGLE5_CTE_SQL},
+    ov AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                  CAST(count(*) AS BIGINT) AS overlap
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+           GROUP BY 1, 2)
+    SELECT doc_a, doc_b, overlap FROM ov WHERE overlap >= {_OV_C}
+    """,
+)
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 exact set-overlap join (r13 operator, declared r14) —
+    every document pair sharing ≥ 20 distinct 5-gram shingles, with
+    the exact overlap count: the absolute-threshold companion of
+    q_jaccard_prefix_join (a long host quoting a short document is
+    invisible to any useful Jaccard τ but trips an absolute floor —
+    the plagiarism/boilerplate/quotation shape). The oracle is the
+    brute-force inverted-index SQL: hash-matching it IS the overlap
+    prefix-filter completeness theorem (`operators/overlap_join.py`:
+    ONE shingle pass, prefix length n_sh − c + 1 in the shared
+    canonical order, prefix×prefix equi-join bounded by rare-shingle
+    co-occurrence, verify on candidates only)."""
+    from food_panda_etl_spark.operators.overlap_join import overlap_join
+
+    d = load_table(spark, sf_dir, "documents")
+    return overlap_join(d, "doc_id", "text", n=5, min_overlap=_OV_C)
+
+
+@query(
+    "q_cms_join_size",
+    oracle=f"""
+    WITH dm AS {oracle_dm_sql(_JS_D)},
+    ca AS (SELECT d, (((l_partkey % {_P}) + {_P}) % {_P} * a + c)
+                    % {_P} % {_JS_W} AS b,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem CROSS JOIN dm
+           WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL
+           GROUP BY 1, 2),
+    cb AS (SELECT d, (((l_partkey % {_P}) + {_P}) % {_P} * a + c)
+                    % {_P} % {_JS_W} AS b,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem CROSS JOIN dm
+           WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL
+           GROUP BY 1, 2),
+    pd AS (SELECT dd.d, coalesce(s.s, 0) AS s
+           FROM (SELECT DISTINCT d FROM dm) dd
+           LEFT JOIN (SELECT ca.d AS d, sum(ca.cnt * cb.cnt) AS s
+                      FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
+                      GROUP BY ca.d) s ON dd.d = s.d),
+    es AS (SELECT CAST(min(s) AS BIGINT) AS est FROM pd),
+    fa AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL
+           GROUP BY 1),
+    fb AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL
+           GROUP BY 1),
+    ex AS (SELECT CAST(coalesce(sum(fa.n * fb.n), 0) AS BIGINT)
+                    AS exact_size
+           FROM fa JOIN fb USING (k)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM lineitem
+           WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM lineitem
+           WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL)
+    SELECT n_a, n_b, exact_size, est,
+           1 AS never_under, 1 AS within_bound
+    FROM es CROSS JOIN ex CROSS JOIN nn CROSS JOIN mm
+    """,
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 sketch-based equi-join SIZE estimate (r13 operator,
+    declared r14) — |R-lineitems ⋈ A-lineitems on l_partkey| from two
+    ≤ W·D-row CMS summaries (`operators/cms_inner.py`,
+    Cormode-Muthukrishnan 2005 §4.2: min over depths of the
+    per-depth counter inner products), never touching the facts again
+    — the join-planning primitive. The oracle replays the ENTIRE
+    integer computation (sketches, per-depth inner products, min) and
+    pins both verdicts: never_under is the one-sided theorem,
+    within_bound the pinned 3·N_A·N_B/W + 8 overshoot model
+    (int-div form so no product with W ever materializes)."""
+    from food_panda_etl_spark.operators.cms import cms_sketch
+    from food_panda_etl_spark.operators.cms_inner import cms_inner_product
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R")
+    b = li.filter(F.col("l_returnflag") == "A")
+    est = cms_inner_product(
+        cms_sketch(a, "l_partkey", width=_JS_W, depth=_JS_D),
+        cms_sketch(b, "l_partkey", width=_JS_W, depth=_JS_D),
+    )
+    fa = (
+        a.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("__na"))
+    )
+    fb = (
+        b.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("__nb"))
+    )
+    exact = fa.join(fb, "l_partkey").agg(
+        F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_size")
+    )
+    na = a.filter(F.col("l_partkey").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_a")
+    )
+    nb = b.filter(F.col("l_partkey").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_b")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            "exact_size",
+            "est",
+            (F.col("est") >= F.col("exact_size")).cast("int").alias(
+                "never_under"
+            ),
+            # (est − exact)·W ≤ 3·n_a·n_b + 8·W, int-div form so no
+            # product with W ever materializes (est·W can pass 2^63)
+            (
+                F.col("est") - F.col("exact_size")
+                <= F.expr(f"(3 * n_a * n_b + {8 * _JS_W}) div {_JS_W}")
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )
+
+
+@query(
+    "q_hll_intersect_gate",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT CASE WHEN year(o_orderdate) = {_HI_YA}
+                     THEN o_custkey END) AS BIGINT) AS n_a,
+           CAST(count(DISTINCT CASE WHEN year(o_orderdate) = {_HI_YB}
+                     THEN o_custkey END) AS BIGINT) AS n_b,
+           CAST(count(DISTINCT CASE WHEN year(o_orderdate)
+                     IN ({_HI_YA}, {_HI_YB})
+                     THEN o_custkey END) AS BIGINT) AS n_union,
+           CAST(count(DISTINCT CASE WHEN year(o_orderdate) = {_HI_YA}
+                     THEN o_custkey END)
+              + count(DISTINCT CASE WHEN year(o_orderdate) = {_HI_YB}
+                     THEN o_custkey END)
+              - count(DISTINCT CASE WHEN year(o_orderdate)
+                     IN ({_HI_YA}, {_HI_YB})
+                     THEN o_custkey END) AS BIGINT) AS n_inter,
+           1 AS meets_target
+    FROM orders
+    """,
+)
+def q_hll_intersect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 HLL set-algebra gate (r13 composition, declared r14) —
+    customers active in BOTH 1995 and 1996 estimated by
+    inclusion-exclusion over three m-row register sketches (A, B, and
+    the union — whose sketch IS hll_merge's register max, the
+    mergeability algebra), with the standard linear-counting
+    small-range correction (m·ln(m/V) when raw ≤ 2.5m — Flajolet et
+    al. 2007; engine-side only, so the log-free oracle rule is
+    untouched: the oracle recomputes the EXACT counts and pins
+    meets_target=1). Estimate within 15% of the exact intersection
+    breaks the hash otherwise."""
+    from food_panda_etl_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    m = HLL_M
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == _HI_YA)
+    b = o.filter(F.year("o_orderdate") == _HI_YB)
+    sk_a = hll_sketch(a, "o_custkey").localCheckpoint(eager=False)
+    sk_b = hll_sketch(b, "o_custkey").localCheckpoint(eager=False)
+
+    def corrected(est_df, tag):
+        # linear counting below 2.5m: raw HLL is biased high in the
+        # small-range regime (measured +49% at n=116, m=256); V>0 is
+        # guaranteed by the nz<m branch, greatest() guards the div
+        return est_df.select(
+            F.when(
+                (F.col("raw_estimate") <= 2.5 * m)
+                & (F.col("nonzero_regs") < m),
+                m
+                * F.log(
+                    m
+                    / F.greatest(
+                        (F.lit(m) - F.col("nonzero_regs")).cast("double"),
+                        F.lit(1.0),
+                    )
+                ),
+            )
+            .otherwise(F.col("raw_estimate"))
+            .alias(tag)
+        )
+
+    e_a = corrected(hll_estimate(sk_a), "__ea")
+    e_b = corrected(hll_estimate(sk_b), "__eb")
+    e_u = corrected(hll_estimate(hll_merge(sk_a, sk_b)), "__eu")
+    y = F.year("o_orderdate")
+    exact = o.agg(
+        F.countDistinct(
+            F.when(y == _HI_YA, F.col("o_custkey"))
+        ).cast("bigint").alias("n_a"),
+        F.countDistinct(
+            F.when(y == _HI_YB, F.col("o_custkey"))
+        ).cast("bigint").alias("n_b"),
+        F.countDistinct(
+            F.when(y.isin(_HI_YA, _HI_YB), F.col("o_custkey"))
+        ).cast("bigint").alias("n_union"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_union",
+        (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_inter"),
+    )
+    inter_est = F.col("__ea") + F.col("__eb") - F.col("__eu")
+    return (
+        exact.crossJoin(F.broadcast(e_a))
+        .crossJoin(F.broadcast(e_b))
+        .crossJoin(F.broadcast(e_u))
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            "n_inter",
+            (
+                F.abs(inter_est - F.col("n_inter").cast("double"))
+                * _HI_TOL_DEN
+                <= F.lit(_HI_TOL_NUM) * F.col("n_inter").cast("double")
+            )
+            .cast("int")
+            .alias("meets_target"),
+        )
+    )

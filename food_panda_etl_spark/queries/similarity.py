@@ -16,6 +16,10 @@ from food_panda_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from food_panda_etl_spark.operators.overlap_join import (
+    NGRAM_JACCARD_ORACLE_SQL,
+    SHINGLE5_CTE_SQL,
+)
 from food_panda_etl_spark.operators.similarity import (
     brute_force_topk,
     l2_norm_sq,
@@ -476,27 +480,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
-      SELECT DISTINCT doc_id AS doc, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
-                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
-                      string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
-                      string_split(text,' ')[i+4])) AS shingle
-        FROM documents) WHERE shingle <> ''),
-    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-              GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc
-    JOIN sizes sb ON doc_b = sb.doc
-    WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
-    """,
+    # THE brute-force exact-Jaccard SQL — owned by
+    # operators/overlap_join.py next to the shingle replay it builds
+    # on (ONE definition rule, r14 rotation), shared verbatim with
+    # q_jaccard_prefix_join whose hash-match against this unpruned
+    # form is the prefix-filtering completeness theorem. The string is
+    # byte-identical to the previously-inlined r9/r13-recorded oracle.
+    oracle=NGRAM_JACCARD_ORACLE_SQL,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — exact 5-gram Jaccard near-dup pairs via shingle inverted
@@ -508,16 +498,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_PAIR_CTES = """
-    sh AS (
-      SELECT DISTINCT doc_id AS doc, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
-                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
-                      string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
-                      string_split(text,' ')[i+4])) AS shingle
-        FROM documents) WHERE shingle <> ''),
+# Shingle replay shared from operators/overlap_join.py (ONE definition
+# rule, r14 rotation) — the assembled text is byte-identical to the
+# previously-inlined form these oracles recorded evidence with.
+_JACCARD_PAIR_CTES = f"""
+    {SHINGLE5_CTE_SQL},
     shsizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
     inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc

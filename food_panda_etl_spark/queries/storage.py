@@ -452,10 +452,16 @@ def q_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_shuffle_order",
+    # PRE-REDUCED hash form (ADVICE r12, the r11 sample_order_hash
+    # engine fix): residue-identical to (doc_id·M) % P on every id in
+    # both engines' truncated-modulo semantics, but overflow-free on
+    # the full int64 range — the raw product leaves int64 at
+    # |id| ≳ 7.0e9. Pinned in _PREREDUCED_ORACLES.
     oracle="""
     SELECT doc_id,
            CAST(row_number() OVER (
-             ORDER BY (doc_id * 1315423911) % 1000003, doc_id) AS BIGINT)
+             ORDER BY ((doc_id % 1000003) * 1315423911) % 1000003, doc_id)
+             AS BIGINT)
            AS pos
     FROM documents
     """,
@@ -463,9 +469,10 @@ def q_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 deterministic training-order shuffle (r6) — the
     epoch-reproducible global permutation every trainer wants: order by
-    a keyed multiplicative hash (overflow-free: doc_id·1315423911 <
-    2^62 in both engines, mod 1000003; doc_id tie-break gives a total
-    order), position assigned by the two-phase
+    the samplers' shared keyed multiplicative hash
+    (`operators/sampling.py::sample_order_hash` — pre-reduced mod P,
+    overflow-free on the FULL int64 id range; doc_id tie-break gives a
+    total order), position assigned by the two-phase
     `operators/order.py::global_row_number` — range partition + local
     rank + broadcast offsets, never a single-partition window. Unlike
     `df.orderBy(rand())` the permutation is engine-, partitioning- and
@@ -475,10 +482,10 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof."""
     from food_panda_etl_spark.operators.order import global_row_number
 
+    from food_panda_etl_spark.operators.sampling import sample_order_hash
+
     d = load_table(spark, sf_dir, "documents")
-    keyed = d.select(
-        "doc_id", ((F.col("doc_id") * 1315423911) % 1000003).alias("__h")
-    )
+    keyed = d.select("doc_id", sample_order_hash("doc_id").alias("__h"))
     return global_row_number(keyed, ["__h", "doc_id"], out_col="pos").select(
         "doc_id", F.col("pos").cast("bigint").alias("pos")
     )
@@ -494,7 +501,8 @@ _PPS_K = 25
     # range-partitioned plan IS the scale-plan correctness proof.
     oracle=f"""
     WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wgt,
-                      (doc_id * 1315423911) % 1000003 AS h FROM documents),
+                      ((doc_id % 1000003) * 1315423911) % 1000003 AS h
+               FROM documents),
     c AS (SELECT doc_id, wgt,
                  sum(wgt) OVER (ORDER BY h, doc_id
                                 ROWS UNBOUNDED PRECEDING) AS cum

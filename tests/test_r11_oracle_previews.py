@@ -44,11 +44,9 @@ def test_r12_declared_matches_oracle(spark, any_sf, name):
 # whole family as their files rotated): residue-identical to the raw
 # form on every non-overflowing id, but the raw ``(doc_id * M) % P``
 # would re-introduce the int64 contract the r11 engine fix removed
-# (DuckDB raises, ANSI Spark aborts at |id| ≳ 7e9). q_pps_sample's
-# oracle (queries/storage.py) is the one remaining raw-form rider —
-# it joins this list when storage.py rotates in r14 (file-granular
-# evidence rule: touching storage.py re-records all 12 of its keys,
-# which the r13 window cannot absorb).
+# (DuckDB raises, ANSI Spark aborts at |id| ≳ 7e9). The r14 storage.py
+# rotation moved the LAST two raw-form riders (q_pps_sample,
+# q_shuffle_order — VERDICT r13 task 2) — the family is complete.
 _PREREDUCED_ORACLES = [
     "q_group_sample",
     "q_group_priority_sample",
@@ -56,6 +54,8 @@ _PREREDUCED_ORACLES = [
     "q_pps_stratified",
     "q_select_stratified",
     "q_select_pipeline",
+    "q_pps_sample",
+    "q_shuffle_order",
 ]
 
 

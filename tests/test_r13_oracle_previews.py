@@ -6,9 +6,11 @@ the exact (body, oracle) pairs the driver records — through the same
 compare harness at two scale factors, instead of duplicating the
 bodies. The sixth key (`q_bloom_fpr_gate`, VERDICT r12 task 6) was
 born declared in the same module and is covered here too. The
-`q_jaccard_prefix_join` oracle is threaded from the brute-force
-`q_ngram_jaccard` SQL by `_load_all`'s post-import alias — checked
-below (one definition, no drift)."""
+`q_jaccard_prefix_join` oracle is the brute-force `q_ngram_jaccard`
+SQL — since the r14 rotation both are the shared
+`operators/overlap_join.py::NGRAM_JACCARD_ORACLE_SQL` constant
+(byte-identical to the r13-recorded string) — checked below (one
+definition, no drift)."""
 
 from __future__ import annotations
 

@@ -1,48 +1,41 @@
-"""r14 declaration previews: the r13 build-ahead operators' future
-declared queries, run against their EXACT intended DuckDB oracle SQL
-through the same compare harness the driver uses — everything but the
-registry entries (which must wait for the r14 window per the rotation
-contract). When r14 declares them, the bodies and oracle strings move
-VERBATIM into a queries/ module and this file is rewritten
-registry-driven (the r10/r12/r13 convention, ENFORCED by
-tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
-— these ``*_preview`` functions fail the build if WINDOW_ROUND reaches
-14 without the declarations landing).
+"""r14 declarations, registry-driven: the three build-ahead
+components' query bodies and oracle strings moved VERBATIM from this
+file's r13 preview form into `queries/cross_sketches.py` (per the
+rotation contract), so this file now exercises the DECLARED registry
+entries — the exact (body, oracle) pairs the driver records — through
+the same compare harness at two scale factors, instead of duplicating
+the bodies.
 
-Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning):
-- overlap c=20 → 23 true pairs at both preview SFs;
-- CMS join-size slack 3·N_A·N_B/W + 8 (realized overshoot 0/0.56×/
-  0.95× of N_A·N_B/W at the three SFs — min-over-depths stays ≤ ~1×);
-- HLL intersect tolerance 15% (realized |err| 4.0%/3.0%/4.7% with the
-  linear-counting small-range correction; raw estimates alone run
-  +49% at sf0.001 — n=116 ≪ 2.5m is the biased regime).
+The ONE-definition pins also live here: the r14 similarity.py rotation
+consolidated every shingle-replay oracle onto
+`overlap_join.SHINGLE5_CTE_SQL` and retired `_load_all`'s post-import
+ORACLES alias for `q_jaccard_prefix_join` in favor of the shared
+`overlap_join.NGRAM_JACCARD_ORACLE_SQL` constant — both pinned below
+(drift between the pruning-scheme oracles and the brute-force form
+would silently weaken the completeness theorems).
 
-Beyond the two preview SFs below, all three compares were ALSO run
-once against sf0.1 (r13, manually through the same harness) and
-hash-matched — the r14 sweep should hold with no constant retuning.
+Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning,
+r13 — see queries/cross_sketches.py for the realized numbers).
 """
 
 from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
-from food_panda_etl_spark.operators.cms import _P, oracle_dm_sql
-from food_panda_etl_spark.operators.hll import HLL_M
-from food_panda_etl_spark.operators.overlap_join import SHINGLE5_CTE_SQL
-from food_panda_etl_spark.queries import ORACLES
-from food_panda_etl_spark.tables import load_table
+from food_panda_etl_spark.operators.overlap_join import (
+    NGRAM_JACCARD_ORACLE_SQL,
+    SHINGLE5_CTE_SQL,
+)
+from food_panda_etl_spark.queries import ORACLES, QUERIES
 from tests.oracle_compare import compare
 
 _SF01 = "/root/testdata/sf0.01"
 
-_OV_C = 20
-
-_JS_W, _JS_D = 1024, 4
-
-_HI_TOL_NUM, _HI_TOL_DEN = 15, 100
-_HI_YA, _HI_YB = 1995, 1996
+_R14_NEW = [
+    "q_overlap_join",
+    "q_cms_join_size",
+    "q_hll_intersect_gate",
+]
 
 
 @pytest.fixture(params=["sf0.001", "sf0.01"])
@@ -50,235 +43,30 @@ def any_sf(request, sf_dir):
     return _SF01 if request.param == "sf0.01" else sf_dir
 
 
-def test_shingle_cte_matches_ngram_jaccard():
-    """ONE shingle replay definition: the overlap oracle's CTE must be
-    textually the fragment inlined in the declared q_ngram_jaccard
-    oracle — until similarity.py's r14 rotation switches its oracles
-    to the shared constant, this pin is what prevents drift."""
-    assert SHINGLE5_CTE_SQL in ORACLES["q_ngram_jaccard"]
+@pytest.mark.parametrize("name", _R14_NEW)
+def test_r14_declared_matches_oracle(spark, any_sf, name):
+    assert compare(QUERIES[name](spark, any_sf), ORACLES[name], any_sf) == []
 
 
-def test_overlap_join_preview(spark, any_sf):
-    """Exact shared-extent pairs: every document pair sharing ≥ 20
-    distinct 5-gram shingles, with the exact overlap count — the
-    absolute-threshold companion of q_jaccard_prefix_join (a long host
-    quoting a short document is invisible to any useful Jaccard τ but
-    trips an absolute floor). The oracle is the brute-force
-    inverted-index SQL: hash-matching it IS the overlap prefix-filter
-    completeness theorem."""
-    from food_panda_etl_spark.operators.overlap_join import overlap_join
-
-    d = load_table(spark, any_sf, "documents")
-    got = overlap_join(d, "doc_id", "text", n=5, min_overlap=_OV_C)
-    oracle = f"""
-    WITH {SHINGLE5_CTE_SQL},
-    ov AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-                  CAST(count(*) AS BIGINT) AS overlap
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-           GROUP BY 1, 2)
-    SELECT doc_a, doc_b, overlap FROM ov WHERE overlap >= {_OV_C}
-    """
-    assert compare(got, oracle, any_sf) == []
+def test_jaccard_oracles_are_the_shared_brute_force_sql():
+    """ONE oracle definition for exact Jaccard: both the brute-force
+    query and the prefix-join's declared oracle must BE the shared
+    constant (the completeness theorem is only meaningful against the
+    unpruned form — a drifted copy would hash-match a weaker claim)."""
+    assert ORACLES["q_ngram_jaccard"] == NGRAM_JACCARD_ORACLE_SQL
+    assert ORACLES["q_jaccard_prefix_join"] == NGRAM_JACCARD_ORACLE_SQL
 
 
-def test_cms_join_size_preview(spark, any_sf):
-    """Sketch-based equi-join SIZE estimate (operators/cms_inner.py):
-    |R-lineitems ⋈ A-lineitems on l_partkey| from two ≤ W·D-row CMS
-    summaries, never touching the facts again — the join-planning
-    primitive. The oracle replays the ENTIRE integer computation
-    (sketches, per-depth inner products, min) and pins both verdicts:
-    never_under is the one-sided theorem, within_bound the pinned
-    3·N_A·N_B/W + 8 overshoot model."""
-    from food_panda_etl_spark.operators.cms import cms_sketch
-    from food_panda_etl_spark.operators.cms_inner import cms_inner_product
-
-    li = load_table(spark, any_sf, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R")
-    b = li.filter(F.col("l_returnflag") == "A")
-    est = cms_inner_product(
-        cms_sketch(a, "l_partkey", width=_JS_W, depth=_JS_D),
-        cms_sketch(b, "l_partkey", width=_JS_W, depth=_JS_D),
-    )
-    fa = (
-        a.filter(F.col("l_partkey").isNotNull())
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("__na"))
-    )
-    fb = (
-        b.filter(F.col("l_partkey").isNotNull())
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("__nb"))
-    )
-    exact = fa.join(fb, "l_partkey").agg(
-        F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0))
-        .cast("bigint")
-        .alias("exact_size")
-    )
-    na = a.filter(F.col("l_partkey").isNotNull()).agg(
-        F.count("*").cast("bigint").alias("n_a")
-    )
-    nb = b.filter(F.col("l_partkey").isNotNull()).agg(
-        F.count("*").cast("bigint").alias("n_b")
-    )
-    got = (
-        est.crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(na))
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "n_a",
-            "n_b",
-            "exact_size",
-            "est",
-            (F.col("est") >= F.col("exact_size")).cast("int").alias(
-                "never_under"
-            ),
-            # (est − exact)·W ≤ 3·n_a·n_b + 8·W, int-div form so no
-            # product with W ever materializes (est·W can pass 2^63)
-            (
-                F.col("est") - F.col("exact_size")
-                <= F.expr(f"(3 * n_a * n_b + {8 * _JS_W}) div {_JS_W}")
-            )
-            .cast("int")
-            .alias("within_bound"),
-        )
-    )
-    oracle = f"""
-    WITH dm AS {oracle_dm_sql(_JS_D)},
-    ca AS (SELECT d, (((l_partkey % {_P}) + {_P}) % {_P} * a + c)
-                    % {_P} % {_JS_W} AS b,
-                  CAST(count(*) AS BIGINT) AS cnt
-           FROM lineitem CROSS JOIN dm
-           WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL
-           GROUP BY 1, 2),
-    cb AS (SELECT d, (((l_partkey % {_P}) + {_P}) % {_P} * a + c)
-                    % {_P} % {_JS_W} AS b,
-                  CAST(count(*) AS BIGINT) AS cnt
-           FROM lineitem CROSS JOIN dm
-           WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL
-           GROUP BY 1, 2),
-    pd AS (SELECT dd.d, coalesce(s.s, 0) AS s
-           FROM (SELECT DISTINCT d FROM dm) dd
-           LEFT JOIN (SELECT ca.d AS d, sum(ca.cnt * cb.cnt) AS s
-                      FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
-                      GROUP BY ca.d) s ON dd.d = s.d),
-    es AS (SELECT CAST(min(s) AS BIGINT) AS est FROM pd),
-    fa AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
-           FROM lineitem WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL
-           GROUP BY 1),
-    fb AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
-           FROM lineitem WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL
-           GROUP BY 1),
-    ex AS (SELECT CAST(coalesce(sum(fa.n * fb.n), 0) AS BIGINT)
-                    AS exact_size
-           FROM fa JOIN fb USING (k)),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM lineitem
-           WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL),
-    mm AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM lineitem
-           WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL)
-    SELECT n_a, n_b, exact_size, est,
-           1 AS never_under, 1 AS within_bound
-    FROM es CROSS JOIN ex CROSS JOIN nn CROSS JOIN mm
-    """
-    assert compare(got, oracle, any_sf) == []
-
-
-def test_hll_intersect_gate_preview(spark, any_sf):
-    """HLL set-algebra gate: customers active in BOTH 1995 and 1996
-    estimated by inclusion-exclusion over three m-row register sketches
-    (A, B, and the union — whose sketch IS hll_merge's register max),
-    with the standard linear-counting small-range correction
-    (m·ln(m/V) when raw ≤ 2.5m — Flajolet et al. 2007; engine-side
-    only, so the log-free oracle rule is untouched: the oracle
-    recomputes the EXACT counts and pins meets_target=1). Estimate
-    within 15% of the exact intersection breaks the hash otherwise."""
-    from food_panda_etl_spark.operators.hll import (
-        hll_estimate,
-        hll_merge,
-        hll_sketch,
-    )
-
-    m = HLL_M
-    o = load_table(spark, any_sf, "orders")
-    a = o.filter(F.year("o_orderdate") == _HI_YA)
-    b = o.filter(F.year("o_orderdate") == _HI_YB)
-    sk_a = hll_sketch(a, "o_custkey").localCheckpoint(eager=False)
-    sk_b = hll_sketch(b, "o_custkey").localCheckpoint(eager=False)
-
-    def corrected(est_df, tag):
-        # linear counting below 2.5m: raw HLL is biased high in the
-        # small-range regime (measured +49% at n=116, m=256); V>0 is
-        # guaranteed by the nz<m branch, greatest() guards the div
-        return est_df.select(
-            F.when(
-                (F.col("raw_estimate") <= 2.5 * m)
-                & (F.col("nonzero_regs") < m),
-                m
-                * F.log(
-                    m
-                    / F.greatest(
-                        (F.lit(m) - F.col("nonzero_regs")).cast("double"),
-                        F.lit(1.0),
-                    )
-                ),
-            )
-            .otherwise(F.col("raw_estimate"))
-            .alias(tag)
-        )
-    e_a = corrected(hll_estimate(sk_a), "__ea")
-    e_b = corrected(hll_estimate(sk_b), "__eb")
-    e_u = corrected(hll_estimate(hll_merge(sk_a, sk_b)), "__eu")
-    y = F.year("o_orderdate")
-    exact = o.agg(
-        F.countDistinct(
-            F.when(y == _HI_YA, F.col("o_custkey"))
-        ).cast("bigint").alias("n_a"),
-        F.countDistinct(
-            F.when(y == _HI_YB, F.col("o_custkey"))
-        ).cast("bigint").alias("n_b"),
-        F.countDistinct(
-            F.when(y.isin(_HI_YA, _HI_YB), F.col("o_custkey"))
-        ).cast("bigint").alias("n_union"),
-    ).select(
-        "n_a",
-        "n_b",
-        "n_union",
-        (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_inter"),
-    )
-    inter_est = F.col("__ea") + F.col("__eb") - F.col("__eu")
-    got = (
-        exact.crossJoin(F.broadcast(e_a))
-        .crossJoin(F.broadcast(e_b))
-        .crossJoin(F.broadcast(e_u))
-        .select(
-            "n_a",
-            "n_b",
-            "n_union",
-            "n_inter",
-            (
-                F.abs(inter_est - F.col("n_inter").cast("double"))
-                * _HI_TOL_DEN
-                <= F.lit(_HI_TOL_NUM) * F.col("n_inter").cast("double")
-            )
-            .cast("int")
-            .alias("meets_target"),
-        )
-    )
-    oracle = f"""
-    SELECT CAST(count(DISTINCT CASE WHEN year(o_orderdate) = {_HI_YA}
-                     THEN o_custkey END) AS BIGINT) AS n_a,
-           CAST(count(DISTINCT CASE WHEN year(o_orderdate) = {_HI_YB}
-                     THEN o_custkey END) AS BIGINT) AS n_b,
-           CAST(count(DISTINCT CASE WHEN year(o_orderdate)
-                     IN ({_HI_YA}, {_HI_YB})
-                     THEN o_custkey END) AS BIGINT) AS n_union,
-           CAST(count(DISTINCT CASE WHEN year(o_orderdate) = {_HI_YA}
-                     THEN o_custkey END)
-              + count(DISTINCT CASE WHEN year(o_orderdate) = {_HI_YB}
-                     THEN o_custkey END)
-              - count(DISTINCT CASE WHEN year(o_orderdate)
-                     IN ({_HI_YA}, {_HI_YB})
-                     THEN o_custkey END) AS BIGINT) AS n_inter,
-           1 AS meets_target
-    FROM orders
-    """
-    assert compare(got, oracle, any_sf) == []
+def test_shingle_replay_oracles_build_on_the_shared_cte():
+    """ONE shingle replay definition: every declared oracle that
+    replays the shingle table carries the constant verbatim (the
+    similarity.py near-dup cluster oracles assemble it into their
+    recursive CTEs; q_overlap_join's oracle prepends WITH)."""
+    for name in (
+        "q_ngram_jaccard",
+        "q_jaccard_prefix_join",
+        "q_overlap_join",
+        "q_dedup_components",
+        "q_dedup_keep_rep",
+    ):
+        assert SHINGLE5_CTE_SQL in ORACLES[name], name
