@@ -12,8 +12,11 @@ compact separators, per-query seconds at 2 decimals, query keys DROP the
 "q_" prefix (restore it to match declared names — the line carries
 "keyprefix":"q_" as the hint), calibration under short keys ("cal":
 {"cpu": …, "py": …} = the byte-frozen probe's cpu_arith_sec /
-py_arith_sec). The FULL-fidelity result (declared names, 3-decimal
-seconds, long calibration keys) is written to BENCH_LAST_RUN.json at
+py_arith_sec), and — when any key's two passes disagreed by >1.5x — a
+"disp" dict naming those keys with their pass ratio (each got a third
+run; the reported min is the credible figure). The FULL-fidelity
+result (declared names, 3-decimal seconds, every per-pass time under
+"passes", long calibration keys) is written to BENCH_LAST_RUN.json at
 the repo root — an UNCOMMITTED scratch mirror (gitignored), because
 every driver bench overwrote the committed record otherwise (VERDICT
 r10/r11 artifact-hygiene nit). The committed clean-run record stays
@@ -210,10 +213,17 @@ HEADLINE = [
     "q_hll_windowed",
     "q_group_priority_sample",
     "q_jaccard_prefix_join",
+    # round-14 additions: the exact set-OVERLAP prefix-filtering join
+    # (absolute shared-extent threshold — same machinery class as
+    # q_jaccard_prefix_join) and the CMS join-size estimate (two
+    # sketch builds + a W·D-row inner product — the join-planning
+    # primitive; its exact-side audit runs inside the query).
+    "q_overlap_join",
+    "q_cms_join_size",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 110 of the 159
-# declared keys are timed above. The 49 excluded, by category:
+# Bench coverage accounting (VERDICT r6 task 7): 112 of the 162
+# declared keys are timed above. The 50 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —
 #     q_project q_ceil_div q_case_when q_null_handling q_epoch_cast
@@ -230,7 +240,9 @@ HEADLINE = [
 #     q_embed_lsh_gate q_minhash_gate q_simhash_gate q_dedup_keep_rep
 #     (+_lsh; q_dedup_components_lsh IS timed and contains keep-rep's CC)
 #     — the timed q_approx_quantile_gate represents the gate family's
-#     cost shape;
+#     cost shape; q_hll_intersect_gate joins this family r14 (three
+#     sketches + the exact countDistinct reference in one query;
+#     q_hll_counts/q_hll_windowed time the sketch-build cost);
 # (c) 3 joins whose shape is already timed at identical cost class
 #     (q_anti_join≈q_semi_join, q_nullsafe_join≈q_left_join,
 #     q_asof_join≈q_range_join — all measured in BENCH_r01-r04 eras);
@@ -310,14 +322,24 @@ def main() -> None:
     # min-of-two shares one stall window, so a multi-second VM stall
     # still lands 3x swings on byte-unchanged keys; separating a key's
     # two runs by the whole suite decorrelates the stalls at identical
-    # total cost).
-    times: dict[str, float] = {}
+    # total cost). VERDICT r13 task 5: a stall that hits the SAME key in
+    # BOTH passes still survives min-of-two (r13's q_kmeans, 2.48x raw
+    # on byte-unchanged code), so keys whose two passes disagree by
+    # >1.5x get a THIRD run, and the artifact records every pass per
+    # key — dispersion is visible in the record itself, no quiet-run
+    # appeal needed.
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(2):
         for name in HEADLINE:
-            t = run_query(spark, name, sf_dir)
-            if name not in times or t < times[name]:
-                times[name] = t
-    times = {name: round(times[name], 3) for name in HEADLINE}
+            passes[name].append(run_query(spark, name, sf_dir))
+    retried = [
+        name
+        for name in HEADLINE
+        if max(passes[name]) > 1.5 * min(passes[name])
+    ]
+    for name in retried:
+        passes[name].append(run_query(spark, name, sf_dir))
+    times = {name: round(min(passes[name]), 3) for name in HEADLINE}
 
     calibration = calibration_probe(spark)
 
@@ -327,6 +349,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "passes": {
+            name: [round(t, 3) for t in passes[name]] for name in HEADLINE
+        },
         "sf": sf,
         "calibration": calibration,
     }
@@ -348,6 +373,19 @@ def main() -> None:
     # aborting — an honest partial line beats a lost artifact.
     printed = {k.removeprefix("q_"): round(v, 2) for k, v in times.items()}
     omitted = 0
+    # dispersion marker: keys that needed a third pass, with their
+    # two-pass max/min ratio — a non-empty dict says "this round's VM
+    # stalled on these keys; the reported min is the credible figure".
+    # Printed-line budget: only the 8 WORST ratios are printed (a
+    # contended VM can retry half the suite — "disp_more" carries the
+    # overflow count; BENCH_LAST_RUN.json's "passes" has every run).
+    ratios = {
+        name: max(passes[name][:2]) / max(min(passes[name][:2]), 1e-9)
+        for name in retried
+    }
+    worst = sorted(ratios, key=ratios.get, reverse=True)[:8]
+    disp = {name.removeprefix("q_"): round(ratios[name], 2) for name in worst}
+    disp_more = len(retried) - len(worst)
 
     def render() -> str:
         payload = {
@@ -362,6 +400,10 @@ def main() -> None:
                 "py": calibration["py_arith_sec"],
             },
         }
+        if disp:
+            payload["disp"] = disp
+        if disp_more > 0:
+            payload["disp_more"] = disp_more
         if omitted:
             payload["omitted_cheapest"] = omitted
         return json.dumps(payload, separators=(",", ":"))

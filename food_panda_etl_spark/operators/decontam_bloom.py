@@ -1,0 +1,82 @@
+"""Bloom-screened benchmark decontamination — the 100 TB composition
+of `operators/bloom.py` and `operators/dedup.py::ngram_contamination`.
+
+`ngram_contamination` joins every train shingle against a BROADCAST of
+the distinct eval shingle set. That is the right plan while the eval
+corpus is small, but the broadcast is the eval SHINGLE STRINGS — a
+large benchmark suite is millions of ~50-byte shingles, hundreds of MB
+shipped to every executor. This composite replaces the first pass with
+a fixed-size Bloom sketch of the eval shingle hashes (m_bits/8 bytes,
+folded into ONE broadcast map row by `bloom_prefilter` — the train
+side stays MAP-ONLY: zero fact shuffles, zero fact aggregations), and
+only the surviving shingles — contaminated mass plus the sketch's
+false positives — meet the exact eval set in a small shuffle join that
+no longer needs a broadcast at all.
+
+Correctness is the Bloom's one-sided contract: a contaminated shingle
+appears in BOTH corpora, hashes identically on both sides, and
+therefore ALWAYS survives the screen (no false negatives — regardless
+of xxhash64 collisions, which only add false positives); the exact
+verify join then removes every false positive. So the output is
+bit-identical to the unscreened exact computation — the declared
+query's oracle is the plain exact SQL, and the driver hash-match IS
+the screen-completeness theorem (the q_jaccard_prefix_join /
+q_overlap_join evidence pattern). The shingle→int64 key is xxhash64 —
+engine-internal only (it never crosses to the oracle, which replays
+nothing), chosen over the portable polynomial for dispersion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.bloom import bloom_prefilter, bloom_sketch
+from food_panda_etl_spark.operators.dedup import shingle_table
+
+
+def bloom_screened_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """(``id_col``, n_shared bigint) for every training document
+    sharing at least one word n-gram with ANY eval document —
+    bit-identical to `ngram_contamination`, executed as Bloom
+    pre-screen → exact verify on survivors only."""
+    tr = shingle_table(train, id_col, text_col, n=n)
+    ev = (
+        shingle_table(evals, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    sk = bloom_sketch(
+        ev.select(F.xxhash64("shingle").alias("k")),
+        "k",
+        m_bits=m_bits,
+        k_hashes=k_hashes,
+    )
+    screened = bloom_prefilter(
+        sk,
+        tr.withColumn("__k", F.xxhash64("shingle")),
+        "__k",
+        m_bits=m_bits,
+        k_hashes=k_hashes,
+        out_col="maybe_present",
+    )
+    survivors = screened.filter(F.col("maybe_present") == 1).select(
+        "doc", "shingle"
+    )
+    # exact verify: survivors are the contaminated mass + the sketch's
+    # false positives — small, so a plain shuffle join suffices (no
+    # broadcast of the full eval shingle strings anywhere)
+    return (
+        survivors.join(ev, "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .select(F.col("doc").alias(id_col), "n_shared")
+    )
