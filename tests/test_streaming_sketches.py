@@ -227,3 +227,64 @@ def test_streaming_bloom_state_equals_batch(spark, out_dir):
     )
     verdicts = {r["k"]: r["maybe_present"] for r in got.collect()}
     assert verdicts == {1: 1, 2: 1, 3: 0, 4: 1}
+
+
+def test_streaming_cms_inner_from_state(spark, out_dir):
+    """The CROSS-SKETCH extension (r14): the join-size estimate
+    (`operators/cms_inner.py`) answered purely from the incrementally
+    maintained per-day CMS state — pick two disjoint day ranges,
+    re-bucket each to a flat sketch, inner-product them — equals the
+    batch composite on the full input, and never under-estimates the
+    EXACT cross-period key join size. This is the join-planning
+    primitive running with NO fact rescan: state is ≤ |days|·W·D rows
+    regardless of event volume."""
+    from food_panda_etl_spark.operators.cms_inner import cms_inner_product
+
+    batches = [
+        [_event(1, "2024-01-01 10:00:00", user=1),
+         _event(2, "2024-01-01 11:00:00", user=2),
+         _event(3, "2024-01-02 09:00:00", user=1)],
+        [_event(4, "2024-01-02 10:00:00", user=3),
+         _event(5, "2024-01-03 10:00:00", user=1),
+         _event(6, "2024-01-03 11:00:00", user=1)],
+        [_event(7, "2024-01-04 08:00:00", user=4),
+         _event(8, "2024-01-04 09:00:00", user=2),
+         _event(9, "2024-01-01 23:00:00", user=4)],
+    ]
+    src = _write_files(out_dir, batches)
+
+    def step(ev, prev):
+        part = cms_sketch_by_group(ev, "k", ("day",), width=W, depth=D)
+        if prev is not None:
+            part = cms_merge_groups(
+                prev("cms"), part, group_cols=("day",), width=W, depth=D
+            )
+        return {"cms": part}
+
+    state = _run_versioned_merge(spark, out_dir, src, "cmsinner", step)(
+        "cms"
+    )
+    early = F.col("day") <= "2024-01-02"
+    late = F.col("day") >= "2024-01-03"
+    est_state = cms_inner_product(
+        cms_merge_groups(state.filter(early), width=W, depth=D),
+        cms_merge_groups(state.filter(late), width=W, depth=D),
+    ).collect()[0]["est"]
+
+    full = _keyed(spark.read.schema(EVENTS_STREAM_SCHEMA).json(src))
+    batch = cms_sketch_by_group(full, "k", ("day",), width=W, depth=D)
+    est_batch = cms_inner_product(
+        cms_merge_groups(batch.filter(early), width=W, depth=D),
+        cms_merge_groups(batch.filter(late), width=W, depth=D),
+    ).collect()[0]["est"]
+    assert est_state == est_batch
+
+    # exact cross-period join size: early counts {1:2, 2:1, 4:1},
+    # late {1:2, 2:1, 4:1} → sum of products = 4 + 1 + 1 = 6
+    fa = full.filter(early).groupBy("k").agg(F.count("*").alias("na"))
+    fb = full.filter(late).groupBy("k").agg(F.count("*").alias("nb"))
+    exact = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("x")
+    ).collect()[0]["x"]
+    assert exact == 6
+    assert est_state >= exact  # one-sided: collisions only add
