@@ -718,6 +718,151 @@ def r14_curves(spark, sizes) -> dict:
     return curves
 
 
+def r15_curves(spark, sizes) -> dict:
+    """r15 build-ahead curves, runnable alone via `--r15` (min-of-two
+    per point):
+
+    - Weighted (multiset) Jaccard join (r14 build-ahead): the same
+      duplicated-doc near-dup-heavy corpus as the overlap/prefix-join
+      curves (true pairs ~n/2, candidates track them — the linear
+      regime), n=3 shingles at τ=1/2; each doc also REPEATS its first
+      trigram so multiset counts > 1 and the occurrence expansion is
+      exercised, not degenerate.
+    - Bloom-screened decontamination (r14 build-ahead): train side
+      grows with n, the eval "benchmark" stays FIXED at 512 docs (the
+      real-world shape — benchmarks don't grow with the corpus);
+      expected near-linear in train rows with the map-only screen
+      dominating and the verify join bounded by contaminated mass
+      (1/16 of train shares the eval boilerplate here). The sketch is
+      SIZED TO THE EVAL SET (m=2^20 for ~18k distinct eval shingles →
+      FPR ~1e-5): the first run of this curve left the default 2^16
+      and measured a 1.32 exponent — 67% of bits set, FPR ≈ 0.2, and
+      ~20% of ALL clean shingles flooding the verify join; an
+      overloaded screen degrades toward the unscreened cost, it never
+      breaks correctness (test_equals_exact_under_tiny_sketch).
+    """
+    from food_panda_etl_spark.operators.decontam_bloom import (
+        bloom_screened_contamination,
+    )
+    from food_panda_etl_spark.operators.weighted_jaccard import (
+        weighted_jaccard_join,
+    )
+
+    curves: dict[str, dict[int, float]] = {
+        "weighted_jaccard": {},
+        "decontam_bloom": {},
+    }
+    for n in sizes:
+        docs = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *(
+                        [
+                            F.concat(
+                                F.lit(f"t{j}_"),
+                                ((F.col("id") / 2).cast("long") * 31 + j)
+                                .cast("string"),
+                            )
+                            # repeat tokens 0-2 → the first trigram has
+                            # count 2 in every doc (multiset exercised)
+                            for j in [0, 1, 2]
+                        ]
+                        * 2
+                        + [
+                            F.concat(
+                                F.lit(f"t{j}_"),
+                                ((F.col("id") / 2).cast("long") * 31 + j)
+                                .cast("string"),
+                            )
+                            for j in range(3, 8)
+                        ]
+                    ),
+                ).alias("text"),
+            )
+            .cache()
+        )
+        docs.count()
+        run_wj = lambda: weighted_jaccard_join(  # noqa: E731
+            docs, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+        ).write.format("noop").mode("overwrite").save()
+        curves["weighted_jaccard"][n] = min(timed(run_wj), timed(run_wj))
+        docs.unpersist()
+
+    evals = (
+        spark.range(512)
+        .select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(40)),
+                    lambda i: F.concat(
+                        F.lit("b"),
+                        F.pmod(F.col("id") * 40 + i, F.lit(4096)).cast(
+                            "string"
+                        ),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .cache()
+    )
+    evals.count()
+    for n in sizes:
+        # 1/16 of train docs carry a benchmark passage (contaminated);
+        # the rest are clean random-vocab text
+        train = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") % 16 == 0,
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(8)),
+                            lambda i: F.concat(
+                                F.lit("b"),
+                                F.pmod(
+                                    F.pmod(F.col("id"), F.lit(512)) * 40 + i,
+                                    F.lit(4096),
+                                ).cast("string"),
+                            ),
+                        ),
+                    ),
+                )
+                .otherwise(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(40)),
+                            lambda i: F.concat(
+                                F.lit("w"),
+                                F.pmod(
+                                    F.xxhash64(F.col("id") * 40 + i),
+                                    F.lit(50_000),
+                                ).cast("string"),
+                            ),
+                        ),
+                    )
+                )
+                .alias("text"),
+            )
+            .cache()
+        )
+        train.count()
+        run_db = lambda: bloom_screened_contamination(  # noqa: E731
+            train, evals, "doc_id", "text", n=5, m_bits=1 << 20
+        ).write.format("noop").mode("overwrite").save()
+        curves["decontam_bloom"][n] = min(timed(run_db), timed(run_db))
+        train.unpersist()
+    evals.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -763,6 +908,13 @@ def main() -> None:
     if "--r14" in sys.argv:  # r14 curves (cms inner product / overlap join)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r14_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r15" in sys.argv:  # r15 curves (weighted jaccard / bloom decontam)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r15_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))
