@@ -611,3 +611,80 @@ def test_cms_inner_product_never_under_random(spark, a, b):
     # and the trivial upper bound: min over depths can never exceed
     # the all-collisions-in-one-bucket mass
     assert est <= sum(ca.values()) * sum(cb.values())
+
+
+# --- r14 build-ahead invariants (few examples, real Spark) ---
+
+
+@SET
+@given(
+    docs=docs_strategy,
+    num=st.integers(min_value=1, max_value=4),
+)
+def test_weighted_jaccard_equals_brute_force_random(spark, docs, num):
+    """weighted_jaccard_join completeness on RANDOM corpora — a
+    12-word vocabulary over 3-grams guarantees heavy shingle
+    multiplicities and hot shingles, the regime the fixture corpus
+    barely exercises (its multiplicities are sparse). The brute force
+    is the count-join reference from test_weighted_jaccard (ONE
+    definition, the cross-import convention). Threshold num/4 sweeps
+    0.25..1.0 — τ=1 includes the degenerate keep-only-identical
+    regime."""
+    from food_panda_etl_spark.operators.weighted_jaccard import (
+        shingle_multiset_table,
+        weighted_jaccard_join,
+    )
+    from tests.test_weighted_jaccard import _brute_force
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.wi)
+        for r in weighted_jaccard_join(
+            d, "doc_id", "text", n=3, threshold_num=num, threshold_den=4
+        ).collect()
+    )
+    shc = shingle_multiset_table(d, "doc_id", "text", n=3)
+    want = sorted(
+        (r.doc_a, r.doc_b, r.wi) for r in _brute_force(shc, num, 4).collect()
+    )
+    assert got == want
+
+
+@SET
+@given(
+    docs=docs_strategy,
+    eval_mask=st.integers(min_value=1, max_value=6),
+    m_bits=st.sampled_from([16, 64, 4096]),
+)
+def test_decontam_bloom_equals_exact_random(spark, docs, eval_mask, m_bits):
+    """bloom_screened_contamination == ngram_contamination on RANDOM
+    corpora and UNDERSIZED sketches (m=16 over dozens of shingles is
+    all-FP territory): the one-sided screen + exact verify must be
+    bit-identical to the unscreened computation regardless of
+    geometry, split, or hash collisions."""
+    from food_panda_etl_spark.operators.decontam_bloom import (
+        bloom_screened_contamination,
+    )
+    from food_panda_etl_spark.operators.dedup import ngram_contamination
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    train = d.filter(F.col("doc_id") % (eval_mask + 1) != 0)
+    evals = d.filter(F.col("doc_id") % (eval_mask + 1) == 0)
+    got = sorted(
+        map(
+            tuple,
+            bloom_screened_contamination(
+                train, evals, "doc_id", "text", n=3,
+                m_bits=m_bits, k_hashes=2,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ngram_contamination(train, evals, "doc_id", "text", n=3).collect(),
+        )
+    )
+    assert got == want
