@@ -332,10 +332,16 @@ def main() -> None:
     for _pass in range(2):
         for name in HEADLINE:
             passes[name].append(run_query(spark, name, sf_dir))
+    # retry criterion: ratio AND an absolute floor — sub-second keys
+    # trip a pure ratio on suite-cold JIT/cache warmup alone (review
+    # r14: 30/112 keys retried on a QUIET machine, 26 of them
+    # sub-second), and the stall class this exists to expose is
+    # multi-second (r13's q_kmeans passes differed by ~5 s)
     retried = [
         name
         for name in HEADLINE
         if max(passes[name]) > 1.5 * min(passes[name])
+        and max(passes[name]) - min(passes[name]) > 0.5
     ]
     for name in retried:
         passes[name].append(run_query(spark, name, sf_dir))

@@ -69,7 +69,16 @@ def shingle_multiset_table(
     """(doc, shingle, c bigint) — word n-gram shingles WITH
     multiplicities (the multiset `operators/dedup.py::shingle_table`
     deliberately collapses; same tokenization, same repartition-first
-    parallelism rationale, same ANSI-safe short-document guard)."""
+    parallelism rationale, same ANSI-safe short-document guard).
+
+    The gram-construction core mirrors `dedup._shingles` minus its
+    `array_distinct` (review r14: extracting a shared builder would
+    byte-change dedup.py, whose non-windowed declared riders cannot
+    re-record this round — consolidate when dedup.py next rotates).
+    Until then the no-drift contract is BEHAVIORALLY pinned:
+    tests/test_weighted_jaccard.py::test_distinct_collapse_matches_shingle_table
+    asserts distinct(multiset) == shingle_table row-for-row, so a
+    tokenization or guard change on either side fails the build."""
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))

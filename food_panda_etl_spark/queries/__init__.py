@@ -160,7 +160,11 @@ DECLARED_WINDOW = [
 # window; fill remaining slots oldest-evidence-first. sketch.py /
 # sketch_extras.py still carry inline dm VALUES fragments — their
 # rotation (consolidate onto cms.oracle_dm_sql) should ride whichever
-# round windows their keys.
+# round windows their keys. Same deal for dedup.py: when it next
+# rotates, extract the shared gram builder so
+# weighted_jaccard.shingle_multiset_table stops mirroring _shingles'
+# core (behaviorally pinned until then —
+# tests/test_weighted_jaccard.py::test_distinct_collapse_matches_shingle_table).
 
 
 def _load_all() -> None:

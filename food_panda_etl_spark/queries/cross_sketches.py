@@ -135,26 +135,32 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_sketch(a, "l_partkey", width=_JS_W, depth=_JS_D),
         cms_sketch(b, "l_partkey", width=_JS_W, depth=_JS_D),
     )
+    # the audit side's per-key count tables are checkpointed so the
+    # exact join AND the n_a/n_b totals read them once each — the
+    # preview form re-scanned the fact twice for the totals (review
+    # r14); Σ per-key counts == the non-null row counts exactly
     fa = (
         a.filter(F.col("l_partkey").isNotNull())
         .groupBy("l_partkey")
         .agg(F.count("*").alias("__na"))
+        .localCheckpoint(eager=False)
     )
     fb = (
         b.filter(F.col("l_partkey").isNotNull())
         .groupBy("l_partkey")
         .agg(F.count("*").alias("__nb"))
+        .localCheckpoint(eager=False)
     )
     exact = fa.join(fb, "l_partkey").agg(
         F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0))
         .cast("bigint")
         .alias("exact_size")
     )
-    na = a.filter(F.col("l_partkey").isNotNull()).agg(
-        F.count("*").cast("bigint").alias("n_a")
+    na = fa.agg(
+        F.coalesce(F.sum("__na"), F.lit(0)).cast("bigint").alias("n_a")
     )
-    nb = b.filter(F.col("l_partkey").isNotNull()).agg(
-        F.count("*").cast("bigint").alias("n_b")
+    nb = fb.agg(
+        F.coalesce(F.sum("__nb"), F.lit(0)).cast("bigint").alias("n_b")
     )
     return (
         est.crossJoin(F.broadcast(exact))

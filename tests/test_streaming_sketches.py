@@ -279,8 +279,9 @@ def test_streaming_cms_inner_from_state(spark, out_dir):
     ).collect()[0]["est"]
     assert est_state == est_batch
 
-    # exact cross-period join size: early counts {1:2, 2:1, 4:1},
-    # late {1:2, 2:1, 4:1} → sum of products = 4 + 1 + 1 = 6
+    # exact cross-period join size: early counts {1:2, 2:1, 3:1, 4:1},
+    # late {1:2, 2:1, 4:1} (user 3 never recurs) → sum of products
+    # over the SHARED keys {1, 2, 4} = 2·2 + 1·1 + 1·1 = 6
     fa = full.filter(early).groupBy("k").agg(F.count("*").alias("na"))
     fb = full.filter(late).groupBy("k").agg(F.count("*").alias("nb"))
     exact = fa.join(fb, "k").agg(

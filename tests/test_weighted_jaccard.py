@@ -109,3 +109,28 @@ def test_threshold_validation():
     with pytest.raises(ValueError, match="need 0 < num <= den"):
         weighted_jaccard_join(None, "doc_id", "text", threshold_num=11,
                               threshold_den=10)
+
+
+def test_distinct_collapse_matches_shingle_table(spark, sf_dir):
+    """The no-drift pin for the gram-construction core mirrored from
+    dedup._shingles (see shingle_multiset_table's docstring): applying
+    DISTINCT to the multiset table must reproduce dedup.shingle_table
+    row-for-row — including on short/empty documents where the ANSI
+    sequence guard is what keeps both alive."""
+    from food_panda_etl_spark.operators.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents").unionByName(
+        load_table(spark, sf_dir, "documents")
+        .limit(2)
+        .select((F.col("doc_id") + 10**9).alias("doc_id"),
+                F.lit("one two").alias("text"),
+                *[F.col(c) for c in
+                  load_table(spark, sf_dir, "documents").columns
+                  if c not in ("doc_id", "text")])
+    )
+    got = sorted(map(tuple,
+        shingle_multiset_table(d, "doc_id", "text", n=5)
+        .select("doc", "shingle").collect()))
+    want = sorted(map(tuple,
+        shingle_table(d, "doc_id", "text", n=5).collect()))
+    assert got == want
