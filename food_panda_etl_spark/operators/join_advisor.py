@@ -1,0 +1,136 @@
+"""Sketch-driven equi-join strategy advice — the composition the
+sketch family exists for: decide broadcast / shuffle / salted-shuffle
+for a planned join from BOUNDED summaries, without scanning either
+fact a second time or running the join to find out it was the wrong
+shape. (Spark's own AQE re-plans at runtime from shuffle statistics —
+AFTER paying for the map stages; this answers at plan time from
+sketches that per-partition / per-day pipelines maintain anyway, cf.
+`tests/test_streaming_sketches.py`.)
+
+Inputs per side: ONE CMS sketch (`operators/cms.py`) — which already
+carries the row count (every depth row sums to n, so n_a/n_b are read
+from the d=0 cells, no extra scan) — plus the exact Misra-Gries heavy
+hitters (`operators/heavy.py`) for the top-key frequency. The verdict
+columns and the decision are PURE INTEGERS end to end:
+
+- ``est_join_size``: `cms_inner_product` (never under, the
+  Cormode-Muthukrishnan §4.2 one-sided bound) — the join's output
+  volume, the number the shuffle will pay for;
+- ``top_cnt_x``: the exact count of side x's most frequent key IF it
+  exceeds n/64, else 0 — `heavy_hitters(fraction=1/64)` returns
+  exactly the keys with cnt > n/64 (output == GROUP BY ... HAVING
+  under any partitioning, the operator's proven contract), and 1/64
+  is a POWER OF TWO so the operator's double compare cnt > n/64.0 is
+  bit-equivalent to the oracle's integer cnt·64 > n (division by 2^6
+  is exact for n < 2^53);
+- ``advice``: broadcast if either side fits
+  (min(n) ≤ broadcast_rows — a row-count proxy for Spark's byte
+  threshold, documented as such), else salted shuffle if either
+  side's top key holds ≥ skew_num/skew_den of its rows
+  (top·den ≥ n·num, integer), else plain shuffle.
+
+Every component is SQL-replayable (the CMS cell grid, the
+HAVING-equivalent heavy hitters, integer CASE logic), so the whole
+advisor oracles exactly — the driver hash-match covers the DECISION,
+not just the inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.cms import cms_sketch
+from food_panda_etl_spark.operators.cms_inner import cms_inner_product
+from food_panda_etl_spark.operators.heavy import heavy_hitters
+
+#: Broadcast row-count proxy. Spark's real gate is BYTES
+#: (autoBroadcastJoinThreshold); a planner integrating this advisor
+#: would multiply by an avg-row-width estimate — the decision SHAPE is
+#: what the oracle pins.
+BROADCAST_ROWS = 10_000
+
+#: Salt when one key holds ≥ 1/8 of its side. 8 and the 64 in the
+#: candidate fraction are powers of two — see module docstring.
+SKEW_NUM, SKEW_DEN = 1, 8
+_HH_FRACTION = 1.0 / 64.0
+
+
+def _top_count(df: DataFrame, key: str) -> DataFrame:
+    """One row (c bigint): the exact count of the most frequent key if
+    it exceeds n/64, else 0 — candidates from the Misra-Gries pass,
+    never a vocabulary-wide shuffle."""
+    keyed = df.select(F.col(key).alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    hh = heavy_hitters(keyed, "__k", fraction=_HH_FRACTION)
+    return hh.agg(
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint").alias("c")
+    )
+
+
+def _n_from_sketch(sk: DataFrame) -> DataFrame:
+    """One row (n bigint) from the d=0 cells — every depth row of a
+    CMS sums to the sketched row count, so the count rides the sketch
+    for free (no extra scan of the side)."""
+    return sk.filter(F.col("d") == 0).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n")
+    )
+
+
+def join_advice(
+    a: DataFrame,
+    key_a: str,
+    b: DataFrame,
+    key_b: str,
+    join_id: str = "join",
+    width: int = 1024,
+    depth: int = 4,
+    broadcast_rows: int = BROADCAST_ROWS,
+    skew_num: int = SKEW_NUM,
+    skew_den: int = SKEW_DEN,
+) -> DataFrame:
+    """ONE row (join_id, n_a, n_b, est_join_size, top_cnt_a,
+    top_cnt_b, advice) for the planned equi-join a.key_a == b.key_b.
+    See the module docstring for the decision contract; every column
+    is integer-exact and the whole row oracles."""
+    if not (0 < skew_num <= skew_den):
+        raise ValueError(
+            f"join_advice: need 0 < skew_num <= skew_den, "
+            f"got {skew_num}/{skew_den}"
+        )
+    sk_a = cms_sketch(a, key_a, width=width, depth=depth).localCheckpoint(
+        eager=False
+    )
+    sk_b = cms_sketch(b, key_b, width=width, depth=depth).localCheckpoint(
+        eager=False
+    )
+    est = cms_inner_product(sk_a, sk_b)
+    na = _n_from_sketch(sk_a)
+    nb = _n_from_sketch(sk_b)
+    ta = _top_count(a, key_a)
+    tb = _top_count(b, key_b)
+    skew = (F.col("__ta") * skew_den >= F.col("n_a") * skew_num) | (
+        F.col("__tb") * skew_den >= F.col("n_b") * skew_num
+    )
+    return (
+        na.select(F.col("n").alias("n_a"))
+        .crossJoin(F.broadcast(nb.select(F.col("n").alias("n_b"))))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(ta.select(F.col("c").alias("__ta"))))
+        .crossJoin(F.broadcast(tb.select(F.col("c").alias("__tb"))))
+        .select(
+            F.lit(join_id).alias("join_id"),
+            "n_a",
+            "n_b",
+            F.col("est").alias("est_join_size"),
+            F.col("__ta").alias("top_cnt_a"),
+            F.col("__tb").alias("top_cnt_b"),
+            F.when(
+                F.least("n_a", "n_b") <= F.lit(broadcast_rows), "broadcast"
+            )
+            .when(skew, "shuffle_salt")
+            .otherwise("shuffle")
+            .alias("advice"),
+        )
+    )

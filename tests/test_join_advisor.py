@@ -1,0 +1,86 @@
+"""Sketch-driven join advice (operators/join_advisor.py, r14
+build-ahead for r15): decision branches pinned on engineered frames,
+the sketch-derived counts against exact, and the top-count contract
+(exact above n/64, literal 0 below)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.join_advisor import (
+    _n_from_sketch,
+    _top_count,
+    join_advice,
+)
+
+
+def _uniform(spark, n, name="k"):
+    return spark.range(n).select(F.col("id").alias(name))
+
+
+def _skewed(spark, n, name="k"):
+    # key 0 holds half the rows, the rest are unique
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias(name)
+    )
+
+
+def test_broadcast_branch(spark):
+    row = join_advice(
+        _uniform(spark, 50), "k", _uniform(spark, 5000), "k",
+        join_id="t", broadcast_rows=100,
+    ).collect()[0]
+    assert row.advice == "broadcast"
+    assert (row.n_a, row.n_b) == (50, 5000)
+
+
+def test_salt_branch(spark):
+    # both sides above the broadcast bar, side a skewed (top share 1/2)
+    row = join_advice(
+        _skewed(spark, 400), "k", _uniform(spark, 400), "k",
+        join_id="t", broadcast_rows=100,
+    ).collect()[0]
+    assert row.advice == "shuffle_salt"
+    assert row.top_cnt_a == 200  # exact: half the rows on key 0
+    assert row.top_cnt_b == 0  # uniform side: nothing above n/64
+
+
+def test_shuffle_branch_and_estimate_bound(spark):
+    a, b = _uniform(spark, 400), _uniform(spark, 300)
+    row = join_advice(
+        a, "k", b, "k", join_id="t", broadcast_rows=100
+    ).collect()[0]
+    assert row.advice == "shuffle"
+    # exact join size: keys 0..299 match once each
+    assert row.est_join_size >= 300  # one-sided CMS bound
+
+
+def test_null_keys_excluded_from_counts(spark):
+    a = spark.range(100).select(
+        F.when(F.col("id") < 40, None).otherwise(F.col("id")).alias("k")
+    )
+    from food_panda_etl_spark.operators.cms import cms_sketch
+
+    n = _n_from_sketch(cms_sketch(a, "k")).collect()[0]["n"]
+    assert n == 60
+
+
+def test_top_count_threshold_contract(spark):
+    # 10 keys x 10 rows over n=100: top = 10 > 100/64 → reported exact
+    a = spark.range(100).select((F.col("id") % 10).alias("k"))
+    assert _top_count(a, "k").collect()[0]["c"] == 10
+    # uniform: top = 1 < n/64 for n = 100? 1*64 < 100 → 0
+    b = spark.range(100).select(F.col("id").alias("k"))
+    assert _top_count(b, "k").collect()[0]["c"] == 0
+
+
+def test_skew_ratio_validation(spark):
+    with pytest.raises(ValueError, match="need 0 < skew_num <= skew_den"):
+        join_advice(
+            _uniform(spark, 10), "k", _uniform(spark, 10), "k",
+            skew_num=0,
+        )
