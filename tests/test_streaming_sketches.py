@@ -289,3 +289,91 @@ def test_streaming_cms_inner_from_state(spark, out_dir):
     ).collect()[0]["x"]
     assert exact == 6
     assert est_state >= exact  # one-sided: collisions only add
+
+
+def test_streaming_decontamination_equals_batch(spark, out_dir):
+    """The streaming face of `operators/decontam_bloom.py` (the r14
+    build-ahead): the benchmark corpus is STATIC, so its Bloom screen
+    is built once and every arriving train micro-batch is screened +
+    exact-verified as it lands (contamination is per-document — no
+    cross-batch state). The union of the per-batch verdicts must equal
+    the batch composite over the full input AND the unscreened exact
+    computation — the ingestion-time decontamination gate, versioned
+    per batch_id so replays stay idempotent."""
+    import json as _json
+
+    from food_panda_etl_spark.operators.decontam_bloom import (
+        bloom_screened_contamination,
+    )
+    from food_panda_etl_spark.operators.dedup import ngram_contamination
+
+    eval_rows = [
+        {"doc_id": 1001, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 1002, "text": "lorem ipsum dolor sit amet consectetur"},
+    ]
+    batches = [
+        [{"doc_id": 1, "text": "x alpha beta gamma delta epsilon y"},
+         {"doc_id": 2, "text": "one two three four five six seven"}],
+        [{"doc_id": 3, "text": "lorem ipsum dolor sit amet here too"},
+         {"doc_id": 4, "text": "clean text with nothing shared at all"}],
+        [{"doc_id": 5,
+          "text": "alpha beta gamma delta epsilon zeta verbatim quote"}],
+    ]
+    src = os.path.join(out_dir, "dc_in")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i:03d}.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    evals = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in eval_rows],
+        "doc_id long, text string",
+    )
+    verdicts = os.path.join(out_dir, "dc_verdicts")
+
+    def screen_batch(df, batch_id):
+        out = bloom_screened_contamination(
+            df, evals, "doc_id", "text", n=5, m_bits=4096, k_hashes=4
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(verdicts, f"v{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+        .writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "dc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("availableNow replay exceeded 180 s")
+    finally:
+        q.stop()
+
+    got = _rows(
+        spark.read.parquet(os.path.join(verdicts, "v*")),
+        ["doc_id", "n_shared"],
+    )
+    full = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for b in batches for r in b],
+        "doc_id long, text string",
+    )
+    want_screened = _rows(
+        bloom_screened_contamination(
+            full, evals, "doc_id", "text", n=5, m_bits=4096, k_hashes=4
+        ),
+        ["doc_id", "n_shared"],
+    )
+    want_exact = _rows(
+        ngram_contamination(full, evals, "doc_id", "text", n=5),
+        ["doc_id", "n_shared"],
+    )
+    assert got == want_screened == want_exact
+    # non-vacuous: docs 1, 3, 5 are contaminated, 2 and 4 clean
+    assert [d for d, _ in got] == [1, 3, 5]
