@@ -148,23 +148,36 @@ DECLARED_WINDOW = [
     "q_jaccard_prefix_join",
 ]
 
-# R15 ROTATION PLAN (the arithmetic, computed r14): NOTHING hits the
-# evidence-age wall at r15 (after this round's rotation the oldest
-# evidence is r11, age 4 at r15's END only if untouched through r15 —
-# the 35 r11-era keys hit the wall at r16, the ~40 r12-era keys at
-# r17). So the r15 window is free for (a) the r14 build-ahead
-# declarations (see tests/test_r15_oracle_previews.py — the preview
-# guard forces them once WINDOW_ROUND reaches 15) and (b) an EARLY
-# start on the 35-key r11 block (relational.py/sorts.py's TPC-H core
-# + the text/curation r11 riders) so r16 never needs a 35-mandatory
-# window; fill remaining slots oldest-evidence-first. sketch.py /
-# sketch_extras.py still carry inline dm VALUES fragments — their
-# rotation (consolidate onto cms.oracle_dm_sql) should ride whichever
-# round windows their keys. Same deal for dedup.py: when it next
-# rotates, extract the shared gram builder so
-# weighted_jaccard.shingle_multiset_table stops mirroring _shingles'
-# core (behaviorally pinned until then —
-# tests/test_weighted_jaccard.py::test_distinct_collapse_matches_shingle_table).
+# R15 ROTATION PLAN (the arithmetic, computed on the ACTUAL post-r14
+# evidence ages: r11-era 27 keys hit the wall at r16, r12-era 38 at
+# r17, r13-era 47 at r18). NOTHING is age-mandatory at r15 itself, so:
+# MANDATORY 3 = the pre-verified r14 build-aheads (q_weighted_jaccard,
+# q_decontaminate_bloom, q_join_advice — bodies move verbatim from
+# tests/test_r15_oracle_previews.py; the preview guard FAILS the build
+# once WINDOW_ROUND reaches 15 without them). STRONGLY RECOMMENDED
+# +27 = the FULL r11 block, defusing r16 entirely: q_approx_distinct
+# q_approx_quantile_gate q_batch_number q_case_when q_ceil_div
+# q_count_distinct q_date_parts q_dedup q_epoch_cast q_filter_range
+# q_group_pct q_groupby_agg q_incremental_dedup q_json_extract q_kcore
+# q_limit_offset q_llm_prep q_null_handling q_project
+# q_scalar_subquery q_scan_count q_sort_multi q_string_funcs
+# q_topk_global q_tpch_q1 q_tpch_q6 q_vocab_topp. The remaining 20
+# slots: EITHER (a) rotate operators/dedup.py — extract the shared
+# gram builder so weighted_jaccard.shingle_multiset_table stops
+# mirroring _shingles' core (behaviorally pinned until then —
+# tests/test_weighted_jaccard.py::test_distinct_collapse_matches_shingle_table)
+# — whose riders beyond the mandatory/r11 sets are 11 keys
+# (q_ngram_jaccard q_dedup_components q_dedup_keep_rep
+# q_minhash_neardup q_simhash_neardup q_dedup_components_lsh
+# q_dedup_keep_rep_lsh q_decontaminate q_substring_dedup
+# q_jaccard_prefix_join q_overlap_join), leaving 9 oldest-r12 fills;
+# OR (b) no file rotation and 20 oldest-r12 fills (joins/windows'
+# q_inner_join q_left_join q_semi_join q_anti_join q_range_join
+# q_asof_join q_nullsafe_join q_join_1n_agg q_tpch_q3 q_tpch_q5
+# q_topk_per_group q_rank q_lag_lead q_running_sum q_tumbling_window
+# q_sliding_window q_session_window q_union_all q_intersect q_except).
+# sketch.py / sketch_extras.py dm-fragment consolidation still waits
+# for whichever round windows their keys.
 
 
 def _load_all() -> None:
