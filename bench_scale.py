@@ -741,9 +741,6 @@ def r15_curves(spark, sizes) -> dict:
       overloaded screen degrades toward the unscreened cost, it never
       breaks correctness (test_equals_exact_under_tiny_sketch).
     """
-    from food_panda_etl_spark.operators.decontam_bloom import (
-        bloom_screened_contamination,
-    )
     from food_panda_etl_spark.operators.weighted_jaccard import (
         weighted_jaccard_join,
     )
@@ -785,11 +782,15 @@ def r15_curves(spark, sizes) -> dict:
             .cache()
         )
         docs.count()
-        run_wj = lambda: weighted_jaccard_join(  # noqa: E731
-            docs, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
-        ).write.format("noop").mode("overwrite").save()
-        curves["weighted_jaccard"][n] = min(timed(run_wj), timed(run_wj))
-        docs.unpersist()
+        # try/finally so an exception mid-loop can't leak the cached
+        # frame for the rest of the bench process (ADVICE r15)
+        try:
+            run_wj = lambda: weighted_jaccard_join(  # noqa: E731
+                docs, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+            ).write.format("noop").mode("overwrite").save()
+            curves["weighted_jaccard"][n] = min(timed(run_wj), timed(run_wj))
+        finally:
+            docs.unpersist()
 
     evals = (
         spark.range(512)
@@ -811,56 +812,72 @@ def r15_curves(spark, sizes) -> dict:
         .cache()
     )
     evals.count()
-    for n in sizes:
-        # 1/16 of train docs carry a benchmark passage (contaminated);
-        # the rest are clean random-vocab text
-        train = (
-            spark.range(n)
-            .select(
-                F.col("id").alias("doc_id"),
-                F.when(
-                    F.col("id") % 16 == 0,
-                    F.concat_ws(
-                        " ",
-                        F.transform(
-                            F.sequence(F.lit(1), F.lit(8)),
-                            lambda i: F.concat(
-                                F.lit("b"),
-                                F.pmod(
-                                    F.pmod(F.col("id"), F.lit(512)) * 40 + i,
-                                    F.lit(4096),
-                                ).cast("string"),
-                            ),
+    try:
+        for n in sizes:
+            _decontam_point(spark, evals, curves, n)
+    finally:
+        evals.unpersist()
+    return curves
+
+
+def _decontam_point(spark, evals, curves, n) -> None:
+    """One decontam_bloom curve point — split out so the cached train
+    frame sits in its own try/finally (ADVICE r15: an exception
+    mid-loop must not leak cached frames into the rest of the bench
+    process)."""
+    from food_panda_etl_spark.operators.decontam_bloom import (
+        bloom_screened_contamination,
+    )
+
+    # 1/16 of train docs carry a benchmark passage (contaminated);
+    # the rest are clean random-vocab text
+    train = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 16 == 0,
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(8)),
+                        lambda i: F.concat(
+                            F.lit("b"),
+                            F.pmod(
+                                F.pmod(F.col("id"), F.lit(512)) * 40 + i,
+                                F.lit(4096),
+                            ).cast("string"),
+                        ),
+                    ),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(40)),
+                        lambda i: F.concat(
+                            F.lit("w"),
+                            F.pmod(
+                                F.xxhash64(F.col("id") * 40 + i),
+                                F.lit(50_000),
+                            ).cast("string"),
                         ),
                     ),
                 )
-                .otherwise(
-                    F.concat_ws(
-                        " ",
-                        F.transform(
-                            F.sequence(F.lit(1), F.lit(40)),
-                            lambda i: F.concat(
-                                F.lit("w"),
-                                F.pmod(
-                                    F.xxhash64(F.col("id") * 40 + i),
-                                    F.lit(50_000),
-                                ).cast("string"),
-                            ),
-                        ),
-                    )
-                )
-                .alias("text"),
             )
-            .cache()
+            .alias("text"),
         )
-        train.count()
+        .cache()
+    )
+    train.count()
+    try:
         run_db = lambda: bloom_screened_contamination(  # noqa: E731
             train, evals, "doc_id", "text", n=5, m_bits=1 << 20
         ).write.format("noop").mode("overwrite").save()
         curves["decontam_bloom"][n] = min(timed(run_db), timed(run_db))
+    finally:
         train.unpersist()
-    evals.unpersist()
-    return curves
 
 
 def main() -> None:

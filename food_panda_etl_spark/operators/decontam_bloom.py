@@ -47,7 +47,18 @@ def bloom_screened_contamination(
     """(``id_col``, n_shared bigint) for every training document
     sharing at least one word n-gram with ANY eval document —
     bit-identical to `ngram_contamination`, executed as Bloom
-    pre-screen → exact verify on survivors only."""
+    pre-screen → exact verify on survivors only.
+
+    SIZE ``m_bits`` TO THE EVAL SHINGLE COUNT: m ≈ 1.44·k·n/ln2 bits
+    for n distinct eval shingles (the `operators/bloom.py` optimum —
+    ≈ 8.3·n bits at the default k=4). The 2^16 default fits the test
+    fixtures only; an overloaded sketch never breaks correctness (the
+    one-sided contract holds at ANY size — tested under a forced-FP
+    m=64 sketch) but silently degrades toward the unscreened cost:
+    bench_scale.py measured the default at millions of eval shingles
+    with ~67% of bits set and ~20% of CLEAN shingles flooding the
+    verify join (a 1.32 scaling exponent), vs near-linear once sized
+    to the eval set (m=2^20 there)."""
     tr = shingle_table(train, id_col, text_col, n=n)
     ev = (
         shingle_table(evals, id_col, text_col, n=n)

@@ -25,11 +25,16 @@ from pyspark.sql.window import Window
 _P = (1 << 31) - 1  # 2^31-1, also prime
 
 
-def _shingles(toks, n: int):
-    """Distinct word n-gram shingles of a token-array column. ``toks`` must
-    be a plain column reference (pre-materialized array), NOT a split()
-    expression — a non-trivial expression captured inside the transform
-    lambda is re-evaluated per element, turning shingling quadratic."""
+def _grams(toks, n: int):
+    """ALL word n-grams of a token-array column, in order, WITH
+    duplicates — the package's ONE gram-construction definition
+    (:func:`_shingles` is its distinct collapse;
+    `operators/weighted_jaccard.py::shingle_multiset_table` counts it —
+    the r15 consolidation that retired that module's mirrored copy).
+    ``toks`` must be a plain column reference (pre-materialized array),
+    NOT a split() expression — a non-trivial expression captured inside
+    the transform lambda is re-evaluated per element, turning shingling
+    quadratic."""
     k = F.size(toks) - (n - 1)
     # sequence(1, 0) is DESCENDING [1, 0] (not empty!), and element_at(0)
     # throws under ANSI — so a doc shorter than n tokens must yield an
@@ -37,32 +42,58 @@ def _shingles(toks, n: int):
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
         F.array().cast("array<int>")
     )
-    gram = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(gram)
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """(id, shingle) pairs, distinct per document.
+def _shingles(toks, n: int):
+    """Distinct word n-gram shingles — the set collapse of :func:`_grams`."""
+    return F.array_distinct(_grams(toks, n))
 
-    Repartitions on doc id first: a document corpus often arrives as few
-    parquet splits, and without the exchange every downstream shingle/hash
-    cycle runs on as many cores as there were input files (observed: the
-    whole MinHash pipeline on 1 of 32 cores). One narrow-row shuffle of
-    (id, text) buys full-width parallelism for the expensive part."""
+
+def tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, __toks) — whitespace tokenization behind the
+    repartition-first parallelism pattern: a document corpus often
+    arrives as few parquet splits, and without the exchange every
+    downstream shingle/hash cycle runs on as many cores as there were
+    input files (observed: the whole MinHash pipeline on 1 of 32
+    cores). One narrow-row shuffle of (id, text) buys full-width
+    parallelism for the expensive part."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = (
+    return (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
         .repartition(par, "doc")  # exchange raw text, tokenize post-shuffle
         .select("doc", F.split(F.col("__text"), " ").alias("__toks"))
     )
-    return toks.select(
-        "doc", F.explode(_shingles(F.col("__toks"), n)).alias("shingle")
-    ).filter(F.col("shingle") != "")
+
+
+def gram_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    *,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc, shingle) word n-gram rows — the ONE tokenization
+    definition every shingle consumer builds on (prefix/overlap joins,
+    decontamination, the weighted-Jaccard multiset). ``distinct=True``
+    yields each document's shingle SET (:func:`shingle_table`);
+    ``distinct=False`` keeps multiplicities, one row per occurrence."""
+    toks = tokenized(df, id_col, text_col)
+    gram = (_shingles if distinct else _grams)(F.col("__toks"), n)
+    return toks.select("doc", F.explode(gram).alias("shingle")).filter(
+        F.col("shingle") != ""
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return gram_table(df, id_col, text_col, n, distinct=True)
 
 
 def exact_jaccard_pairs(
@@ -504,12 +535,7 @@ def duplicated_substring_spans(
     mass scales with the injected duplication rate, not the pair count)
     — measured in `bench_scale.py`.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
-        .repartition(par, "doc")
-        .select("doc", F.split(F.col("__text"), " ").alias("__toks"))
-    )
+    toks = tokenized(df, id_col, text_col)
     k = F.size(F.col("__toks")) - (n - 1)
     # 0-based start positions; explicit empty for short docs (the
     # sequence(1, 0)-descends trap, see _shingles)

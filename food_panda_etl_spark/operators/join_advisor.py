@@ -1,17 +1,27 @@
 """Sketch-driven equi-join strategy advice — the composition the
 sketch family exists for: decide broadcast / shuffle / salted-shuffle
-for a planned join from BOUNDED summaries, without scanning either
-fact a second time or running the join to find out it was the wrong
-shape. (Spark's own AQE re-plans at runtime from shuffle statistics —
-AFTER paying for the map stages; this answers at plan time from
-sketches that per-partition / per-day pipelines maintain anyway, cf.
-`tests/test_streaming_sketches.py`.)
+for a planned join from BOUNDED summaries, without running the join
+to find out it was the wrong shape. (Spark's own AQE re-plans at
+runtime from shuffle statistics — AFTER paying for the map stages;
+this answers at plan time.)
 
 Inputs per side: ONE CMS sketch (`operators/cms.py`) — which already
 carries the row count (every depth row sums to n, so n_a/n_b are read
-from the d=0 cells, no extra scan) — plus the exact Misra-Gries heavy
-hitters (`operators/heavy.py`) for the top-key frequency. The verdict
-columns and the decision are PURE INTEGERS end to end:
+from the d=0 cells, no extra scan on top of the sketch) — plus the
+exact Misra-Gries heavy hitters (`operators/heavy.py`) for the
+top-key frequency. When a pipeline MAINTAINS these summaries
+(per-partition / per-day, cf. `tests/test_streaming_sketches.py`),
+pass them in via ``sketch_x`` / ``top_x`` and the advisor touches
+neither fact at all — zero rescans; from raw DataFrames it costs one
+CMS pass plus one Misra-Gries pass per side. NULL join keys are
+excluded from every summary (a NULL never matches an equi-join), so
+``n_a``/``n_b`` are NON-NULL-key row counts — consistent with the
+skew test's denominator; a side dominated by NULL keys can therefore
+read "broadcast" while its raw row count is far larger, which is the
+RIGHT call for the rows that actually participate in the join (the
+caller handles null routing separately, e.g. a null-splitting outer
+join). The verdict columns and the decision are PURE INTEGERS end to
+end:
 
 - ``est_join_size``: `cms_inner_product` (never under, the
   Cormode-Muthukrishnan §4.2 one-sided bound) — the join's output
@@ -63,7 +73,13 @@ def _top_count(df: DataFrame, key: str) -> DataFrame:
     keyed = df.select(F.col(key).alias("__k")).filter(
         F.col("__k").isNotNull()
     )
-    hh = heavy_hitters(keyed, "__k", fraction=_HH_FRACTION)
+    return _top_from_hh(heavy_hitters(keyed, "__k", fraction=_HH_FRACTION))
+
+
+def _top_from_hh(hh: DataFrame) -> DataFrame:
+    """One row (c bigint) from a maintained heavy-hitters summary
+    (`heavy_hitters(fraction=1/64)` shape: a ``cnt`` column of exact
+    counts for every key above n/64) — the zero-rescan reduction."""
     return hh.agg(
         F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint").alias("c")
     )
@@ -89,27 +105,42 @@ def join_advice(
     broadcast_rows: int = BROADCAST_ROWS,
     skew_num: int = SKEW_NUM,
     skew_den: int = SKEW_DEN,
+    sketch_a: DataFrame | None = None,
+    sketch_b: DataFrame | None = None,
+    top_a: DataFrame | None = None,
+    top_b: DataFrame | None = None,
 ) -> DataFrame:
     """ONE row (join_id, n_a, n_b, est_join_size, top_cnt_a,
     top_cnt_b, advice) for the planned equi-join a.key_a == b.key_b.
     See the module docstring for the decision contract; every column
-    is integer-exact and the whole row oracles."""
+    is integer-exact and the whole row oracles.
+
+    ``sketch_x`` (a `cms_sketch` frame at the SAME width/depth over
+    the side's non-null keys) and ``top_x`` (a `heavy_hitters`
+    frame at fraction 1/64) are optional MAINTAINED summaries: when
+    all four are supplied neither fact is scanned at all (the
+    zero-rescan mode — ADVICE r15); any omitted summary is built here
+    with one pass over its side."""
     if not (0 < skew_num <= skew_den):
         raise ValueError(
             f"join_advice: need 0 < skew_num <= skew_den, "
             f"got {skew_num}/{skew_den}"
         )
-    sk_a = cms_sketch(a, key_a, width=width, depth=depth).localCheckpoint(
-        eager=False
-    )
-    sk_b = cms_sketch(b, key_b, width=width, depth=depth).localCheckpoint(
-        eager=False
-    )
+    sk_a = (
+        sketch_a
+        if sketch_a is not None
+        else cms_sketch(a, key_a, width=width, depth=depth)
+    ).localCheckpoint(eager=False)
+    sk_b = (
+        sketch_b
+        if sketch_b is not None
+        else cms_sketch(b, key_b, width=width, depth=depth)
+    ).localCheckpoint(eager=False)
     est = cms_inner_product(sk_a, sk_b)
     na = _n_from_sketch(sk_a)
     nb = _n_from_sketch(sk_b)
-    ta = _top_count(a, key_a)
-    tb = _top_count(b, key_b)
+    ta = _top_from_hh(top_a) if top_a is not None else _top_count(a, key_a)
+    tb = _top_from_hh(top_b) if top_b is not None else _top_count(b, key_b)
     skew = (F.col("__ta") * skew_den >= F.col("n_a") * skew_num) | (
         F.col("__tb") * skew_den >= F.col("n_b") * skew_num
     )

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from food_panda_etl_spark.operators.dedup import gram_table
 from food_panda_etl_spark.operators.prefix_join import prefix_candidates
 
 
@@ -68,37 +69,13 @@ def shingle_multiset_table(
 ) -> DataFrame:
     """(doc, shingle, c bigint) — word n-gram shingles WITH
     multiplicities (the multiset `operators/dedup.py::shingle_table`
-    deliberately collapses; same tokenization, same repartition-first
-    parallelism rationale, same ANSI-safe short-document guard).
-
-    The gram-construction core mirrors `dedup._shingles` minus its
-    `array_distinct` (review r14: extracting a shared builder would
-    byte-change dedup.py, whose non-windowed declared riders cannot
-    re-record this round — consolidate when dedup.py next rotates).
-    Until then the no-drift contract is BEHAVIORALLY pinned:
-    tests/test_weighted_jaccard.py::test_distinct_collapse_matches_shingle_table
-    asserts distinct(multiset) == shingle_table row-for-row, so a
-    tokenization or guard change on either side fails the build."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
-        .repartition(par, "doc")
-        .select("doc", F.split(F.col("__text"), " ").alias("__toks"))
-    )
-    k = F.size("__toks") - (n - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            *[F.element_at(F.col("__toks"), (i + j).cast("int")) for j in range(n)],
-        ),
-    )
+    deliberately collapses), counted over the package's ONE gram
+    builder (`dedup.gram_table(distinct=False)` — the r15
+    consolidation: same tokenization, same repartition-first
+    parallelism, same ANSI-safe short-document guard, by
+    construction rather than by a behavior-pin test)."""
     return (
-        toks.select("doc", F.explode(gram).alias("shingle"))
-        .filter(F.col("shingle") != "")
+        gram_table(df, id_col, text_col, n, distinct=False)
         .groupBy("doc", "shingle")
         .agg(F.count("*").cast("bigint").alias("c"))
     )

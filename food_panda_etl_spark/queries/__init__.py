@@ -67,117 +67,107 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order matches it, so a planned rotation that fails to land in code
 # fails loudly instead of silently (round 8 shipped zero commits because
 # the plan lived only in a comment).
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 DECLARED_WINDOW = [
-    # 1-3 NEW in r14: the three r13 build-ahead components' first
+    # 1-3 NEW in r15: the three r14 build-ahead components' first
     # driver evidence — bodies and oracle strings moved VERBATIM from
-    # tests/test_r14_oracle_previews.py (now registry-driven, the
-    # r10/r12/r13 convention) into queries/cross_sketches.py, where
+    # tests/test_r15_oracle_previews.py (now registry-driven, the
+    # r10/r12/r13/r14 convention) into queries/scale_ops.py, where
     # they were pre-verified at sf0.001+sf0.01 (and once manually at
     # sf0.1) through the driver's own compare harness.
-    "q_overlap_join",
-    "q_cms_join_size",
-    "q_hll_intersect_gate",
-    # 4-33 ALL 30 r9-era keys — they hit evidence-age 5 this round and
-    # test_evidence_age fails the build otherwise (the allocation
-    # pinned by the r13 plan comment, executed verbatim). 16 of these
-    # live in queries/similarity.py, byte-changed this round by the
-    # shingle-CTE consolidation (VERDICT r13 task 3), so the
-    # file-granular evidence rule independently forces them.
-    "q_ann_recall",
-    "q_approx_distinct_gate",
-    "q_array_size",
-    "q_bm25",
-    "q_chunk_text",
-    "q_cosine_lsh_gate",
-    "q_cosine_topk",
-    "q_cosine_topk_lsh",
-    "q_dedup_components",
-    "q_dedup_components_lsh",
-    "q_dedup_keep_rep",
-    "q_dedup_keep_rep_lsh",
-    "q_embed_lsh_gate",
-    "q_embed_neardup",
-    "q_embed_neardup_lsh",
-    "q_hybrid_rrf",
-    "q_image_decode",
-    "q_ivf_gate",
-    "q_ivf_topk",
-    "q_map_funcs",
-    "q_minhash_gate",
-    "q_minhash_neardup",
+    "q_weighted_jaccard",
+    "q_decontaminate_bloom",
+    "q_join_advice",
+    # 4-30 the FULL 27-key r11 block — nothing is age-mandatory at r15
+    # itself, so spending the slots here defuses the r16 age wall
+    # entirely (VERDICT r14 task 1, executed verbatim).
+    "q_approx_distinct",
+    "q_approx_quantile_gate",
+    "q_batch_number",
+    "q_case_when",
+    "q_ceil_div",
+    "q_count_distinct",
+    "q_date_parts",
+    "q_dedup",
+    "q_epoch_cast",
+    "q_filter_range",
+    "q_group_pct",
+    "q_groupby_agg",
+    "q_incremental_dedup",
+    "q_json_extract",
+    "q_kcore",
+    "q_limit_offset",
+    "q_llm_prep",
+    "q_null_handling",
+    "q_project",
+    "q_scalar_subquery",
+    "q_scan_count",
+    "q_sort_multi",
+    "q_string_funcs",
+    "q_topk_global",
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_vocab_topp",
+    # 31-41 rotation option (a) executed (VERDICT r14 task 2):
+    # operators/dedup.py byte-changed this round — the shared gram
+    # builder (gram_table) extracted so weighted_jaccard's multiset
+    # table stops mirroring _shingles' core — so ALL declared keys
+    # whose execution flows through dedup.py re-record. The plan's
+    # 11-key rider list:
     "q_ngram_jaccard",
-    "q_png_decode",
-    "q_quantize_embed",
-    "q_simhash_gate",
+    "q_dedup_components",
+    "q_dedup_keep_rep",
+    "q_minhash_neardup",
     "q_simhash_neardup",
-    "q_to_json",
-    "q_udaf",
-    "q_vector_norm",
-    # 34-45 queries/storage.py — byte-changed this round (VERDICT r13
-    # task 2: q_pps_sample's and q_shuffle_order's oracles move to the
-    # pre-reduced overflow-free hash, residue-identical on every
-    # fixture id; q_shuffle_order's Spark side now rides the shared
-    # sample_order_hash), so ALL 12 of its keys re-record.
-    "q_partition_prune",
-    "q_train_split",
-    "q_stratified_sample",
-    "q_pack_chunks",
-    "q_snapshot_diff",
-    "q_zorder",
-    "q_upsert",
-    "q_mix_to_target",
-    "q_shuffle_order",
-    "q_pps_sample",
-    "q_temperature_mix",
-    "q_incremental_agg",
-    # 46-49 the 4 similarity.py riders of the shingle-CTE
-    # consolidation (the other 16 similarity keys are in the r9 block
-    # above — together that is ALL 20 of the byte-changed file's keys).
-    "q_embed_outlier",
-    "q_image_resize",
-    "q_jpeg_decode",
-    "q_embed_centroid",
-    # 50 q_jaccard_prefix_join: its oracle PROVENANCE moved this round
-    # (the _load_all post-import ORACLES alias retired in favor of the
-    # shared overlap_join.NGRAM_JACCARD_ORACLE_SQL constant — VERDICT
-    # r13 "What's wrong" #2). The assembled string is byte-identical
-    # to the r13-recorded oracle, but fresh driver evidence under the
-    # new plumbing costs one slot and removes all doubt.
+    "q_dedup_components_lsh",
+    "q_dedup_keep_rep_lsh",
+    "q_decontaminate",
+    "q_substring_dedup",
     "q_jaccard_prefix_join",
+    "q_overlap_join",
+    # 42-43 two MORE true dedup.py riders the plan's list missed:
+    # q_minhash_gate calls minhash_lsh_pairs + exact_jaccard_pairs and
+    # q_simhash_gate calls simhash_pairs (queries/approx_gates.py:27)
+    # — the file-granular evidence rule forces them like the other 11.
+    "q_minhash_gate",
+    "q_simhash_gate",
+    # 44-48 queries/scale_sketches.py — byte-changed this round
+    # (VERDICT r14 task 3: q_jaccard_prefix_join's oracle moved into
+    # its decorator via the shared NGRAM_JACCARD_ORACLE_SQL constant,
+    # deleting _load_all's special case), so ALL its keys re-record
+    # (q_jaccard_prefix_join itself is #40 above).
+    "q_bloom_filter",
+    "q_bloom_prefilter",
+    "q_bloom_fpr_gate",
+    "q_hll_windowed",
+    "q_group_priority_sample",
+    # 49-50 oldest-r12 fills (queries/joins.py, no byte-change — just
+    # evidence refresh toward the r17 wall).
+    "q_inner_join",
+    "q_left_join",
 ]
 
-# R15 ROTATION PLAN (the arithmetic, computed on the ACTUAL post-r14
-# evidence ages: r11-era 27 keys hit the wall at r16, r12-era 38 at
-# r17, r13-era 47 at r18). NOTHING is age-mandatory at r15 itself, so:
-# MANDATORY 3 = the pre-verified r14 build-aheads (q_weighted_jaccard,
-# q_decontaminate_bloom, q_join_advice — bodies move verbatim from
-# tests/test_r15_oracle_previews.py; the preview guard FAILS the build
-# once WINDOW_ROUND reaches 15 without them). STRONGLY RECOMMENDED
-# +27 = the FULL r11 block, defusing r16 entirely: q_approx_distinct
-# q_approx_quantile_gate q_batch_number q_case_when q_ceil_div
-# q_count_distinct q_date_parts q_dedup q_epoch_cast q_filter_range
-# q_group_pct q_groupby_agg q_incremental_dedup q_json_extract q_kcore
-# q_limit_offset q_llm_prep q_null_handling q_project
-# q_scalar_subquery q_scan_count q_sort_multi q_string_funcs
-# q_topk_global q_tpch_q1 q_tpch_q6 q_vocab_topp. The remaining 20
-# slots: EITHER (a) rotate operators/dedup.py — extract the shared
-# gram builder so weighted_jaccard.shingle_multiset_table stops
-# mirroring _shingles' core (behaviorally pinned until then —
-# tests/test_weighted_jaccard.py::test_distinct_collapse_matches_shingle_table)
-# — whose riders beyond the mandatory/r11 sets are 11 keys
-# (q_ngram_jaccard q_dedup_components q_dedup_keep_rep
-# q_minhash_neardup q_simhash_neardup q_dedup_components_lsh
-# q_dedup_keep_rep_lsh q_decontaminate q_substring_dedup
-# q_jaccard_prefix_join q_overlap_join), leaving 9 oldest-r12 fills;
-# OR (b) no file rotation and 20 oldest-r12 fills (joins/windows'
-# q_inner_join q_left_join q_semi_join q_anti_join q_range_join
-# q_asof_join q_nullsafe_join q_join_1n_agg q_tpch_q3 q_tpch_q5
+# R16 ROTATION PLAN (arithmetic on the ACTUAL post-r15 evidence ages:
+# after this window re-records, the oldest standing evidence is the
+# 36 remaining r12-era keys — wall at r17 — then 42 r13-era — wall at
+# r18). NOTHING is age-mandatory at r16 itself, so: MANDATORY = any
+# r15 build-aheads preview-verified in tests/test_r16_oracle_previews.py
+# (the guard FAILS the build once WINDOW_ROUND reaches 16 without
+# them). STRONGLY RECOMMENDED = the full 36-key r12 block, defusing
+# r17 entirely: joins/windows/setops/sql_layer/analytics-era keys
+# (q_semi_join q_anti_join q_range_join q_asof_join q_nullsafe_join
+# q_join_1n_agg q_interval_join q_exists_subquery q_tpch_q3 q_tpch_q5
 # q_topk_per_group q_rank q_lag_lead q_running_sum q_tumbling_window
-# q_sliding_window q_session_window q_union_all q_intersect q_except).
-# sketch.py / sketch_extras.py dm-fragment consolidation still waits
-# for whichever round windows their keys.
+# q_sliding_window q_session_window q_union_all q_intersect q_except
+# q_rollup q_cube q_grouping_sets q_math_funcs q_regex_extract
+# q_pivot q_skew_join q_pagerank q_pmi q_triangles q_labelprop
+# q_funnel q_retention q_sessionize q_domain_drift q_bucket_quantile
+# — recount against the CORRECTNESS union before pinning; see
+# test_evidence_age). Remaining slots: r13-era fills
+# (scale_sketches is re-recorded r15; sketch.py / sketch_extras.py
+# dm-fragment consolidation still waits for whichever round windows
+# their keys — their riders are r13-era, so r16/r17 is the moment).
 
 
 def _load_all() -> None:
@@ -214,21 +204,14 @@ def _load_all() -> None:
         similarity,
         scale_sketches,
         cross_sketches,
-    )
-    from food_panda_etl_spark.operators.overlap_join import (
-        NGRAM_JACCARD_ORACLE_SQL,
+        scale_ops,
     )
 
-    # q_jaccard_prefix_join's oracle IS the brute-force q_ngram_jaccard
-    # SQL — ONE definition, owned since r14 by operators/overlap_join
-    # next to the shingle replay it builds on (q_ngram_jaccard's
-    # decorator uses the SAME constant; the r13 post-import
-    # ORACLES→ORACLES alias this replaces was import-order
-    # load-bearing). scale_sketches.py stays byte-frozen to its r13
-    # evidence, so the assignment lives here rather than in its
-    # decorator. The driver hash-match against the brute-force SQL is
-    # the prefix-filtering completeness theorem.
-    ORACLES["q_jaccard_prefix_join"] = NGRAM_JACCARD_ORACLE_SQL
+    # (r15: q_jaccard_prefix_join's oracle now lives in its decorator —
+    # scale_sketches.py imports the shared NGRAM_JACCARD_ORACLE_SQL
+    # constant directly from operators/overlap_join, which registers no
+    # queries, so there is no import-order hazard and no special case
+    # left here. VERDICT r14 "What's wrong" #1 closed.)
 
     # PROMOTION PASS: registration is module-granular; DECLARED_WINDOW
     # is the exact driver-window order. Dict order is what queries()

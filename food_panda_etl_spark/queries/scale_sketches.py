@@ -15,10 +15,11 @@ The query bodies and oracle strings moved VERBATIM from
 `tests/test_r13_oracle_previews.py`, where they were pre-verified end
 to end through the driver's own compare harness at sf0.001 and
 sf0.01. `q_jaccard_prefix_join`'s oracle IS the brute-force
-`q_ngram_jaccard` SQL — ONE definition (`queries/similarity.py`),
-threaded through the registry by `_load_all`'s post-import alias (this
-module registers before `similarity` imports, so a decoration-time
-lookup would be order-fragile) — hash-matching it is the
+`q_ngram_jaccard` SQL — ONE definition, the shared
+`operators/overlap_join.NGRAM_JACCARD_ORACLE_SQL` constant, imported
+directly into the decorator (r15: overlap_join registers no queries,
+so the decoration-time import is order-safe and `_load_all`'s
+post-import special case is retired) — hash-matching it is the
 prefix-filtering completeness theorem checked by the driver.
 """
 
@@ -29,6 +30,9 @@ from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.bloom import oracle_bloom_dm_sql
 from food_panda_etl_spark.operators.cms import _P
+from food_panda_etl_spark.operators.overlap_join import (
+    NGRAM_JACCARD_ORACLE_SQL,
+)
 from food_panda_etl_spark.queries import query
 from food_panda_etl_spark.queries.curation import _hll_oracle
 from food_panda_etl_spark.tables import load_table
@@ -414,11 +418,10 @@ def q_group_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_priority_sample(d, ("lang",), "n_chars", _GPS_K)
 
 
-# Oracle = the brute-force q_ngram_jaccard SQL, aliased post-import by
-# _load_all (ONE definition in queries/similarity.py — see module
-# docstring); hash-matching it IS the prefix-filtering completeness
-# theorem.
-@query("q_jaccard_prefix_join")
+# Oracle = the brute-force q_ngram_jaccard SQL — the ONE shared
+# constant (see module docstring); hash-matching it IS the
+# prefix-filtering completeness theorem.
+@query("q_jaccard_prefix_join", oracle=NGRAM_JACCARD_ORACLE_SQL)
 def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 exact set-similarity join via prefix filtering (r12
     operator, declared r13) — EXACT 5-gram Jaccard pairs at θ=4/5

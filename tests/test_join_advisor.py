@@ -84,3 +84,35 @@ def test_skew_ratio_validation(spark):
             _uniform(spark, 10), "k", _uniform(spark, 10), "k",
             skew_num=0,
         )
+
+
+def test_prebuilt_summaries_match_raw_path(spark):
+    """The zero-rescan mode (ADVICE r15): advice computed from
+    MAINTAINED summaries must equal the raw-DataFrame path row-for-row
+    — same sketches, same heavy hitters, so same integers and the same
+    decision on every branch the suite pins."""
+    from food_panda_etl_spark.operators.cms import cms_sketch
+    from food_panda_etl_spark.operators.heavy import heavy_hitters
+
+    a, b = _skewed(spark, 400), _uniform(spark, 400)
+    want = join_advice(
+        a, "k", b, "k", join_id="t", broadcast_rows=100
+    ).collect()
+
+    def summaries(df):
+        keyed = df.select(F.col("k").alias("__k")).filter(
+            F.col("__k").isNotNull()
+        )
+        return (
+            cms_sketch(df, "k"),
+            heavy_hitters(keyed, "__k", fraction=1.0 / 64.0),
+        )
+
+    sk_a, hh_a = summaries(a)
+    sk_b, hh_b = summaries(b)
+    got = join_advice(
+        None, "k", None, "k", join_id="t", broadcast_rows=100,
+        sketch_a=sk_a, sketch_b=sk_b, top_a=hh_a, top_b=hh_b,
+    ).collect()
+    assert got == want
+    assert got[0].advice == "shuffle_salt"

@@ -111,26 +111,18 @@ def test_threshold_validation():
                               threshold_den=10)
 
 
-def test_distinct_collapse_matches_shingle_table(spark, sf_dir):
-    """The no-drift pin for the gram-construction core mirrored from
-    dedup._shingles (see shingle_multiset_table's docstring): applying
-    DISTINCT to the multiset table must reproduce dedup.shingle_table
-    row-for-row — including on short/empty documents where the ANSI
-    sequence guard is what keeps both alive."""
-    from food_panda_etl_spark.operators.dedup import shingle_table
-
-    d = load_table(spark, sf_dir, "documents").unionByName(
-        load_table(spark, sf_dir, "documents")
-        .limit(2)
-        .select((F.col("doc_id") + 10**9).alias("doc_id"),
-                F.lit("one two").alias("text"),
-                *[F.col(c) for c in
-                  load_table(spark, sf_dir, "documents").columns
-                  if c not in ("doc_id", "text")])
+def test_short_documents_survive_the_ansi_guard(spark, sf_dir):
+    """Documents shorter than n tokens must yield ZERO shingle rows
+    (not a sequence(1,0)-descends crash under ANSI) — exercised through
+    the shared gram builder the multiset table now rides (the r14
+    distinct-collapse behavior pin was retired when the r15
+    consolidation made both tables share `dedup.gram_table`)."""
+    d = load_table(spark, sf_dir, "documents")
+    short = d.limit(2).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"),
+        F.lit("one two").alias("text"),
+        *[F.col(c) for c in d.columns if c not in ("doc_id", "text")],
     )
-    got = sorted(map(tuple,
-        shingle_multiset_table(d, "doc_id", "text", n=5)
-        .select("doc", "shingle").collect()))
-    want = sorted(map(tuple,
-        shingle_table(d, "doc_id", "text", n=5).collect()))
-    assert got == want
+    shc = shingle_multiset_table(d.unionByName(short), "doc_id", "text", n=5)
+    assert shc.filter(F.col("doc") >= 10**9).count() == 0
+    assert shc.count() > 0
