@@ -718,6 +718,41 @@ def r14_curves(spark, sizes) -> dict:
     return curves
 
 
+def _wj_corpus(spark, n: int):
+    """The duplicated-doc near-dup-heavy multiset corpus shared by the
+    r15 weighted-Jaccard curve and the r16 weighted-MinHash curve
+    (true pairs ~n/2, candidates track them — the linear regime); each
+    doc REPEATS its first trigram so multiset counts > 1 and the
+    occurrence expansion is exercised, not degenerate."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *(
+                [
+                    F.concat(
+                        F.lit(f"t{j}_"),
+                        ((F.col("id") / 2).cast("long") * 31 + j)
+                        .cast("string"),
+                    )
+                    # repeat tokens 0-2 → the first trigram has
+                    # count 2 in every doc (multiset exercised)
+                    for j in [0, 1, 2]
+                ]
+                * 2
+                + [
+                    F.concat(
+                        F.lit(f"t{j}_"),
+                        ((F.col("id") / 2).cast("long") * 31 + j)
+                        .cast("string"),
+                    )
+                    for j in range(3, 8)
+                ]
+            ),
+        ).alias("text"),
+    )
+
+
 def r15_curves(spark, sizes) -> dict:
     """r15 build-ahead curves, runnable alone via `--r15` (min-of-two
     per point):
@@ -750,37 +785,7 @@ def r15_curves(spark, sizes) -> dict:
         "decontam_bloom": {},
     }
     for n in sizes:
-        docs = (
-            spark.range(n)
-            .select(
-                F.col("id").alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    *(
-                        [
-                            F.concat(
-                                F.lit(f"t{j}_"),
-                                ((F.col("id") / 2).cast("long") * 31 + j)
-                                .cast("string"),
-                            )
-                            # repeat tokens 0-2 → the first trigram has
-                            # count 2 in every doc (multiset exercised)
-                            for j in [0, 1, 2]
-                        ]
-                        * 2
-                        + [
-                            F.concat(
-                                F.lit(f"t{j}_"),
-                                ((F.col("id") / 2).cast("long") * 31 + j)
-                                .cast("string"),
-                            )
-                            for j in range(3, 8)
-                        ]
-                    ),
-                ).alias("text"),
-            )
-            .cache()
-        )
+        docs = _wj_corpus(spark, n).cache()
         docs.count()
         # try/finally so an exception mid-loop can't leak the cached
         # frame for the rest of the bench process (ADVICE r15)
@@ -880,6 +885,105 @@ def _decontam_point(spark, evals, curves, n) -> None:
         train.unpersist()
 
 
+def r16_curves(spark, sizes) -> dict:
+    """r16 build-ahead curves, runnable alone via `--r16` (min-of-two
+    per point):
+
+    - Incremental near-dup (r15 build-ahead): the corpus grows with n,
+      the refresh batch stays FIXED at 512 docs (the real-world shape —
+      refresh batches don't grow with the corpus), and the corpus's
+      shingle table + MinHash band index are PREBUILT, MATERIALIZED
+      state (cached, untimed — the maintained-state regime the
+      operator exists for). Half the batch docs are near-copies of
+      corpus docs (one appended token → j = 4/5 at the 5-gram level),
+      half novel. Expected: the per-refresh cost is the map-only
+      corpus-index probe plus batch-bounded candidates/verify — a
+      slope well under the full re-dedup's, with the probe's linear
+      corpus-scan term carrying a small constant (at cluster scale the
+      (band, bh)-bucketed index makes even that term batch-sized).
+    - Weighted MinHash LSH (r15 build-ahead): the SAME duplicated-doc
+      multiset corpus as the r15 weighted-Jaccard curve (`_wj_corpus`),
+      τ=1/2 at n=3 — the sketch path should track the exact prefix
+      join's near-linear shape (true pairs ~n/2 dominate both).
+    """
+    from food_panda_etl_spark.operators.incremental_neardup import (
+        build_neardup_state,
+        incremental_neardup_pairs,
+    )
+    from food_panda_etl_spark.operators.weighted_minhash import (
+        weighted_minhash_lsh_pairs,
+    )
+
+    curves: dict[str, dict[int, float]] = {
+        "incremental_neardup": {},
+        "weighted_minhash": {},
+    }
+
+    def corpus_doc_text(id_col):
+        # 8 globally-unique tokens per corpus doc → corpus docs are
+        # pairwise disjoint; growth adds independent rows, so the curve
+        # tracks the probe machinery, not an output blow-up
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("c"), (id_col * 8 + j).cast("string"))
+                for j in range(8)
+            ],
+        )
+
+    half = 256
+    for n in sizes:
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"), corpus_doc_text(F.col("id")).alias("text")
+        )
+        k = (F.col("id") * 9973) % n  # spread the copied corpus docs
+        near = spark.range(half).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                corpus_doc_text(k),
+                F.concat(F.lit("zz"), F.col("id").cast("string")),
+            ).alias("text"),
+        )
+        novel = spark.range(half).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("b"), (F.col("id") * 8 + j).cast("string"))
+                    for j in range(8)
+                ],
+            ).alias("text"),
+        )
+        batch = near.unionByName(novel).cache()
+        batch.count()
+        c_sh, c_bands = build_neardup_state(corpus, "doc_id", "text", n=5)
+        c_sh, c_bands = c_sh.cache(), c_bands.cache()
+        try:
+            c_sh.count(), c_bands.count()  # materialize state, untimed
+            run_in = lambda: incremental_neardup_pairs(  # noqa: E731
+                None, batch, "doc_id", "text", n=5, threshold=0.8,
+                corpus_shingles=c_sh, corpus_bands=c_bands,
+            ).write.format("noop").mode("overwrite").save()
+            curves["incremental_neardup"][n] = min(timed(run_in), timed(run_in))
+        finally:
+            batch.unpersist()
+            c_sh.unpersist()
+            c_bands.unpersist()
+
+    for n in sizes:
+        docs = _wj_corpus(spark, n).cache()
+        docs.count()
+        try:
+            run_wm = lambda: weighted_minhash_lsh_pairs(  # noqa: E731
+                docs, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+            ).write.format("noop").mode("overwrite").save()
+            curves["weighted_minhash"][n] = min(timed(run_wm), timed(run_wm))
+        finally:
+            docs.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -932,6 +1036,13 @@ def main() -> None:
     if "--r15" in sys.argv:  # r15 curves (weighted jaccard / bloom decontam)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r15_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r16" in sys.argv:  # r16 curves (incremental neardup / weighted minhash)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r16_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))

@@ -137,21 +137,26 @@ def exact_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def minhash_from_shingles(
+    sh: DataFrame,
     num_hashes: int = 32,
-    shingle_n: int = 3,
     seed: int = 42,
+    element_cols: tuple[str, ...] = ("shingle",),
 ) -> DataFrame:
-    """Per-doc MinHash signature as `num_hashes` columns m0..m{k-1}.
+    """Per-doc MinHash signature (columns m0..m{k-1}) from an existing
+    (doc, element) table — the shared core of :func:`minhash_signatures`,
+    :func:`verified_jaccard_pairs_lsh`, the cross-side incremental path
+    (`operators/incremental_neardup.py`), and the occurrence-expanded
+    weighted path (`operators/weighted_minhash.py`, which hashes the
+    struct fields via ``element_cols``) — so every consumer hashes with
+    the SAME seeded coefficient family and signatures built on
+    different sides of a join are comparable.
 
-    h_i(s) = (a_i * x + b_i) mod 2^31-1 over x = xxhash64(shingle) folded
-    into [0, 2^31); signature component i = min over the doc's shingles.
-    The min-aggregation is one hash aggregate — associative, map-side
-    combinable, order-independent: deterministic at any parallelism.
-    """
+    h_i(s) = (a_i * x + b_i) mod 2^31-1 over x = xxhash64(*element_cols)
+    folded into [0, 2^31); signature component i = min over the doc's
+    elements. The min-aggregation is one hash aggregate — associative,
+    map-side combinable, order-independent: deterministic at any
+    parallelism."""
     import random
 
     rng = random.Random(seed)
@@ -162,8 +167,7 @@ def minhash_signatures(
     # exchange, so the shuffle carries one k-column row per doc. A per-row
     # array_min(transform(...)) formulation avoids the shuffle but runs
     # interpreted (HOF lambdas don't codegen) — measured 3-4x slower.
-    sh = shingle_table(df, id_col, text_col, shingle_n)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    x = F.pmod(F.xxhash64(*element_cols), F.lit(_P))
     hashed = sh.select(
         "doc",
         *[
@@ -176,13 +180,31 @@ def minhash_signatures(
     )
 
 
-def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) colliding on ≥1 signature
-    band. The join is a plain equi-join on (band, band_hash) — band
-    buckets are small by construction and AQE skew-split handles hot ones;
-    only (doc, band, hash) triples cross the shuffle, never signatures."""
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature as `num_hashes` columns m0..m{k-1} —
+    :func:`minhash_from_shingles` over the document's distinct word
+    n-gram shingle set."""
+    return minhash_from_shingles(
+        shingle_table(df, id_col, text_col, shingle_n), num_hashes, seed
+    )
+
+
+def band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bh) — the banded-signature index rows: signature
+    split into `bands` bands of r = num_hashes/bands components, each
+    band folded to one 64-bit hash. The join key of every LSH scheme
+    here (self-join in :func:`_band_candidates`, cross-side probe in
+    `operators/incremental_neardup.py`); only (doc, band, hash)
+    triples ever cross a shuffle, never signatures."""
     r = num_hashes // bands
-    band_rows = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -196,7 +218,14 @@ def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc", "b.band", "b.bh")
-    l, rt = band_rows.alias("l"), band_rows.alias("r")
+
+
+def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) colliding on ≥1 signature
+    band. The join is a plain equi-join on (band, band_hash) — band
+    buckets are small by construction and AQE skew-split handles hot ones."""
+    rows = band_rows(sig, num_hashes, bands)
+    l, rt = rows.alias("l"), rows.alias("r")
     return (
         l.join(
             rt,
@@ -283,21 +312,7 @@ def verified_jaccard_pairs_lsh(
     # Signatures from the SAME shingle set the verify step uses (n-gram,
     # not the default 3-gram) so banding probability math applies to the
     # similarity actually being thresholded.
-    x = F.pmod(F.xxhash64("shingle"), F.lit(_P))
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
-    hashed = sh.select(
-        "doc",
-        *[
-            ((F.lit(a) * x + F.lit(b)) % _P).alias(f"h{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
-    )
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
-    )
+    sig = minhash_from_shingles(sh, num_hashes, seed)
     cand = _band_candidates(sig, num_hashes, bands)
     # Exact verify, candidate-bounded: |A∩B| per candidate pair via two
     # shingle joins (cand ⋈ sh_a ⋈ sh_b on equal shingle) — cost ~ Σ over

@@ -43,9 +43,10 @@ from food_panda_etl_spark.operators.prefix_join import ranked_shingles
 #: definition (ONE definition rule, completed by the r14 similarity.py
 #: rotation): every oracle that replays the shingle table builds on
 #: this constant — `NGRAM_JACCARD_ORACLE_SQL` below (q_ngram_jaccard
-#: AND q_jaccard_prefix_join, threaded by `queries._load_all`),
-#: similarity.py's `_JACCARD_PAIR_CTES`, and the q_overlap_join
-#: oracle (queries/cross_sketches.py).
+#: AND q_jaccard_prefix_join, both decorator-direct since r15),
+#: similarity.py's `_JACCARD_PAIR_CTES`, the q_overlap_join oracle
+#: (queries/cross_sketches.py), and the q_decontaminate_bloom oracle
+#: (queries/scale_ops.py).
 SHINGLE5_CTE_SQL = """sh AS (
       SELECT DISTINCT doc_id AS doc, shingle FROM (
         SELECT doc_id,

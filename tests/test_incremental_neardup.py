@@ -1,0 +1,143 @@
+"""Incremental near-dup (operators/incremental_neardup.py, r15
+build-ahead for r16): batch-vs-corpus banded candidates + exact verify
+must equal the brute-force cross-side Jaccard join (completeness at
+the fixture similarities), the maintained-state path must equal the
+from-raw path, and injected exact duplicates must surface at j=1."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.dedup import shingle_table
+from food_panda_etl_spark.operators.incremental_neardup import (
+    build_neardup_state,
+    incremental_neardup_pairs,
+)
+from food_panda_etl_spark.tables import load_table
+
+
+def _split(spark, sf_dir):
+    """corpus = doc_id % 10 <> 0; batch = doc_id % 10 = 0 plus every
+    corpus doc with doc_id % 7 = 0 re-id'd at +1e6 (guaranteed exact
+    dups of standing-corpus docs — the q_incremental_dedup injection,
+    so the cross-side path is non-vacuous at every SF)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus, batch
+
+
+def _brute_force(spark, corpus, batch, threshold):
+    """Reference cross-side exact Jaccard from the shingle tables."""
+    c_sh = shingle_table(corpus, "doc_id", "text", 5)
+    b_sh = shingle_table(batch, "doc_id", "text", 5)
+    c_sz = c_sh.groupBy("doc").agg(F.count("*").alias("nc"))
+    b_sz = b_sh.groupBy("doc").agg(F.count("*").alias("nb"))
+    inter = (
+        b_sh.alias("b")
+        .join(c_sh.alias("c"), F.col("b.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col("b.doc").alias("doc_id"), F.col("c.doc").alias("dup_of")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("nb") + F.col("nc") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(b_sz.withColumnRenamed("doc", "doc_id"), "doc_id")
+        .join(c_sz.withColumnRenamed("doc", "dup_of"), "dup_of")
+        .select("doc_id", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def test_equals_brute_force_cross_join(spark, sf_dir):
+    corpus, batch = _split(spark, sf_dir)
+    got = sorted(
+        map(
+            tuple,
+            incremental_neardup_pairs(
+                corpus, batch, "doc_id", "text", n=5, threshold=0.8
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, _brute_force(spark, corpus, batch, 0.8).collect())
+    )
+    assert got == want
+    assert len(want) > 0  # non-vacuous: the injection guarantees pairs
+
+
+def test_prebuilt_state_matches_raw(spark, sf_dir):
+    """The maintained-state mode: pairs computed against a prebuilt
+    corpus index must equal the from-raw path row-for-row (same seeded
+    coefficient family on both construction routes)."""
+    corpus, batch = _split(spark, sf_dir)
+    c_sh, c_bands = build_neardup_state(corpus, "doc_id", "text", n=5)
+    got = sorted(
+        map(
+            tuple,
+            incremental_neardup_pairs(
+                None,
+                batch,
+                "doc_id",
+                "text",
+                n=5,
+                threshold=0.8,
+                corpus_shingles=c_sh,
+                corpus_bands=c_bands,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            incremental_neardup_pairs(
+                corpus, batch, "doc_id", "text", n=5, threshold=0.8
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_injected_exact_dups_surface_at_one(spark, sf_dir):
+    """Every injected batch doc (corpus doc re-id'd at +1e6) must pair
+    with its original at jaccard exactly 1.0."""
+    corpus, batch = _split(spark, sf_dir)
+    pairs = incremental_neardup_pairs(
+        corpus, batch, "doc_id", "text", n=5, threshold=0.8
+    )
+    hits = {
+        (r.doc_id, r.dup_of): r.jaccard
+        for r in pairs.filter(F.col("doc_id") >= 1000000).collect()
+    }
+    injected = [
+        r.doc_id
+        for r in corpus.filter(F.col("doc_id") % 7 == 0)
+        # docs shorter than n=5 tokens have empty shingle sets and
+        # legitimately cannot pair
+        .filter(F.size(F.split("text", " ")) >= 5)
+        .select("doc_id")
+        .collect()
+    ]
+    assert injected
+    for doc in injected:
+        assert hits.get((doc + 1000000, doc)) == 1.0
+
+
+def test_band_validation(spark):
+    with pytest.raises(ValueError, match="divisible"):
+        incremental_neardup_pairs(
+            None, None, "doc_id", "text", num_hashes=32, bands=7
+        )

@@ -1,0 +1,148 @@
+"""r16 declaration previews: the r15 build-ahead operators' future
+declared queries, run against their EXACT intended DuckDB oracle SQL
+through the same compare harness the driver uses — everything but the
+registry entries (which must wait for the r16 window per the rotation
+contract). When r16 declares them, the bodies and oracle strings move
+VERBATIM into a queries/ module and this file is rewritten
+registry-driven (the r10/r12/r13/r14/r15 convention, ENFORCED by
+tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
+— these ``*_preview`` functions fail the build if WINDOW_ROUND reaches
+16 without the declarations landing).
+
+Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning):
+- incremental near-dup n=5, τ=0.8, r=2 b=16 over the corpus/batch
+  split (doc_id%10, +1e6 injection of corpus%7 docs — the
+  q_incremental_dedup shape): the banded cross-side path equals the
+  brute-force cross join at every verified SF (the per-pair candidate
+  miss is ≈8e-8 at j=0.8 and the injected dups sit at j=1), so the
+  oracle is the plain brute-force cross-side SQL and the hash-match
+  IS the incremental-screen completeness theorem;
+- weighted MinHash gate n=3, τ=7/10, r=2 b=16 over the occurrence
+  expansion: measured recall 1.0 at all three SFs (the fixtures'
+  weighted near-dups sit at j≈0.9 where the banding miss is ≈3e-12);
+  floor pinned at 0.90, the q_minhash_gate convention (oracle
+  recomputes the EXACT weighted pair set: count + integer pair
+  checksum + pinned meets_target=1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.overlap_join import SHINGLE5_CTE_SQL
+from food_panda_etl_spark.operators.weighted_jaccard import (
+    shingle_multiset_cte_sql,
+)
+from food_panda_etl_spark.tables import load_table
+from tests.oracle_compare import compare
+
+_SF01 = "/root/testdata/sf0.01"
+
+_IN_TAU = 0.8
+
+_WMG_NUM, _WMG_DEN = 7, 10
+_WMG_TARGET = 0.90
+
+
+@pytest.fixture(params=["sf0.001", "sf0.01"])
+def any_sf(request, sf_dir):
+    return _SF01 if request.param == "sf0.01" else sf_dir
+
+
+def test_incremental_neardup_preview(spark, any_sf):
+    """Incremental near-dup screen (operators/incremental_neardup.py):
+    a new batch checked against a standing corpus' MAINTAINED MinHash
+    band index — cross-side banded candidates, exact Jaccard verify on
+    candidates only, batch-sized refresh cost. Corpus = doc_id%10 <> 0;
+    batch = doc_id%10 = 0 plus corpus%7 docs re-id'd at +1e6 (injected
+    exact dups, so the path is non-vacuous at every SF). The oracle is
+    the brute-force cross-side SQL on the shared shingle replay:
+    hash-matching it IS the incremental-screen completeness theorem."""
+    from food_panda_etl_spark.operators.incremental_neardup import (
+        incremental_neardup_pairs,
+    )
+
+    d = load_table(spark, any_sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    got = incremental_neardup_pairs(
+        corpus, batch, "doc_id", "text", n=5, threshold=_IN_TAU
+    )
+    oracle = f"""
+    WITH {SHINGLE5_CTE_SQL},
+    bsh AS (SELECT doc, shingle FROM sh WHERE doc % 10 = 0
+            UNION ALL
+            SELECT doc + 1000000 AS doc, shingle FROM sh
+            WHERE doc % 10 <> 0 AND doc % 7 = 0),
+    csh AS (SELECT doc, shingle FROM sh WHERE doc % 10 <> 0),
+    bsz AS (SELECT doc, count(*) AS nb FROM bsh GROUP BY doc),
+    csz AS (SELECT doc, count(*) AS nc FROM csh GROUP BY doc),
+    inter AS (SELECT b.doc AS bdoc, c.doc AS cdoc, count(*) AS inter
+              FROM bsh b JOIN csh c ON b.shingle = c.shingle
+              GROUP BY 1, 2)
+    SELECT bdoc AS doc_id, cdoc AS dup_of,
+           CAST(inter AS DOUBLE) / CAST(bs.nb + cs.nc - inter AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN bsz bs ON bdoc = bs.doc
+    JOIN csz cs ON cdoc = cs.doc
+    WHERE CAST(inter AS DOUBLE) / CAST(bs.nb + cs.nc - inter AS DOUBLE)
+          >= {_IN_TAU}
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+def test_weighted_minhash_gate_preview(spark, any_sf):
+    """Quality gate for the weighted MinHash LSH path
+    (operators/weighted_minhash.py): recall of the exact weighted
+    Jaccard pair set (τ=7/10, `weighted_jaccard_join`) through the
+    occurrence-expanded banded candidates + exact verify. The oracle
+    recomputes the EXACT side (count + integer pair checksum) and pins
+    meets_target=1 — driver-grade evidence that (a) the exact weighted
+    side is right and (b) the sketch path's measured recall clears the
+    0.90 floor (measured 1.0 at the verified SFs)."""
+    from food_panda_etl_spark.operators.weighted_jaccard import (
+        weighted_jaccard_join,
+    )
+    from food_panda_etl_spark.operators.weighted_minhash import (
+        weighted_minhash_lsh_pairs,
+    )
+    from food_panda_etl_spark.queries.approx_gates import _pair_recall_gate
+
+    d = load_table(spark, any_sf, "documents")
+    exact = weighted_jaccard_join(
+        d, "doc_id", "text", n=3,
+        threshold_num=_WMG_NUM, threshold_den=_WMG_DEN,
+    )
+    approx = weighted_minhash_lsh_pairs(
+        d, "doc_id", "text", n=3,
+        threshold_num=_WMG_NUM, threshold_den=_WMG_DEN,
+    )
+    got = _pair_recall_gate(exact, approx, target=_WMG_TARGET)
+    oracle = f"""
+    WITH {shingle_multiset_cte_sql(3)},
+    tot AS (SELECT doc, CAST(sum(c) AS BIGINT) AS nw FROM shm GROUP BY doc),
+    wi AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                  CAST(sum(least(a.c, b.c)) AS BIGINT) AS wi
+           FROM shm a JOIN shm b ON a.shingle = b.shingle AND a.doc < b.doc
+           GROUP BY 1, 2),
+    exact AS (SELECT doc_a, doc_b FROM wi
+              JOIN tot ta ON doc_a = ta.doc
+              JOIN tot tb ON doc_b = tb.doc
+              WHERE wi * {_WMG_DEN} >= {_WMG_NUM} * (ta.nw + tb.nw - wi))
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(SUM(doc_a * doc_b) AS BIGINT) AS sum_ab,
+           1 AS meets_target
+    FROM exact
+    """
+    assert compare(got, oracle, any_sf) == []
