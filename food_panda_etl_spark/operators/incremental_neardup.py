@@ -93,9 +93,29 @@ def incremental_neardup_pairs(
     state is built here with one pass over the corpus."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    if corpus_shingles is None or corpus_bands is None:
-        corpus_shingles, corpus_bands = build_neardup_state(
-            corpus, id_col, text_col, n, num_hashes, bands, seed
+    if (corpus_shingles is None) != (corpus_bands is None):
+        # a bands frame built under different n/seed than the supplied
+        # shingles would be undetectable — partial state fails loudly
+        raise ValueError(
+            "incremental_neardup_pairs: supply BOTH corpus_shingles and "
+            "corpus_bands (the build_neardup_state pair) or neither"
+        )
+    if corpus_shingles is None:
+        if corpus is None:
+            raise ValueError(
+                "incremental_neardup_pairs: need a corpus DataFrame when "
+                "no prebuilt state is supplied"
+            )
+        # checkpoint the shingle table: it has two consumers here (the
+        # band-index derivation and the semi-join prune below) and
+        # without the pin the standing corpus would be shingled twice
+        corpus_shingles = shingle_table(
+            corpus, id_col, text_col, n
+        ).localCheckpoint(eager=False)
+        corpus_bands = band_rows(
+            minhash_from_shingles(corpus_shingles, num_hashes, seed),
+            num_hashes,
+            bands,
         )
     # lazy localCheckpoint, not cache(): the exact_jaccard_pairs
     # convention — released by the ContextCleaner, no manual unpersist

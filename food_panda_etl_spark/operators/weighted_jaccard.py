@@ -101,6 +101,60 @@ def occurrence_expand(shc: DataFrame) -> DataFrame:
     )
 
 
+def count_table_verify(
+    shc: DataFrame,
+    cand: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """(doc_a, doc_b, wi bigint, wjaccard double) — the EXACT weighted
+    verify stage shared by the prefix path (:func:`weighted_jaccard_join`)
+    and the banded sketch path (`operators/weighted_minhash.py`), so
+    the threshold algebra and output contract have ONE definition (the
+    gram-builder consolidation lesson, applied before the copies could
+    drift): candidate pairs (doc_a, doc_b) joined against the count
+    tables, wi = Σ min(a_s, b_s), sizes = Σ c per doc, integer-exact
+    threshold compare, one IEEE division for the reported similarity."""
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(
+            f"count_table_verify: need 0 < num <= den, got {num}/{den}"
+        )
+    tot = shc.groupBy("doc").agg(F.sum("c").cast("bigint").alias("__nw"))
+    ca = shc.select(
+        F.col("doc").alias("doc_a"), "shingle", F.col("c").alias("__ca")
+    )
+    cb = shc.select(
+        F.col("doc").alias("doc_b"), "shingle", F.col("c").alias("__cb")
+    )
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(ca, "doc_a")
+        .join(cb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("__ca", "__cb")).cast("bigint").alias("wi"))
+    )
+    ta = tot.select(F.col("doc").alias("doc_a"), F.col("__nw").alias("__na"))
+    tb = tot.select(F.col("doc").alias("doc_b"), F.col("__nw").alias("__nb"))
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.col("wi") * den
+            >= num * (F.col("__na") + F.col("__nb") - F.col("wi"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "wi",
+            (
+                F.col("wi").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("wi")).cast("double")
+            ).alias("wjaccard"),
+        )
+    )
+
+
 def weighted_jaccard_join(
     df: DataFrame,
     id_col: str,
@@ -123,31 +177,4 @@ def weighted_jaccard_join(
         eager=False
     )
     cand = prefix_candidates(occurrence_expand(shc), num, den)
-    # verify on candidates only, against the COUNT tables (Σ min) —
-    # n_a/n_b from the candidate stage are the expanded sizes Σ c
-    ca = shc.select(
-        F.col("doc").alias("doc_a"), "shingle", F.col("c").alias("__ca")
-    )
-    cb = shc.select(
-        F.col("doc").alias("doc_b"), "shingle", F.col("c").alias("__cb")
-    )
-    inter = (
-        cand.join(ca, "doc_a")
-        .join(cb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.sum(F.least("__ca", "__cb")).cast("bigint").alias("wi"))
-    )
-    return (
-        inter.filter(
-            F.col("wi") * den >= num * (F.col("n_a") + F.col("n_b") - F.col("wi"))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "wi",
-            (
-                F.col("wi").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("wi")).cast("double")
-            ).alias("wjaccard"),
-        )
-    )
+    return count_table_verify(shc, cand, num, den)

@@ -34,13 +34,13 @@ exact side — the `q_minhash_gate` evidence pattern.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.dedup import (
     _band_candidates,
     minhash_from_shingles,
 )
 from food_panda_etl_spark.operators.weighted_jaccard import (
+    count_table_verify,
     occurrence_expand,
     shingle_multiset_table,
 )
@@ -80,35 +80,6 @@ def weighted_minhash_lsh_pairs(
         element_cols=("shingle.s", "shingle.k"),
     )
     cand = _band_candidates(sig, num_hashes, bands)
-    tot = shc.groupBy("doc").agg(F.sum("c").cast("bigint").alias("__nw"))
-    ca = shc.select(
-        F.col("doc").alias("doc_a"), "shingle", F.col("c").alias("__ca")
-    )
-    cb = shc.select(
-        F.col("doc").alias("doc_b"), "shingle", F.col("c").alias("__cb")
-    )
-    inter = (
-        cand.join(ca, "doc_a")
-        .join(cb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.least("__ca", "__cb")).cast("bigint").alias("wi"))
-    )
-    ta = tot.select(F.col("doc").alias("doc_a"), F.col("__nw").alias("__na"))
-    tb = tot.select(F.col("doc").alias("doc_b"), F.col("__nw").alias("__nb"))
-    return (
-        inter.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .filter(
-            F.col("wi") * den
-            >= num * (F.col("__na") + F.col("__nb") - F.col("wi"))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "wi",
-            (
-                F.col("wi").cast("double")
-                / (F.col("__na") + F.col("__nb") - F.col("wi")).cast("double")
-            ).alias("wjaccard"),
-        )
-    )
+    # exact verify on candidates only — ONE shared definition with the
+    # prefix path (count_table_verify), so the two routes cannot drift
+    return count_table_verify(shc, cand, num, den)
