@@ -37,10 +37,10 @@ def _split(spark, sf_dir):
     return corpus, batch
 
 
-def _brute_force(spark, corpus, batch, threshold):
+def _brute_force(spark, corpus, batch, threshold, n=5):
     """Reference cross-side exact Jaccard from the shingle tables."""
-    c_sh = shingle_table(corpus, "doc_id", "text", 5)
-    b_sh = shingle_table(batch, "doc_id", "text", 5)
+    c_sh = shingle_table(corpus, "doc_id", "text", n)
+    b_sh = shingle_table(batch, "doc_id", "text", n)
     c_sz = c_sh.groupBy("doc").agg(F.count("*").alias("nc"))
     b_sz = b_sh.groupBy("doc").agg(F.count("*").alias("nb"))
     inter = (

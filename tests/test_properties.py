@@ -688,3 +688,92 @@ def test_decontam_bloom_equals_exact_random(spark, docs, eval_mask, m_bits):
         )
     )
     assert got == want
+
+
+# --- r15 build-ahead invariants (few examples, real Spark) ---
+
+
+@SET
+@given(
+    docs=docs_strategy,
+    num=st.integers(min_value=2, max_value=4),
+    split=st.integers(min_value=1, max_value=3),
+)
+def test_incremental_neardup_equals_brute_force_random(spark, docs, num, split):
+    """incremental_neardup_pairs == the brute-force cross-side join on
+    RANDOM corpora (2-gram shingles over a 12-word vocabulary — heavy
+    shingle collisions, the regime the fixture split barely exercises).
+    Band geometry r=1, b=32 so the candidate miss probability is
+    ≤ (1−τ)^32 ≤ 2e-10 at the swept thresholds τ = num/4 ∈ {1/2, 3/4,
+    1} — equality is then certain at test scale, not just likely. The
+    brute force is the cross-side reference from
+    test_incremental_neardup (ONE definition, the cross-import
+    convention)."""
+    from food_panda_etl_spark.operators.incremental_neardup import (
+        incremental_neardup_pairs,
+    )
+    from tests.test_incremental_neardup import _brute_force
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = d.filter(F.col("doc_id") % (split + 1) != 0)
+    batch = d.filter(F.col("doc_id") % (split + 1) == 0)
+    tau = num / 4.0
+    got = sorted(
+        map(
+            tuple,
+            incremental_neardup_pairs(
+                corpus, batch, "doc_id", "text", n=2, threshold=tau,
+                num_hashes=32, bands=32,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            _brute_force(spark, corpus, batch, tau, n=2).collect(),
+        )
+    )
+    assert got == want
+
+
+@SET
+@given(
+    docs=docs_strategy,
+    num=st.integers(min_value=2, max_value=4),
+)
+def test_weighted_minhash_equals_exact_random(spark, docs, num):
+    """weighted_minhash_lsh_pairs == weighted_jaccard_join on RANDOM
+    corpora — the sketch path's only approximation is candidate
+    recall, and at r=1, b=32 a true pair at weighted similarity
+    j ≥ num/4 ≥ 1/2 is missed with probability ≤ (1−j)^32 ≤ 2e-10, so
+    the two routes must agree row-for-row (both verify exactly through
+    the shared count_table_verify)."""
+    from food_panda_etl_spark.operators.weighted_jaccard import (
+        weighted_jaccard_join,
+    )
+    from food_panda_etl_spark.operators.weighted_minhash import (
+        weighted_minhash_lsh_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            weighted_minhash_lsh_pairs(
+                d, "doc_id", "text", n=3, threshold_num=num,
+                threshold_den=4, num_hashes=32, bands=32,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            weighted_jaccard_join(
+                d, "doc_id", "text", n=3, threshold_num=num,
+                threshold_den=4,
+            ).collect(),
+        )
+    )
+    assert got == want

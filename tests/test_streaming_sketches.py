@@ -377,3 +377,103 @@ def test_streaming_decontamination_equals_batch(spark, out_dir):
     assert got == want_screened == want_exact
     # non-vacuous: docs 1, 3, 5 are contaminated, 2 and 4 clean
     assert [d for d, _ in got] == [1, 3, 5]
+
+
+def test_streaming_incremental_neardup_equals_batch(spark, out_dir):
+    """The streaming face of `operators/incremental_neardup.py` (the
+    r15 build-ahead): the standing corpus is STATIC state — its
+    shingle table and MinHash band index are built ONCE
+    (`build_neardup_state`) — and every arriving micro-batch of new
+    documents is screened against that state as it lands (near-dup
+    verdicts are per batch-doc — no cross-batch state). The union of
+    the per-batch pair verdicts must equal the batch composite over
+    the full arrival set AND the brute-force cross-side Jaccard —
+    the ingestion-time near-dup gate, versioned per batch_id so
+    replays stay idempotent."""
+    import json as _json
+
+    from food_panda_etl_spark.operators.incremental_neardup import (
+        build_neardup_state,
+        incremental_neardup_pairs,
+    )
+    from tests.test_incremental_neardup import _brute_force
+
+    corpus_rows = [
+        (101, "alpha beta gamma delta epsilon zeta eta"),
+        (102, "lorem ipsum dolor sit amet consectetur adipiscing"),
+        (103, "one two three four five six seven eight"),
+    ]
+    batches = [
+        # near-copy of 101 (one appended token → j = 3/4 at 5-grams)
+        [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta X"},
+         {"doc_id": 2, "text": "totally novel text with no shared grams"}],
+        # exact copy of 102
+        [{"doc_id": 3, "text": "lorem ipsum dolor sit amet consectetur adipiscing"}],
+        [{"doc_id": 4, "text": "another clean document arriving later here"}],
+    ]
+    src = os.path.join(out_dir, "in_nd")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i:03d}.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    # static state, built once, cached across micro-batches — the
+    # maintained-state regime the operator exists for
+    c_sh, c_bands = build_neardup_state(corpus, "doc_id", "text", n=5)
+    c_sh, c_bands = c_sh.cache(), c_bands.cache()
+    c_sh.count(), c_bands.count()
+    verdicts = os.path.join(out_dir, "nd_verdicts")
+
+    def screen_batch(df, batch_id):
+        out = incremental_neardup_pairs(
+            None, df, "doc_id", "text", n=5, threshold=0.7,
+            corpus_shingles=c_sh, corpus_bands=c_bands,
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(verdicts, f"v{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+        .writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("availableNow replay exceeded 180 s")
+    finally:
+        q.stop()
+    try:
+        got = _rows(
+            spark.read.parquet(os.path.join(verdicts, "v*")),
+            ["doc_id", "dup_of", "jaccard"],
+        )
+        full = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for b in batches for r in b],
+            "doc_id long, text string",
+        )
+        want_composite = _rows(
+            incremental_neardup_pairs(
+                None, full, "doc_id", "text", n=5, threshold=0.7,
+                corpus_shingles=c_sh, corpus_bands=c_bands,
+            ),
+            ["doc_id", "dup_of", "jaccard"],
+        )
+        want_exact = _rows(
+            _brute_force(spark, corpus, full, 0.7, n=5),
+            ["doc_id", "dup_of", "jaccard"],
+        )
+        assert got == want_composite == want_exact
+        # non-vacuous: doc 1 near-dups 101 at 3/4, doc 3 dups 102 at 1;
+        # docs 2 and 4 are clean
+        assert got == [(1, 101, 0.75), (3, 102, 1.0)]
+    finally:
+        c_sh.unpersist()
+        c_bands.unpersist()
