@@ -220,10 +220,13 @@ HEADLINE = [
     # primitive; its exact-side audit runs inside the query).
     "q_overlap_join",
     "q_cms_join_size",
+    # r15 additions
+    "q_weighted_jaccard",
+    "q_decontaminate_bloom",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 112 of the 162
-# declared keys are timed above. The 50 excluded, by category:
+# Bench coverage accounting (VERDICT r6 task 7): 114 of the 165
+# declared keys are timed above. The 51 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —
 #     q_project q_ceil_div q_case_when q_null_handling q_epoch_cast
@@ -242,7 +245,11 @@ HEADLINE = [
 #     — the timed q_approx_quantile_gate represents the gate family's
 #     cost shape; q_hll_intersect_gate joins this family r14 (three
 #     sketches + the exact countDistinct reference in one query;
-#     q_hll_counts/q_hll_windowed time the sketch-build cost);
+#     q_hll_counts/q_hll_windowed time the sketch-build cost), and
+#     q_join_advice joins it r15 (three advised pairs whose cost is the
+#     already-timed CMS-build class over ≤ W·D-row frames plus scalar
+#     broadcasts — the timed q_cms_join_size carries the same sketch
+#     machinery on a bigger fact slice);
 # (c) 3 joins whose shape is already timed at identical cost class
 #     (q_anti_join≈q_semi_join, q_nullsafe_join≈q_left_join,
 #     q_asof_join≈q_range_join — all measured in BENCH_r01-r04 eras);

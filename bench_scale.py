@@ -905,7 +905,16 @@ def r16_curves(spark, sizes) -> dict:
       multiset corpus as the r15 weighted-Jaccard curve (`_wj_corpus`),
       τ=1/2 at n=3 — the sketch path should track the exact prefix
       join's near-linear shape (true pairs ~n/2 dominate both).
+    - Incremental EMBEDDING near-dup (r15 build-ahead): the same
+      fixed-512-batch/growing-corpus shape as the text screen, over
+      seeded isotropic vectors with the batch half near-copies (10%
+      noise → cosine ≈ 0.995) — prebuilt cached state, expected
+      near-flat like the text screen.
     """
+    from food_panda_etl_spark.operators.incremental_embed import (
+        build_embed_state,
+        incremental_embed_neardup,
+    )
     from food_panda_etl_spark.operators.incremental_neardup import (
         build_neardup_state,
         incremental_neardup_pairs,
@@ -917,6 +926,7 @@ def r16_curves(spark, sizes) -> dict:
     curves: dict[str, dict[int, float]] = {
         "incremental_neardup": {},
         "weighted_minhash": {},
+        "incremental_embed": {},
     }
 
     def corpus_doc_text(id_col):
@@ -981,6 +991,49 @@ def r16_curves(spark, sizes) -> dict:
             curves["weighted_minhash"][n] = min(timed(run_wm), timed(run_wm))
         finally:
             docs.unpersist()
+
+    def iso_vec(id_col, salt=0):
+        # seeded isotropic 64-dim vector, the synth_embeddings recipe
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(id_col * 64 + i + salt), F.lit(20001))
+                - 10000
+            ).cast("double")
+            / 10000.0,
+        )
+
+    for n in sizes:
+        corpus = spark.range(n).select(
+            F.col("id").alias("vec_id"), iso_vec(F.col("id")).alias("embedding")
+        )
+        k = (F.col("id") * 9973) % n
+        near = spark.range(half).select(
+            (F.col("id") + 10_000_000).alias("vec_id"),
+            F.zip_with(
+                iso_vec(k), iso_vec(F.col("id"), salt=7_777_777),
+                lambda a, b: a + b / 10.0,  # ~10% noise → cosine ≈ 0.995
+            ).alias("embedding"),
+        )
+        novel = spark.range(half).select(
+            (F.col("id") + 20_000_000).alias("vec_id"),
+            iso_vec(F.col("id") + 30_000_000).alias("embedding"),
+        )
+        batch = near.unionByName(novel).cache()
+        batch.count()
+        c_vec, c_bands = build_embed_state(corpus, threshold=0.9, dim=64)
+        c_vec, c_bands = c_vec.cache(), c_bands.cache()
+        try:
+            c_vec.count(), c_bands.count()  # materialize state, untimed
+            run_ie = lambda: incremental_embed_neardup(  # noqa: E731
+                None, batch, threshold=0.9, dim=64,
+                corpus_vectors=c_vec, corpus_bands=c_bands,
+            ).write.format("noop").mode("overwrite").save()
+            curves["incremental_embed"][n] = min(timed(run_ie), timed(run_ie))
+        finally:
+            batch.unpersist()
+            c_vec.unpersist()
+            c_bands.unpersist()
     return curves
 
 

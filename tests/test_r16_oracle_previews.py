@@ -22,7 +22,17 @@ Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning):
   weighted near-dups sit at j≈0.9 where the banding miss is ≈3e-12);
   floor pinned at 0.90, the q_minhash_gate convention (oracle
   recomputes the EXACT weighted pair set: count + integer pair
-  checksum + pinned meets_target=1).
+  checksum + pinned meets_target=1);
+- incremental EMBEDDING near-dup τ=0.9 with the cross-side COPY-screen
+  geometry (`copy_screen_band_params`: 16-bit bands, L=136 — boundary
+  miss ≤ 1e-5/pair, random-pair admission ≈ L·2^−16 ≈ 0.2%; pinned
+  after measuring the two wrong geometries: τ=0.7/r=4 admits ~87% of
+  random cross pairs, and even τ=0.9/r=8 admits ~13% → 208 s per
+  512-row refresh at 1.28M corpus rows vs 18 s at r=16) over the
+  vec_id%10 + injected-copy split: the cross-side banded path equals
+  the brute-force cross join at every verified SF INCLUDING score
+  bits, so the oracle is the exact cross-side SQL with the same
+  fixed-order double arithmetic.
 """
 
 from __future__ import annotations
@@ -98,6 +108,56 @@ def test_incremental_neardup_preview(spark, any_sf):
     JOIN csz cs ON cdoc = cs.doc
     WHERE CAST(inter AS DOUBLE) / CAST(bs.nb + cs.nc - inter AS DOUBLE)
           >= {_IN_TAU}
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+_COS = (
+    "list_reduce(list_prepend(0.0,"
+    " list_transform(generate_series(1, len(b.embedding)),"
+    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),"
+    " (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding,"
+    " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding,"
+    " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)))"
+)
+
+_IE_TAU = 0.9
+
+
+def test_incremental_embed_neardup_preview(spark, any_sf):
+    """Incremental EMBEDDING near-dup screen
+    (operators/incremental_embed.py): a refresh batch of vectors
+    checked against a standing corpus' maintained sign-LSH band index
+    — cross-side banded candidates, exact fixed-order-double cosine
+    verify on candidates only. Corpus = vec_id%10 <> 0; batch =
+    vec_id%10 = 0 plus corpus%7 vectors re-id'd at +1e6 (injected
+    exact copies, non-vacuous at every SF). The oracle is the
+    brute-force cross-side SQL with the same double arithmetic:
+    hash-matching it (score bits included) proves both the screen's
+    completeness at the fixture similarities and the verify's
+    bit-exactness."""
+    from food_panda_etl_spark.operators.incremental_embed import (
+        incremental_embed_neardup,
+    )
+
+    e = load_table(spark, any_sf, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0).unionByName(
+        corpus.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    got = incremental_embed_neardup(corpus, batch, threshold=_IE_TAU)
+    oracle = f"""
+    WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+               UNION ALL
+               SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+               WHERE vec_id % 10 <> 0 AND vec_id % 7 = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)
+    SELECT b.vec_id AS vec_id, c.vec_id AS dup_of, {_COS} AS score
+    FROM b JOIN c ON {_COS} >= {_IE_TAU}
     """
     assert compare(got, oracle, any_sf) == []
 
