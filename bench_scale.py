@@ -910,7 +910,15 @@ def r16_curves(spark, sizes) -> dict:
       seeded isotropic vectors with the batch half near-copies (10%
       noise → cosine ≈ 0.995) — prebuilt cached state, expected
       near-flat like the text screen.
+    - Edit-distance join (r15 build-ahead): duplicated-core strings
+      (each id/2 pair differs by ONE appended char → dist 1; cores
+      carry id-derived digits so cross-pair distances are large and
+      prefix grams are rare) — true pairs = n/2, candidates track
+      them, expected near-linear.
     """
+    from food_panda_etl_spark.operators.edit_join import (
+        edit_distance_join,
+    )
     from food_panda_etl_spark.operators.incremental_embed import (
         build_embed_state,
         incremental_embed_neardup,
@@ -927,6 +935,7 @@ def r16_curves(spark, sizes) -> dict:
         "incremental_neardup": {},
         "weighted_minhash": {},
         "incremental_embed": {},
+        "edit_join": {},
     }
 
     def corpus_doc_text(id_col):
@@ -1034,6 +1043,48 @@ def r16_curves(spark, sizes) -> dict:
             batch.unpersist()
             c_vec.unpersist()
             c_bands.unpersist()
+
+    # Edit-join curve corpus: 30 RANDOM LETTERS per id/2 core (q=4 →
+    # 26^4 ≈ 457k gram values, so prefix grams are genuinely rare —
+    # the regime q-gram filtering is FOR). The first cut of this curve
+    # used id-derived DIGIT strings: a ~100-value bigram alphabet has
+    # no rare grams, the prefix join degenerated toward all-pairs and
+    # filled the disk at 1.28M rows — exactly the documented
+    # tiny-gram-alphabet trap (operators/edit_join.py); sizes capped
+    # at 320k accordingly (the trap is alphabet-, not size-, driven,
+    # but the curve's job is the well-posed regime).
+    for n in [m for m in sizes if m <= 320_000]:
+        core = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda i: F.char(
+                    F.lit(97)
+                    + F.pmod(
+                        F.xxhash64((F.col("id") / 2).cast("long") * 30 + i),
+                        F.lit(26),
+                    )
+                ),
+            ),
+        )
+        strs = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc"),
+                F.when(F.col("id") % 2 == 0, core)
+                .otherwise(F.concat(core, F.lit("q")))
+                .alias("s"),
+            )
+            .cache()
+        )
+        strs.count()
+        try:
+            run_ed = lambda: edit_distance_join(  # noqa: E731
+                strs, "doc", "s", k=2, q=4
+            ).write.format("noop").mode("overwrite").save()
+            curves["edit_join"][n] = min(timed(run_ed), timed(run_ed))
+        finally:
+            strs.unpersist()
     return curves
 
 

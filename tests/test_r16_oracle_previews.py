@@ -32,7 +32,13 @@ Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning):
   vec_id%10 + injected-copy split: the cross-side banded path equals
   the brute-force cross join at every verified SF INCLUDING score
   bits, so the oracle is the exact cross-side SQL with the same
-  fixed-order double arithmetic.
+  fixed-order double arithmetic;
+- edit-distance join k=2, q=2 over 40-char doc prefixes (doc_id%3
+  relation + distance-1 deletion variants of doc_id%9): Ed-Join
+  constant k·q+1 = 5 prefixes over the occurrence-expanded q-gram
+  multisets, broadcast short bucket, exact levenshtein verify —
+  equal to the brute-force all-pairs DP at every verified SF (604
+  pairs at sf0.1; both engines' levenshtein is the same integer DP).
 """
 
 from __future__ import annotations
@@ -158,6 +164,60 @@ def test_incremental_embed_neardup_preview(spark, any_sf):
     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)
     SELECT b.vec_id AS vec_id, c.vec_id AS dup_of, {_COS} AS score
     FROM b JOIN c ON {_COS} >= {_IE_TAU}
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+_ED_K, _ED_Q = 2, 2
+
+
+def test_edit_distance_join_preview(spark, any_sf):
+    """Edit-distance similarity self-join (operators/edit_join.py,
+    Ed-Join prefix filtering: constant k·q+1 prefixes over the
+    occurrence-expanded q-gram multisets in the shared canonical
+    order, broadcast short bucket, exact levenshtein verify). The
+    relation is the 40-char prefixes of the doc_id%3 documents plus a
+    third-character-deletion variant of every doc_id%9 doc (9|id ⇒
+    3|id so variants stay in-relation; re-id'd at +1e6 — each variant
+    sits at exactly distance 1, non-vacuous at every SF; the %3
+    restriction keeps the BRUTE-FORCE oracle's all-pairs DP inside
+    the sweep budget — measured 16.5 s compare / 9.6 s Spark at
+    sf0.1, 604 pairs). The oracle is the brute-force all-pairs
+    levenshtein SQL — Spark's and DuckDB's levenshtein are the same
+    integer DP, so the hash-match IS the q-gram prefix-filter
+    completeness theorem for bounded edit distance."""
+    from food_panda_etl_spark.operators.edit_join import edit_distance_join
+
+    d = load_table(spark, any_sf, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    base = d.select(
+        F.col("doc_id").alias("doc"),
+        F.substring("text", 1, 40).alias("s"),
+    )
+    variants = base.filter(F.col("doc") % 9 == 0).select(
+        (F.col("doc") + 1000000).alias("doc"),
+        F.concat(
+            F.col("s").substr(1, 2), F.expr("substring(s, 4)")
+        ).alias("s"),
+    )
+    got = edit_distance_join(
+        base.unionByName(variants), "doc", "s", k=_ED_K, q=_ED_Q
+    )
+    oracle = f"""
+    WITH r AS (
+      SELECT doc_id AS doc, substr(text, 1, 40) AS s FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc,
+             substr(substr(text, 1, 40), 1, 2)
+               || substr(substr(text, 1, 40), 4) AS s
+      FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM r a JOIN r b ON a.doc < b.doc
+    WHERE levenshtein(a.s, b.s) <= {_ED_K}
     """
     assert compare(got, oracle, any_sf) == []
 
