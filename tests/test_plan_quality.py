@@ -645,3 +645,99 @@ def test_kcore_rounds_are_key_joins_only(spark, sf_dir):
     assert "Window" not in [ln.split()[1] for ln in plan.splitlines()
                             if ln.strip().startswith("(") and len(ln.split()) > 1]
     assert lint_plan(df) == []
+
+
+def test_incremental_neardup_probe_is_equi_and_prune_broadcasts(spark, sf_dir):
+    """The r15 incremental near-dup screen (r16 preview): the corpus
+    probe must be pure equi-joins (band index + verify) with the
+    candidate-doc prune a BROADCAST semi-join — never a cartesian or
+    nested-loop node, so a refresh never pays a corpus-wide non-keyed
+    pass."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.incremental_neardup import (
+        incremental_neardup_pairs,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    df = incremental_neardup_pairs(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=5,
+        threshold=0.8,
+    )
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.broadcast_joins >= 1  # the candidate-doc semi-join prune
+
+
+def test_weighted_minhash_path_is_equi_only(spark, sf_dir):
+    """The weighted MinHash LSH path (r16 preview): banded candidates
+    and the count-table verify are equi-joins end to end — no
+    cartesian, no nested loop."""
+    from food_panda_etl_spark.operators.weighted_minhash import (
+        weighted_minhash_lsh_pairs,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s = plan_summary(
+        weighted_minhash_lsh_pairs(d, "doc_id", "text", n=3,
+                                   threshold_num=7, threshold_den=10)
+    )
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+
+
+def test_incremental_embed_probe_is_equi_and_prune_broadcasts(spark, sf_dir):
+    """The embedding copy screen (r16 preview): band probe and verify
+    are equi-joins, the corpus-vector prune broadcasts, and no
+    cartesian/nested-loop node anywhere (the Arrow matmul is the only
+    Python boundary by design)."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.incremental_embed import (
+        incremental_embed_neardup,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = incremental_embed_neardup(
+        e.filter(F.col("vec_id") % 10 != 0),
+        e.filter(F.col("vec_id") % 10 == 0),
+        threshold=0.9,
+    )
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.broadcast_joins >= 1
+
+
+def test_edit_join_long_path_equi_short_bucket_bounded(spark, sf_dir):
+    """The edit-distance join (r16 preview): the long-string path is
+    prefix equi-joins + codegen levenshtein; the ONLY non-equi node
+    allowed is the single conditioned BNLJ of the broadcast short
+    bucket (empty on the 40-char fixture relation, but the node is in
+    the plan); never a CartesianProduct, and the levenshtein verify
+    stays JVM-side (no Python nodes in the plan)."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.edit_join import edit_distance_join
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    strs = d.select(
+        F.col("doc_id").alias("doc"), F.substring("text", 1, 40).alias("s")
+    )
+    df = edit_distance_join(strs, "doc", "s", k=2, q=2)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 1  # the broadcast short bucket only
+    plan = explain_formatted(df)
+    assert "levenshtein" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
