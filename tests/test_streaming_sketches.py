@@ -477,3 +477,117 @@ def test_streaming_incremental_neardup_equals_batch(spark, out_dir):
     finally:
         c_sh.unpersist()
         c_bands.unpersist()
+
+
+def test_streaming_embed_copy_screen_equals_batch(spark, out_dir):
+    """The streaming face of `operators/incremental_embed.py` (the r15
+    build-ahead): the standing corpus' vector table and sign-LSH band
+    index are STATIC state built once; every arriving micro-batch of
+    vectors is screened against them as it lands. The union of the
+    per-batch pair verdicts must equal the batch composite over the
+    full arrival set AND the brute-force cross-side cosine join — the
+    ingestion-time copy gate, versioned per batch_id."""
+    import json as _json
+
+    from food_panda_etl_spark.operators.incremental_embed import (
+        build_embed_state,
+        incremental_embed_neardup,
+    )
+    from food_panda_etl_spark.operators.similarity import cosine
+
+    dim = 8
+
+    def vec(seed, eps=0.0):
+        # deterministic unit-ish vectors; eps rotates slightly
+        base = [((seed * 31 + j * 7) % 19) - 9 + (eps if j == 0 else 0.0)
+                for j in range(dim)]
+        return [float(v) for v in base]
+
+    corpus_rows = [(101, vec(1)), (102, vec(2)), (103, vec(3))]
+    batches = [
+        [{"vec_id": 1, "embedding": vec(1, eps=0.05)},   # near-copy of 101
+         {"vec_id": 2, "embedding": vec(4)}],   # cos ≤ 0.36 vs corpus
+        [{"vec_id": 3, "embedding": vec(2)}],            # exact copy of 102
+        [{"vec_id": 4, "embedding": vec(5)}],  # cos ≤ 0.33 vs corpus
+    ]
+    src = os.path.join(out_dir, "in_ie")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i:03d}.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    c_vec, c_bands = build_embed_state(corpus, threshold=0.9, dim=dim)
+    c_vec, c_bands = c_vec.cache(), c_bands.cache()
+    c_vec.count(), c_bands.count()
+    verdicts = os.path.join(out_dir, "ie_verdicts")
+
+    def screen_batch(df, batch_id):
+        out = incremental_embed_neardup(
+            None, df, threshold=0.9, dim=dim,
+            corpus_vectors=c_vec, corpus_bands=c_bands,
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(verdicts, f"v{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(src)
+        .writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "ie_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("availableNow replay exceeded 180 s")
+    finally:
+        q.stop()
+    try:
+        got = _rows(
+            spark.read.parquet(os.path.join(verdicts, "v*")),
+            ["vec_id", "dup_of", "score"],
+        )
+        full = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for b in batches for r in b],
+            "vec_id long, embedding array<double>",
+        )
+        want_composite = _rows(
+            incremental_embed_neardup(
+                None, full, threshold=0.9, dim=dim,
+                corpus_vectors=c_vec, corpus_bands=c_bands,
+            ),
+            ["vec_id", "dup_of", "score"],
+        )
+        b = full.select(
+            F.col("vec_id").alias("bid"), F.col("embedding").alias("vb")
+        )
+        c = corpus.select(
+            F.col("vec_id").alias("dup_of"), F.col("embedding").alias("vc")
+        )
+        want_exact = _rows(
+            b.crossJoin(c)
+            .select(
+                F.col("bid").alias("vec_id"),
+                "dup_of",
+                cosine(F.col("vb"), F.col("vc")).alias("score"),
+            )
+            .filter(F.col("score") >= 0.9),
+            ["vec_id", "dup_of", "score"],
+        )
+        assert got == want_composite == want_exact
+        # non-vacuous: 1 near-copies 101, 3 exactly copies 102; 2, 4 clean
+        assert [(v, d) for v, d, _ in got] == [(1, 101), (3, 102)]
+        # exact copy: dot(v,v)/(sqrt(n)·sqrt(n)) is 1 up to one ulp of
+        # the norm-product rounding — bit-identical across engines, but
+        # not the literal 1.0
+        assert abs(got[1][2] - 1.0) < 1e-12
+    finally:
+        c_vec.unpersist()
+        c_bands.unpersist()
