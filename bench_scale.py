@@ -915,7 +915,14 @@ def r16_curves(spark, sizes) -> dict:
       carry id-derived digits so cross-pair distances are large and
       prefix grams are rare) — true pairs = n/2, candidates track
       them, expected near-linear.
+    - Containment join (r15 build-ahead): the same `_wj_corpus`
+      duplicated-doc corpus at n=3, τ=4/5 — each id/2 pair is mutually
+      ≥4/5-contained, A-prefixes are the pair-private rare trigrams,
+      expected near-linear in pair mass like the overlap join.
     """
+    from food_panda_etl_spark.operators.containment_join import (
+        containment_join,
+    )
     from food_panda_etl_spark.operators.edit_join import (
         edit_distance_join,
     )
@@ -936,6 +943,7 @@ def r16_curves(spark, sizes) -> dict:
         "weighted_minhash": {},
         "incremental_embed": {},
         "edit_join": {},
+        "containment_join": {},
     }
 
     def corpus_doc_text(id_col):
@@ -998,6 +1006,17 @@ def r16_curves(spark, sizes) -> dict:
                 docs, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
             ).write.format("noop").mode("overwrite").save()
             curves["weighted_minhash"][n] = min(timed(run_wm), timed(run_wm))
+        finally:
+            docs.unpersist()
+
+    for n in sizes:
+        docs = _wj_corpus(spark, n).cache()
+        docs.count()
+        try:
+            run_cj = lambda: containment_join(  # noqa: E731
+                docs, "doc_id", "text", n=3, threshold_num=4, threshold_den=5
+            ).write.format("noop").mode("overwrite").save()
+            curves["containment_join"][n] = min(timed(run_cj), timed(run_cj))
         finally:
             docs.unpersist()
 

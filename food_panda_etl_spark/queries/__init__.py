@@ -151,12 +151,12 @@ DECLARED_WINDOW = [
 # R16 ROTATION PLAN (arithmetic on the ACTUAL post-r15 evidence ages:
 # after this window re-records, the oldest standing evidence is the
 # 36 remaining r12-era keys — wall at r17 — then 42 r13-era — wall at
-# r18). NOTHING is age-mandatory at r16 itself, so: MANDATORY 4 = the
+# r18). NOTHING is age-mandatory at r16 itself, so: MANDATORY 5 = the
 # r15 build-aheads preview-verified at sf0.001/0.01/0.1 in
 # tests/test_r16_oracle_previews.py — q_incremental_neardup,
 # q_weighted_minhash_gate, q_incremental_embed_neardup,
-# q_edit_distance_join (the guard FAILS the build once WINDOW_ROUND
-# reaches 16 without them).
+# q_edit_distance_join, q_containment_join (the guard FAILS the build
+# once WINDOW_ROUND reaches 16 without them).
 # STRONGLY RECOMMENDED = the full 36-key r12 block, defusing
 # r17 entirely: joins/windows/setops/sql_layer/analytics-era keys
 # (q_semi_join q_anti_join q_range_join q_asof_join q_nullsafe_join

@@ -741,3 +741,22 @@ def test_edit_join_long_path_equi_short_bucket_bounded(spark, sf_dir):
     assert "levenshtein" in plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_containment_join_is_equi_only(spark, sf_dir):
+    """The containment join (r16 preview): A-prefix × full-index probe
+    and the candidates-only verify are equi-joins end to end — no
+    cartesian, no nested loop, and the per-doc rank window is the only
+    Window (doc-partitioned, never a global sort)."""
+    from food_panda_etl_spark.operators.containment_join import (
+        containment_join,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s = plan_summary(
+        containment_join(d, "doc_id", "text", n=5,
+                         threshold_num=4, threshold_den=5)
+    )
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0

@@ -777,3 +777,37 @@ def test_weighted_minhash_equals_exact_random(spark, docs, num):
         )
     )
     assert got == want
+
+
+@SET
+@given(
+    docs=docs_strategy,
+    num=st.integers(min_value=1, max_value=4),
+)
+def test_containment_join_equals_brute_force_random(spark, docs, num):
+    """containment_join completeness on RANDOM corpora (3-gram
+    shingles over a 12-word vocabulary — hot shingles everywhere, the
+    regime the A-prefix must survive). The brute force is the
+    inverted-index reference from test_containment_join (ONE
+    definition, the cross-import convention). Threshold num/4 sweeps
+    0.25..1.0 — τ=1 is the full-containment (subset) regime."""
+    from food_panda_etl_spark.operators.containment_join import (
+        containment_join,
+    )
+    from food_panda_etl_spark.operators.dedup import shingle_table
+    from tests.test_containment_join import _brute_force
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.inter)
+        for r in containment_join(
+            d, "doc_id", "text", n=3, threshold_num=num, threshold_den=4
+        ).collect()
+    )
+    sh = shingle_table(d, "doc_id", "text", 3)
+    want = sorted(
+        (r.doc_a, r.doc_b, r.inter)
+        for r in _brute_force(sh, num, 4).collect()
+    )
+    assert got == want

@@ -38,7 +38,11 @@ Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning):
   constant k·q+1 = 5 prefixes over the occurrence-expanded q-gram
   multisets, broadcast short bucket, exact levenshtein verify —
   equal to the brute-force all-pairs DP at every verified SF (604
-  pairs at sf0.1; both engines' levenshtein is the same integer DP).
+  pairs at sf0.1; both engines' levenshtein is the same integer DP);
+- containment join τ=4/5, n=5: the asymmetric set join — A-side
+  rarest-first prefixes probed against the FULL shingle index (B is
+  unbounded: any superset qualifies), 511 ordered pairs at sf0.1,
+  equal to the brute-force inverted-index SQL at every verified SF.
 """
 
 from __future__ import annotations
@@ -164,6 +168,43 @@ def test_incremental_embed_neardup_preview(spark, any_sf):
     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)
     SELECT b.vec_id AS vec_id, c.vec_id AS dup_of, {_COS} AS score
     FROM b JOIN c ON {_COS} >= {_IE_TAU}
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+_CJ_NUM, _CJ_DEN = 4, 5
+
+
+def test_containment_join_preview(spark, any_sf):
+    """Exact set-CONTAINMENT join (operators/containment_join.py): the
+    ORDERED pairs with |A∩B| ≥ 4/5·|A| — the asymmetric member of the
+    set-join family (a short doc quoted by a long one is containment 1
+    in one direction, invisible to Jaccard). Candidates from the
+    A-side rarest-first prefixes probed against the FULL shingle
+    index; integer threshold; candidates-only verify. The oracle is
+    the brute-force inverted-index SQL on the shared shingle replay:
+    hash-matching it IS the containment prefix-filter completeness
+    theorem."""
+    from food_panda_etl_spark.operators.containment_join import (
+        containment_join,
+    )
+
+    d = load_table(spark, any_sf, "documents")
+    got = containment_join(
+        d, "doc_id", "text", n=5,
+        threshold_num=_CJ_NUM, threshold_den=_CJ_DEN,
+    )
+    oracle = f"""
+    WITH {SHINGLE5_CTE_SQL},
+    sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc),
+    ov AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                  CAST(count(*) AS BIGINT) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+           GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter,
+           CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+    FROM ov JOIN sz sa ON doc_a = sa.doc
+    WHERE inter * {_CJ_DEN} >= {_CJ_NUM} * sa.n
     """
     assert compare(got, oracle, any_sf) == []
 
