@@ -67,110 +67,109 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order matches it, so a planned rotation that fails to land in code
 # fails loudly instead of silently (round 8 shipped zero commits because
 # the plan lived only in a comment).
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
 DECLARED_WINDOW = [
-    # 1-3 NEW in r15: the three r14 build-ahead components' first
+    # 1-5 NEW in r16: the five r15 build-ahead components' first
     # driver evidence — bodies and oracle strings moved VERBATIM from
-    # tests/test_r15_oracle_previews.py (now registry-driven, the
-    # r10/r12/r13/r14 convention) into queries/scale_ops.py, where
-    # they were pre-verified at sf0.001+sf0.01 (and once manually at
-    # sf0.1) through the driver's own compare harness.
-    "q_weighted_jaccard",
+    # tests/test_r16_oracle_previews.py (now registry-driven, the
+    # r10/r12/r13/r14/r15 convention) into queries/incremental_ops.py,
+    # where they were pre-verified at sf0.001/0.01/0.1 through the
+    # driver's own compare harness.
+    "q_incremental_neardup",
+    "q_incremental_embed_neardup",
+    "q_weighted_minhash_gate",
+    "q_containment_join",
+    "q_edit_distance_join",
+    # 6-41 the FULL 36-key r12 block (recounted against the
+    # CORRECTNESS r01-r15 union this round — the ACTUAL r12-latest
+    # set, which differs from the r15 plan comment's guess: it
+    # includes q_histogram/q_percentile/q_unpivot/q_group_sample/
+    # q_random_projection/q_skew_agg/q_hll_by_group/q_hll_xxhash_gate
+    # and excludes the r13-era graph/funnel keys the comment listed).
+    # Nothing is age-mandatory at r16 itself; spending the slots here
+    # defuses the r17 age wall entirely (VERDICT r15 task 2).
+    "q_anti_join",
+    "q_asof_join",
+    "q_cube",
+    "q_except",
+    "q_exists_subquery",
+    "q_group_sample",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_hll_by_group",
+    "q_hll_xxhash_gate",
+    "q_intersect",
+    "q_interval_join",
+    "q_join_1n_agg",
+    "q_lag_lead",
+    "q_math_funcs",
+    "q_nullsafe_join",
+    "q_pagerank",
+    "q_percentile",
+    "q_pivot",
+    "q_random_projection",
+    "q_range_join",
+    "q_rank",
+    "q_regex_extract",
+    "q_rollup",
+    "q_running_sum",
+    "q_semi_join",
+    "q_session_window",
+    "q_skew_agg",
+    "q_skew_join",
+    "q_sliding_window",
+    "q_topk_per_group",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tumbling_window",
+    "q_union_all",
+    "q_unpivot",
+    # 42-44 the sketch.py / sketch_extras.py dm-fragment consolidation
+    # riders (VERDICT r15 task 5): both files byte-change this round
+    # (the duplicated (d, A_d, B_d) VALUES builders consolidate onto
+    # operators/cms.py's shared oracle_dm_sql family), so ALL their
+    # declared keys re-record. Four are r12-era and already above
+    # (q_group_sample, q_hll_by_group, q_hll_xxhash_gate,
+    # q_random_projection); these are the r13-era remainder:
+    "q_cms_counts",
+    "q_cms_windowed",
+    "q_group_heavy_hitters",
+    # 45-46 hardening byte-change riders (VERDICT r15 tasks 3-4 +
+    # ADVICE r16): operators/decontam_bloom.py (derived m_bits
+    # default) and operators/join_advisor.py (maintained-sketch
+    # geometry validation + skew-bar check) byte-change this round,
+    # so their r15-era keys re-record. (operators/edit_join.py and
+    # operators/incremental_embed.py also byte-change for their
+    # ADVICE guards — their only keys are #5 and #2 above.)
     "q_decontaminate_bloom",
     "q_join_advice",
-    # 4-30 the FULL 27-key r11 block — nothing is age-mandatory at r15
-    # itself, so spending the slots here defuses the r16 age wall
-    # entirely (VERDICT r14 task 1, executed verbatim).
-    "q_approx_distinct",
-    "q_approx_quantile_gate",
-    "q_batch_number",
-    "q_case_when",
-    "q_ceil_div",
-    "q_count_distinct",
-    "q_date_parts",
-    "q_dedup",
-    "q_epoch_cast",
-    "q_filter_range",
-    "q_group_pct",
-    "q_groupby_agg",
-    "q_incremental_dedup",
-    "q_json_extract",
-    "q_kcore",
-    "q_limit_offset",
-    "q_llm_prep",
-    "q_null_handling",
-    "q_project",
-    "q_scalar_subquery",
-    "q_scan_count",
-    "q_sort_multi",
-    "q_string_funcs",
-    "q_topk_global",
-    "q_tpch_q1",
-    "q_tpch_q6",
-    "q_vocab_topp",
-    # 31-41 rotation option (a) executed (VERDICT r14 task 2):
-    # operators/dedup.py byte-changed this round — the shared gram
-    # builder (gram_table) extracted so weighted_jaccard's multiset
-    # table stops mirroring _shingles' core — so ALL declared keys
-    # whose execution flows through dedup.py re-record. The plan's
-    # 11-key rider list:
-    "q_ngram_jaccard",
-    "q_dedup_components",
-    "q_dedup_keep_rep",
-    "q_minhash_neardup",
-    "q_simhash_neardup",
-    "q_dedup_components_lsh",
-    "q_dedup_keep_rep_lsh",
-    "q_decontaminate",
-    "q_substring_dedup",
-    "q_jaccard_prefix_join",
-    "q_overlap_join",
-    # 42-43 two MORE true dedup.py riders the plan's list missed:
-    # q_minhash_gate calls minhash_lsh_pairs + exact_jaccard_pairs and
-    # q_simhash_gate calls simhash_pairs (queries/approx_gates.py:27)
-    # — the file-granular evidence rule forces them like the other 11.
-    "q_minhash_gate",
-    "q_simhash_gate",
-    # 44-48 queries/scale_sketches.py — byte-changed this round
-    # (VERDICT r14 task 3: q_jaccard_prefix_join's oracle moved into
-    # its decorator via the shared NGRAM_JACCARD_ORACLE_SQL constant,
-    # deleting _load_all's special case), so ALL its keys re-record
-    # (q_jaccard_prefix_join itself is #40 above).
-    "q_bloom_filter",
-    "q_bloom_prefilter",
-    "q_bloom_fpr_gate",
-    "q_hll_windowed",
-    "q_group_priority_sample",
-    # 49-50 oldest-r12 fills (queries/joins.py, no byte-change — just
-    # evidence refresh toward the r17 wall).
-    "q_inner_join",
-    "q_left_join",
+    # 47-50 oldest-r13 fills (no byte-change — evidence refresh toward
+    # the r18 wall; cheap keys so the driver window stays fast).
+    "q_token_count",
+    "q_priority_sample",
+    "q_fingerprint",
+    "q_array_explode",
 ]
 
-# R16 ROTATION PLAN (arithmetic on the ACTUAL post-r15 evidence ages:
+# R17 ROTATION PLAN (arithmetic on the ACTUAL post-r16 evidence ages:
 # after this window re-records, the oldest standing evidence is the
-# 36 remaining r12-era keys — wall at r17 — then 42 r13-era — wall at
-# r18). NOTHING is age-mandatory at r16 itself, so: MANDATORY 5 = the
-# r15 build-aheads preview-verified at sf0.001/0.01/0.1 in
-# tests/test_r16_oracle_previews.py — q_incremental_neardup,
-# q_weighted_minhash_gate, q_incremental_embed_neardup,
-# q_edit_distance_join, q_containment_join (the guard FAILS the build
-# once WINDOW_ROUND reaches 16 without them).
-# STRONGLY RECOMMENDED = the full 36-key r12 block, defusing
-# r17 entirely: joins/windows/setops/sql_layer/analytics-era keys
-# (q_semi_join q_anti_join q_range_join q_asof_join q_nullsafe_join
-# q_join_1n_agg q_interval_join q_exists_subquery q_tpch_q3 q_tpch_q5
-# q_topk_per_group q_rank q_lag_lead q_running_sum q_tumbling_window
-# q_sliding_window q_session_window q_union_all q_intersect q_except
-# q_rollup q_cube q_grouping_sets q_math_funcs q_regex_extract
-# q_pivot q_skew_join q_pagerank q_pmi q_triangles q_labelprop
-# q_funnel q_retention q_sessionize q_domain_drift q_bucket_quantile
-# — recount against the CORRECTNESS union before pinning; see
-# test_evidence_age). Remaining slots: r13-era fills
-# (scale_sketches is re-recorded r15; sketch.py / sketch_extras.py
-# dm-fragment consolidation still waits for whichever round windows
-# their keys — their riders are r13-era, so r16/r17 is the moment).
+# 37 remaining r13-era keys — wall at r18 — then 39 r14-era — wall at
+# r19). NOTHING is age-mandatory at r17 itself. MANDATORY = whatever
+# tests/test_r17_oracle_previews.py preview-verifies (the guard FAILS
+# the build once WINDOW_ROUND reaches 17 without the declarations).
+# STRONGLY RECOMMENDED = the remaining 37-key r13 block, defusing the
+# r18 wall: q_binary_meta q_bpe_encode q_bpe_train q_corpus_stats
+# q_curriculum_mix q_domain_drift q_dsir_weight q_funnel
+# q_heavy_hitters q_hll_counts q_kmeans q_labelprop q_langid
+# q_lm_score q_nfc_normalize q_padding_waste q_pii_redact q_pmi
+# q_pps_stratified q_quality_classifier q_quality_score q_repetition
+# q_retention q_select_pipeline q_select_stratified q_semantic_dedup
+# q_sessionize q_text_clean q_tfidf q_token_count_bpe
+# q_token_fertility q_triangle_count q_vendor_enrich (33 after the
+# four r16 fills above re-record; recount against the CORRECTNESS
+# union before pinning — see test_evidence_age). Remaining slots:
+# oldest-r14 fills.
 
 
 def _load_all() -> None:
@@ -208,6 +207,7 @@ def _load_all() -> None:
         scale_sketches,
         cross_sketches,
         scale_ops,
+        incremental_ops,
     )
 
     # (r15: q_jaccard_prefix_join's oracle now lives in its decorator —

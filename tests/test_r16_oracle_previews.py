@@ -1,69 +1,45 @@
-"""r16 declaration previews: the r15 build-ahead operators' future
-declared queries, run against their EXACT intended DuckDB oracle SQL
-through the same compare harness the driver uses — everything but the
-registry entries (which must wait for the r16 window per the rotation
-contract). When r16 declares them, the bodies and oracle strings move
-VERBATIM into a queries/ module and this file is rewritten
-registry-driven (the r10/r12/r13/r14/r15 convention, ENFORCED by
-tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
-— these ``*_preview`` functions fail the build if WINDOW_ROUND reaches
-16 without the declarations landing).
+"""r16 declarations, registry-driven: the five build-ahead
+components' query bodies and oracle strings moved VERBATIM from this
+file's r15 preview form into `queries/incremental_ops.py` (per the
+rotation contract), so this file now exercises the DECLARED registry
+entries — the exact (body, oracle) pairs the driver records — through
+the same compare harness at two scale factors, instead of duplicating
+the bodies.
 
-Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning):
-- incremental near-dup n=5, τ=0.8, r=2 b=16 over the corpus/batch
-  split (doc_id%10, +1e6 injection of corpus%7 docs — the
-  q_incremental_dedup shape): the banded cross-side path equals the
-  brute-force cross join at every verified SF (the per-pair candidate
-  miss is ≈8e-8 at j=0.8 and the injected dups sit at j=1), so the
-  oracle is the plain brute-force cross-side SQL and the hash-match
-  IS the incremental-screen completeness theorem;
-- weighted MinHash gate n=3, τ=7/10, r=2 b=16 over the occurrence
-  expansion: measured recall 1.0 at all three SFs (the fixtures'
-  weighted near-dups sit at j≈0.9 where the banding miss is ≈3e-12);
-  floor pinned at 0.90, the q_minhash_gate convention (oracle
-  recomputes the EXACT weighted pair set: count + integer pair
-  checksum + pinned meets_target=1);
-- incremental EMBEDDING near-dup τ=0.9 with the cross-side COPY-screen
-  geometry (`copy_screen_band_params`: 16-bit bands, L=136 — boundary
-  miss ≤ 1e-5/pair, random-pair admission ≈ L·2^−16 ≈ 0.2%; pinned
-  after measuring the two wrong geometries: τ=0.7/r=4 admits ~87% of
-  random cross pairs, and even τ=0.9/r=8 admits ~13% → 208 s per
-  512-row refresh at 1.28M corpus rows vs 18 s at r=16) over the
-  vec_id%10 + injected-copy split: the cross-side banded path equals
-  the brute-force cross join at every verified SF INCLUDING score
-  bits, so the oracle is the exact cross-side SQL with the same
-  fixed-order double arithmetic;
-- edit-distance join k=2, q=2 over 40-char doc prefixes (doc_id%3
-  relation + distance-1 deletion variants of doc_id%9): Ed-Join
-  constant k·q+1 = 5 prefixes over the occurrence-expanded q-gram
-  multisets, broadcast short bucket, exact levenshtein verify —
-  equal to the brute-force all-pairs DP at every verified SF (604
-  pairs at sf0.1; both engines' levenshtein is the same integer DP);
-- containment join τ=4/5, n=5: the asymmetric set join — A-side
-  rarest-first prefixes probed against the FULL shingle index (B is
-  unbounded: any superset qualifies), 511 ordered pairs at sf0.1,
-  equal to the brute-force inverted-index SQL at every verified SF.
+The ONE-definition pins also live here: all three shingle-replay
+oracles must build on their shared CTE constants — the incremental
+near-dup and containment-join brute-force forms replay
+`SHINGLE5_CTE_SQL` (the distinct replay owned by
+operators/overlap_join.py) and the weighted MinHash gate's exact side
+replays `shingle_multiset_cte_sql(3)` (the multiset replay owned by
+operators/weighted_jaccard.py) — drift between a pruning/screening
+scheme's oracle and the brute-force form would silently weaken the
+completeness theorems.
+
+Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning,
+r15 — see queries/incremental_ops.py for the realized numbers).
 """
 
 from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from food_panda_etl_spark.operators.overlap_join import SHINGLE5_CTE_SQL
 from food_panda_etl_spark.operators.weighted_jaccard import (
     shingle_multiset_cte_sql,
 )
-from food_panda_etl_spark.tables import load_table
+from food_panda_etl_spark.queries import ORACLES, QUERIES
 from tests.oracle_compare import compare
 
 _SF01 = "/root/testdata/sf0.01"
 
-_IN_TAU = 0.8
-
-_WMG_NUM, _WMG_DEN = 7, 10
-_WMG_TARGET = 0.90
+_R16_NEW = [
+    "q_incremental_neardup",
+    "q_incremental_embed_neardup",
+    "q_weighted_minhash_gate",
+    "q_containment_join",
+    "q_edit_distance_join",
+]
 
 
 @pytest.fixture(params=["sf0.001", "sf0.01"])
@@ -71,239 +47,14 @@ def any_sf(request, sf_dir):
     return _SF01 if request.param == "sf0.01" else sf_dir
 
 
-def test_incremental_neardup_preview(spark, any_sf):
-    """Incremental near-dup screen (operators/incremental_neardup.py):
-    a new batch checked against a standing corpus' MAINTAINED MinHash
-    band index — cross-side banded candidates, exact Jaccard verify on
-    candidates only, batch-sized refresh cost. Corpus = doc_id%10 <> 0;
-    batch = doc_id%10 = 0 plus corpus%7 docs re-id'd at +1e6 (injected
-    exact dups, so the path is non-vacuous at every SF). The oracle is
-    the brute-force cross-side SQL on the shared shingle replay:
-    hash-matching it IS the incremental-screen completeness theorem."""
-    from food_panda_etl_spark.operators.incremental_neardup import (
-        incremental_neardup_pairs,
-    )
-
-    d = load_table(spark, any_sf, "documents")
-    corpus = d.filter(F.col("doc_id") % 10 != 0)
-    batch = (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id", "text")
-        .unionByName(
-            corpus.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-            )
-        )
-    )
-    got = incremental_neardup_pairs(
-        corpus, batch, "doc_id", "text", n=5, threshold=_IN_TAU
-    )
-    oracle = f"""
-    WITH {SHINGLE5_CTE_SQL},
-    bsh AS (SELECT doc, shingle FROM sh WHERE doc % 10 = 0
-            UNION ALL
-            SELECT doc + 1000000 AS doc, shingle FROM sh
-            WHERE doc % 10 <> 0 AND doc % 7 = 0),
-    csh AS (SELECT doc, shingle FROM sh WHERE doc % 10 <> 0),
-    bsz AS (SELECT doc, count(*) AS nb FROM bsh GROUP BY doc),
-    csz AS (SELECT doc, count(*) AS nc FROM csh GROUP BY doc),
-    inter AS (SELECT b.doc AS bdoc, c.doc AS cdoc, count(*) AS inter
-              FROM bsh b JOIN csh c ON b.shingle = c.shingle
-              GROUP BY 1, 2)
-    SELECT bdoc AS doc_id, cdoc AS dup_of,
-           CAST(inter AS DOUBLE) / CAST(bs.nb + cs.nc - inter AS DOUBLE)
-             AS jaccard
-    FROM inter
-    JOIN bsz bs ON bdoc = bs.doc
-    JOIN csz cs ON cdoc = cs.doc
-    WHERE CAST(inter AS DOUBLE) / CAST(bs.nb + cs.nc - inter AS DOUBLE)
-          >= {_IN_TAU}
-    """
-    assert compare(got, oracle, any_sf) == []
+@pytest.mark.parametrize("name", _R16_NEW)
+def test_r16_declared_matches_oracle(spark, any_sf, name):
+    assert compare(QUERIES[name](spark, any_sf), ORACLES[name], any_sf) == []
 
 
-_COS = (
-    "list_reduce(list_prepend(0.0,"
-    " list_transform(generate_series(1, len(b.embedding)),"
-    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),"
-    " (x, y) -> x + y)"
-    " / (sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding,"
-    " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
-    " * sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding,"
-    " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)))"
-)
-
-_IE_TAU = 0.9
-
-
-def test_incremental_embed_neardup_preview(spark, any_sf):
-    """Incremental EMBEDDING near-dup screen
-    (operators/incremental_embed.py): a refresh batch of vectors
-    checked against a standing corpus' maintained sign-LSH band index
-    — cross-side banded candidates, exact fixed-order-double cosine
-    verify on candidates only. Corpus = vec_id%10 <> 0; batch =
-    vec_id%10 = 0 plus corpus%7 vectors re-id'd at +1e6 (injected
-    exact copies, non-vacuous at every SF). The oracle is the
-    brute-force cross-side SQL with the same double arithmetic:
-    hash-matching it (score bits included) proves both the screen's
-    completeness at the fixture similarities and the verify's
-    bit-exactness."""
-    from food_panda_etl_spark.operators.incremental_embed import (
-        incremental_embed_neardup,
-    )
-
-    e = load_table(spark, any_sf, "embeddings").select("vec_id", "embedding")
-    corpus = e.filter(F.col("vec_id") % 10 != 0)
-    batch = e.filter(F.col("vec_id") % 10 == 0).unionByName(
-        corpus.filter(F.col("vec_id") % 7 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
-    got = incremental_embed_neardup(corpus, batch, threshold=_IE_TAU)
-    oracle = f"""
-    WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
-               UNION ALL
-               SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
-               WHERE vec_id % 10 <> 0 AND vec_id % 7 = 0),
-    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)
-    SELECT b.vec_id AS vec_id, c.vec_id AS dup_of, {_COS} AS score
-    FROM b JOIN c ON {_COS} >= {_IE_TAU}
-    """
-    assert compare(got, oracle, any_sf) == []
-
-
-_CJ_NUM, _CJ_DEN = 4, 5
-
-
-def test_containment_join_preview(spark, any_sf):
-    """Exact set-CONTAINMENT join (operators/containment_join.py): the
-    ORDERED pairs with |A∩B| ≥ 4/5·|A| — the asymmetric member of the
-    set-join family (a short doc quoted by a long one is containment 1
-    in one direction, invisible to Jaccard). Candidates from the
-    A-side rarest-first prefixes probed against the FULL shingle
-    index; integer threshold; candidates-only verify. The oracle is
-    the brute-force inverted-index SQL on the shared shingle replay:
-    hash-matching it IS the containment prefix-filter completeness
-    theorem."""
-    from food_panda_etl_spark.operators.containment_join import (
-        containment_join,
-    )
-
-    d = load_table(spark, any_sf, "documents")
-    got = containment_join(
-        d, "doc_id", "text", n=5,
-        threshold_num=_CJ_NUM, threshold_den=_CJ_DEN,
-    )
-    oracle = f"""
-    WITH {SHINGLE5_CTE_SQL},
-    sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc),
-    ov AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-                  CAST(count(*) AS BIGINT) AS inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
-           GROUP BY 1, 2)
-    SELECT doc_a, doc_b, inter,
-           CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
-    FROM ov JOIN sz sa ON doc_a = sa.doc
-    WHERE inter * {_CJ_DEN} >= {_CJ_NUM} * sa.n
-    """
-    assert compare(got, oracle, any_sf) == []
-
-
-_ED_K, _ED_Q = 2, 2
-
-
-def test_edit_distance_join_preview(spark, any_sf):
-    """Edit-distance similarity self-join (operators/edit_join.py,
-    Ed-Join prefix filtering: constant k·q+1 prefixes over the
-    occurrence-expanded q-gram multisets in the shared canonical
-    order, broadcast short bucket, exact levenshtein verify). The
-    relation is the 40-char prefixes of the doc_id%3 documents plus a
-    third-character-deletion variant of every doc_id%9 doc (9|id ⇒
-    3|id so variants stay in-relation; re-id'd at +1e6 — each variant
-    sits at exactly distance 1, non-vacuous at every SF; the %3
-    restriction keeps the BRUTE-FORCE oracle's all-pairs DP inside
-    the sweep budget — measured 16.5 s compare / 9.6 s Spark at
-    sf0.1, 604 pairs). The oracle is the brute-force all-pairs
-    levenshtein SQL — Spark's and DuckDB's levenshtein are the same
-    integer DP, so the hash-match IS the q-gram prefix-filter
-    completeness theorem for bounded edit distance."""
-    from food_panda_etl_spark.operators.edit_join import edit_distance_join
-
-    d = load_table(spark, any_sf, "documents").filter(
-        F.col("doc_id") % 3 == 0
-    )
-    base = d.select(
-        F.col("doc_id").alias("doc"),
-        F.substring("text", 1, 40).alias("s"),
-    )
-    variants = base.filter(F.col("doc") % 9 == 0).select(
-        (F.col("doc") + 1000000).alias("doc"),
-        F.concat(
-            F.col("s").substr(1, 2), F.expr("substring(s, 4)")
-        ).alias("s"),
-    )
-    got = edit_distance_join(
-        base.unionByName(variants), "doc", "s", k=_ED_K, q=_ED_Q
-    )
-    oracle = f"""
-    WITH r AS (
-      SELECT doc_id AS doc, substr(text, 1, 40) AS s FROM documents
-      WHERE doc_id % 3 = 0
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc,
-             substr(substr(text, 1, 40), 1, 2)
-               || substr(substr(text, 1, 40), 4) AS s
-      FROM documents WHERE doc_id % 9 = 0
-    )
-    SELECT a.doc AS id_a, b.doc AS id_b,
-           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
-    FROM r a JOIN r b ON a.doc < b.doc
-    WHERE levenshtein(a.s, b.s) <= {_ED_K}
-    """
-    assert compare(got, oracle, any_sf) == []
-
-
-def test_weighted_minhash_gate_preview(spark, any_sf):
-    """Quality gate for the weighted MinHash LSH path
-    (operators/weighted_minhash.py): recall of the exact weighted
-    Jaccard pair set (τ=7/10, `weighted_jaccard_join`) through the
-    occurrence-expanded banded candidates + exact verify. The oracle
-    recomputes the EXACT side (count + integer pair checksum) and pins
-    meets_target=1 — driver-grade evidence that (a) the exact weighted
-    side is right and (b) the sketch path's measured recall clears the
-    0.90 floor (measured 1.0 at the verified SFs)."""
-    from food_panda_etl_spark.operators.weighted_jaccard import (
-        weighted_jaccard_join,
-    )
-    from food_panda_etl_spark.operators.weighted_minhash import (
-        weighted_minhash_lsh_pairs,
-    )
-    from food_panda_etl_spark.queries.approx_gates import _pair_recall_gate
-
-    d = load_table(spark, any_sf, "documents")
-    exact = weighted_jaccard_join(
-        d, "doc_id", "text", n=3,
-        threshold_num=_WMG_NUM, threshold_den=_WMG_DEN,
-    )
-    approx = weighted_minhash_lsh_pairs(
-        d, "doc_id", "text", n=3,
-        threshold_num=_WMG_NUM, threshold_den=_WMG_DEN,
-    )
-    got = _pair_recall_gate(exact, approx, target=_WMG_TARGET)
-    oracle = f"""
-    WITH {shingle_multiset_cte_sql(3)},
-    tot AS (SELECT doc, CAST(sum(c) AS BIGINT) AS nw FROM shm GROUP BY doc),
-    wi AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-                  CAST(sum(least(a.c, b.c)) AS BIGINT) AS wi
-           FROM shm a JOIN shm b ON a.shingle = b.shingle AND a.doc < b.doc
-           GROUP BY 1, 2),
-    exact AS (SELECT doc_a, doc_b FROM wi
-              JOIN tot ta ON doc_a = ta.doc
-              JOIN tot tb ON doc_b = tb.doc
-              WHERE wi * {_WMG_DEN} >= {_WMG_NUM} * (ta.nw + tb.nw - wi))
-    SELECT CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(SUM(doc_a * doc_b) AS BIGINT) AS sum_ab,
-           1 AS meets_target
-    FROM exact
-    """
-    assert compare(got, oracle, any_sf) == []
+def test_r16_shingle_replay_oracles_build_on_the_shared_ctes():
+    """All three set-join oracles must embed the ONE shared CTE
+    definition for their table shape (see module docstring)."""
+    assert SHINGLE5_CTE_SQL in ORACLES["q_incremental_neardup"]
+    assert SHINGLE5_CTE_SQL in ORACLES["q_containment_join"]
+    assert shingle_multiset_cte_sql(3) in ORACLES["q_weighted_minhash_gate"]
