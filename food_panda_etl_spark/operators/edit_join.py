@@ -27,10 +27,14 @@ brute-force SQL exactly (the completeness theorem, machine-checked).
 Short strings are the one regime the count bound cannot prune: when
 n ≤ k·q (len ≤ k·q + q − 1) a pair may be within k edits while
 sharing ZERO q-grams ("ab" vs "cd" at k=2). Those rows are split into
-a short bucket, BROADCAST (short strings are a bounded sliver of any
-realistic corpus — and at q=2, k=2 that is len ≤ 5), and verified
-directly against every row within the length window — map-only on
-the big side. Exactness over arbitrary inputs is property-tested.
+a short bucket joined on an exploded length key (each short string
+probes the 2k+1 lengths in its window — a plain equi-join the planner
+can hash OR shuffle), broadcast only while the bucket is provably
+small (``short_broadcast_rows``): on a corpus dominated by short
+strings (names, codes) the bucket is NOT a sliver, and an
+unconditional broadcast would blow the driver — the guard lets the
+planner fall back to a shuffle join instead (ADVICE r16). Exactness
+over arbitrary inputs is property-tested in both regimes.
 
 Scale: ONE q-gram pass, the constant-length prefix keeps the
 candidate join keyed on the RAREST grams (volume tracks near-match
@@ -39,10 +43,17 @@ shuffle is keyed on 8-byte ids / gram structs. The honest boundary:
 "rarest" only helps if rare grams EXIST — a corpus confined to a tiny
 q-gram alphabet (all-digit keys, hex ids) has ~|Σ|^q distinct grams
 total, every prefix gram is hot, and the candidate join degenerates
-toward all-pairs (measured: digit-string corpora at q=2 filled the
-shuffle disk where 26-letter corpora at q=4 scale linearly —
-bench_scale.py's r16 curve note). For such corpora raise ``q`` until
-|Σ|^q ≫ N, or this is not the right operator.
+toward all-pairs: total prefix volume P = N·(k·q+1) spread over G
+distinct grams forces ≥ P²/G candidate pairs (Cauchy-Schwarz — a
+LOWER bound, not a model), so G ≪ N is quadratic no matter how the
+ranking orders the grams (measured: digit-string corpora at q=2
+filled the shuffle disk at 1.28M rows where 26-letter corpora at q=4
+scale linearly — bench_scale.py's r16 curve note). The operator now
+measures G with one cheap agg over the gram table it already builds
+and RAISES when ``N_long > degenerate_factor · G`` (default 64 — the
+digit corpus sits at N/G ≈ 12,800, the sf0.1 text fixture at ≈ 18),
+with the remedy in the error: raise ``q`` until |Σ|^q ≫ N, or use a
+token-level similarity join instead.
 """
 
 from __future__ import annotations
@@ -85,12 +96,21 @@ def edit_distance_join(
     str_col: str,
     k: int = 2,
     q: int = 2,
+    degenerate_factor: int = 64,
+    short_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, dist int) — EXACTLY the pairs with
     levenshtein(s_a, s_b) ≤ k and id_a < id_b, equal row-for-row to
     the brute-force all-pairs join (the completeness property test /
     declared-query oracle). NULL strings never pair (no edit sequence
-    reaches an unknown value)."""
+    reaches an unknown value).
+
+    Raises ValueError when the q-gram alphabet is degenerately small
+    for the corpus (``N_long > degenerate_factor · G`` — see module
+    docstring; ``degenerate_factor=0`` disables the check). The short
+    bucket is broadcast only while it holds ≤ ``short_broadcast_rows``
+    rows; above that the length-key equi-join falls back to a shuffle
+    join (``short_broadcast_rows=0`` forces the fallback)."""
     if k < 0:
         raise ValueError(f"edit_distance_join: need k >= 0, got {k}")
     if q < 1:
@@ -106,11 +126,36 @@ def edit_distance_join(
     long_side = strs.filter(F.length("__s") - (q - 1) > k * q)
     short_side = strs.filter(F.length("__s") - (q - 1) <= k * q)
 
-    exp = occurrence_expand(
-        qgram_multiset_table(
-            long_side.withColumnRenamed("__s", "s"), "doc", "s", q
+    grams = qgram_multiset_table(
+        long_side.withColumnRenamed("__s", "s"), "doc", "s", q
+    ).localCheckpoint(eager=False)  # consumers: guard agg, expansion
+
+    # Degenerate-alphabet guard + short-bucket size, ONE bounded-scalar
+    # action over tables the operator builds anyway (audited collect:
+    # a single 3-number row, never fact-sized). G ≪ N forces ≥ P²/G
+    # candidates (module docstring) — fail loudly with the remedy
+    # instead of filling the shuffle disk.
+    g_row = (
+        grams.agg(
+            F.count_distinct("shingle").alias("g"),
+            F.count_distinct("doc").alias("n_long"),
         )
+        .crossJoin(
+            F.broadcast(short_side.agg(F.count("*").alias("n_short")))
+        )
+        .collect()[0]
     )
+    if degenerate_factor and g_row.n_long > degenerate_factor * g_row.g:
+        raise ValueError(
+            f"edit_distance_join: degenerate q-gram alphabet — "
+            f"{g_row.g} distinct {q}-grams for {g_row.n_long} strings "
+            f"(bar: N_long > {degenerate_factor}·G). Every prefix gram "
+            f"is hot and the candidate join is provably ≥ P²/G pairs. "
+            f"Raise q until |Σ|^q ≫ N (e.g. q={q + 1}), or use a "
+            f"token-level similarity join for this corpus."
+        )
+
+    exp = occurrence_expand(grams)
     ranked = ranked_shingles(exp)
     prefix = ranked.filter(F.col("__pos") <= k * q + 1).select(
         "doc", "shingle", "n_sh"
@@ -131,24 +176,30 @@ def edit_distance_join(
         .distinct()
     )
     # short bucket: the count bound cannot prune (zero shared q-grams
-    # is possible within k edits), so broadcast the short sliver
-    # against everything in the length window — map-only on the big
-    # side, then the same exact verify
+    # is possible within k edits), so pair the short sliver with
+    # everything in its length window via an EXPLODED length key —
+    # each short string probes the 2k+1 lengths |Δlen| ≤ k, a plain
+    # equi-join the planner can broadcast OR shuffle. Broadcast only
+    # while the bucket is provably small (it is 2k+1 rows per short
+    # string): a short-dominated corpus (names, codes) falls back to
+    # a shuffle hash join instead of blowing the driver (ADVICE r16).
     sh = short_side.select(
         F.col("doc").alias("sid"),
-        F.col("__s").alias("__ss"),
-        F.length("__s").alias("__sl"),
-    )
+        F.explode(
+            F.sequence(
+                F.length("__s") - k, F.length("__s") + k
+            )
+        ).alias("__ol"),
+    ).filter(F.col("__ol") >= 0)
+    if g_row.n_short <= short_broadcast_rows:
+        sh = F.broadcast(sh)
     other = strs.select(
         F.col("doc").alias("oid"),
         F.length("__s").alias("__ol"),
     )
     cand_short = (
-        other.join(
-            F.broadcast(sh),
-            (F.abs(F.col("__ol") - F.col("__sl")) <= k)
-            & (F.col("sid") != F.col("oid")),
-        )
+        other.join(sh, "__ol")
+        .filter(F.col("sid") != F.col("oid"))
         .select(
             F.least("sid", "oid").alias("id_a"),
             F.greatest("sid", "oid").alias("id_b"),

@@ -113,3 +113,72 @@ def test_validation():
         edit_distance_join(None, "doc", "s", k=-1)
     with pytest.raises(ValueError, match="need q >= 1"):
         edit_distance_join(None, "doc", "s", k=1, q=0)
+
+
+def test_degenerate_digit_corpus_raises(spark):
+    """The digit-corpus shape that filled the shuffle disk at 1.28M
+    rows in the r15 curve run (module docstring): 20k 12-digit strings
+    have ≤100 distinct 2-grams, so N_long/G ≈ 200 clears the DEFAULT
+    degenerate_factor=64 bar — the operator must raise with the
+    remedy instead of building the ≥P²/G candidate join."""
+    strs = spark.range(20000).select(
+        F.col("id").alias("doc"),
+        F.lpad(
+            ((F.col("id") * 2654435761) % 1000000000000).cast("string"),
+            12,
+            "0",
+        ).alias("s"),
+    )
+    with pytest.raises(ValueError, match="degenerate q-gram alphabet"):
+        edit_distance_join(strs, "doc", "s", k=2, q=2)
+    # the documented remedy works: q=4 over 10 digits has |Σ|^q = 10^4
+    # distinct grams — above the bar, so the same corpus plans fine
+    # (exactness at q=4 is covered by the property tests; here we only
+    # need the guard to admit it)
+    edit_distance_join(
+        strs.limit(100), "doc", "s", k=2, q=4
+    ).count()
+
+
+def test_degenerate_guard_disabled_still_exact(spark):
+    """degenerate_factor=0 disables the guard (the caller takes the
+    quadratic risk knowingly) — output still equals brute force."""
+    strs = spark.createDataFrame(
+        [(i, f"{i * 37 % 1000:03d}") for i in range(40)],
+        "doc long, s string",
+    )
+    got = sorted(
+        map(
+            tuple,
+            edit_distance_join(
+                strs, "doc", "s", k=1, q=2, degenerate_factor=0
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, _brute_force(strs).filter(F.col("dist") <= 1).collect())
+    )
+    assert got == want
+
+
+def test_short_bucket_shuffle_fallback_exact(spark):
+    """short_broadcast_rows=0 forces the non-broadcast path (the
+    ADVICE r16 guard for short-dominated corpora): the length-key
+    equi-join must produce the identical pair set."""
+    strings = ["ab", "cd", "", "a", "abc", "ab", "xy", "abcd"]
+    strs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "doc long, s string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            edit_distance_join(
+                strs, "doc", "s", k=2, q=2, short_broadcast_rows=0
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, _brute_force(strs).filter(F.col("dist") <= 2).collect())
+    )
+    assert got == want
+    assert len(want) > 0

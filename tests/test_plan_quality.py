@@ -718,12 +718,12 @@ def test_incremental_embed_probe_is_equi_and_prune_broadcasts(spark, sf_dir):
 
 
 def test_edit_join_long_path_equi_short_bucket_bounded(spark, sf_dir):
-    """The edit-distance join (r16 preview): the long-string path is
-    prefix equi-joins + codegen levenshtein; the ONLY non-equi node
-    allowed is the single conditioned BNLJ of the broadcast short
-    bucket (empty on the 40-char fixture relation, but the node is in
-    the plan); never a CartesianProduct, and the levenshtein verify
-    stays JVM-side (no Python nodes in the plan)."""
+    """The edit-distance join (declared r16): the long-string path is
+    prefix equi-joins + codegen levenshtein, and since the r16 ADVICE
+    guard the short bucket is a length-key EQUI-join too (each short
+    string probes its 2k+1-length window), so the whole plan is
+    equi-only — no BNLJ, no CartesianProduct — and the levenshtein
+    verify stays JVM-side (no Python nodes in the plan)."""
     from pyspark.sql import functions as F
 
     from food_panda_etl_spark.operators.edit_join import edit_distance_join
@@ -736,7 +736,7 @@ def test_edit_join_long_path_equi_short_bucket_bounded(spark, sf_dir):
     df = edit_distance_join(strs, "doc", "s", k=2, q=2)
     s = plan_summary(df)
     assert s.cartesian_products == 0
-    assert s.nested_loop_joins <= 1  # the broadcast short bucket only
+    assert s.nested_loop_joins == 0  # length-key equi-join short bucket
     plan = explain_formatted(df)
     assert "levenshtein" in plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
