@@ -768,13 +768,16 @@ def r15_curves(spark, sizes) -> dict:
       real-world shape — benchmarks don't grow with the corpus);
       expected near-linear in train rows with the map-only screen
       dominating and the verify join bounded by contaminated mass
-      (1/16 of train shares the eval boilerplate here). The sketch is
-      SIZED TO THE EVAL SET (m=2^20 for ~18k distinct eval shingles →
-      FPR ~1e-5): the first run of this curve left the default 2^16
-      and measured a 1.32 exponent — 67% of bits set, FPR ≈ 0.2, and
-      ~20% of ALL clean shingles flooding the verify join; an
-      overloaded screen degrades toward the unscreened cost, it never
-      breaks correctness (test_equals_exact_under_tiny_sketch).
+      (1/16 of train shares the eval boilerplate here). The sketch
+      SIZES ITSELF TO THE EVAL SET since r16 (derived_m_bits: ~18k
+      distinct eval shingles → m=2^18, FPR ~1e-3): the first run of
+      this curve used a FIXED 2^16 and measured a 1.32 exponent — 67%
+      of bits set, FPR ≈ 0.2, and ~20% of ALL clean shingles flooding
+      the verify join; an overloaded screen degrades toward the
+      unscreened cost, it never breaks correctness
+      (test_equals_exact_under_tiny_sketch). This curve runs the
+      DERIVED default — its near-linearity is the done-condition for
+      the r16 sizing rule.
     """
     from food_panda_etl_spark.operators.weighted_jaccard import (
         weighted_jaccard_join,
@@ -877,8 +880,12 @@ def _decontam_point(spark, evals, curves, n) -> None:
     )
     train.count()
     try:
+        # DEFAULT geometry: since r16 the operator derives m_bits from
+        # the eval shingle count itself (derived_m_bits — ~18k distinct
+        # shingles here → 2^18), so the curve no longer needs the
+        # manual m=2^20 sizing that fixed the r14 1.32-exponent run
         run_db = lambda: bloom_screened_contamination(  # noqa: E731
-            train, evals, "doc_id", "text", n=5, m_bits=1 << 20
+            train, evals, "doc_id", "text", n=5
         ).write.format("noop").mode("overwrite").save()
         curves["decontam_bloom"][n] = min(timed(run_db), timed(run_db))
     finally:

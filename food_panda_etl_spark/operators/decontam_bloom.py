@@ -28,11 +28,25 @@ nothing), chosen over the portable polynomial for dispersion.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.bloom import bloom_prefilter, bloom_sketch
 from food_panda_etl_spark.operators.dedup import shingle_table
+
+_MIN_M_BITS = 1 << 16
+
+
+def derived_m_bits(n_shingles: int, k_hashes: int) -> int:
+    """The sizing rule as code: m ≈ 1.44·k·n/ln2 bits for n distinct
+    shingles (the `operators/bloom.py` optimum — ≈ 8.3·n at k=4),
+    rounded UP to a power of two, floored at 2^16 (a sketch can never
+    be cheaper than 8 KiB of broadcast, and tiny evals keep the old
+    fixture default)."""
+    want = 1.44 * k_hashes * max(n_shingles, 1) / math.log(2)
+    return max(_MIN_M_BITS, 1 << math.ceil(math.log2(want)))
 
 
 def bloom_screened_contamination(
@@ -41,7 +55,7 @@ def bloom_screened_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
-    m_bits: int = 1 << 16,
+    m_bits: int | None = None,
     k_hashes: int = 4,
 ) -> DataFrame:
     """(``id_col``, n_shared bigint) for every training document
@@ -49,22 +63,31 @@ def bloom_screened_contamination(
     bit-identical to `ngram_contamination`, executed as Bloom
     pre-screen → exact verify on survivors only.
 
-    SIZE ``m_bits`` TO THE EVAL SHINGLE COUNT: m ≈ 1.44·k·n/ln2 bits
-    for n distinct eval shingles (the `operators/bloom.py` optimum —
-    ≈ 8.3·n bits at the default k=4). The 2^16 default fits the test
-    fixtures only; an overloaded sketch never breaks correctness (the
-    one-sided contract holds at ANY size — tested under a forced-FP
-    m=64 sketch) but silently degrades toward the unscreened cost:
-    bench_scale.py measured the default at millions of eval shingles
-    with ~67% of bits set and ~20% of CLEAN shingles flooding the
-    verify join (a 1.32 scaling exponent), vs near-linear once sized
-    to the eval set (m=2^20 there)."""
+    ``m_bits`` MUST TRACK THE EVAL SHINGLE COUNT, so the default
+    (``None``) now DERIVES it: the eval shingle table — which the
+    operator builds anyway — is materialized once, its distinct count
+    feeds `derived_m_bits` (m ≈ 1.44·k·n/ln2 rounded to a power of
+    two; ONE bounded-scalar count, never fact-sized — the eval side
+    is the benchmark suite, not the corpus). An explicit ``m_bits``
+    skips the count and keeps the plan action-free. An overloaded
+    sketch never breaks correctness (the one-sided contract holds at
+    ANY size — tested under a forced-FP m=64 sketch) but silently
+    degrades toward the unscreened cost: bench_scale.py measured a
+    fixed 2^16 at millions of eval shingles with ~67% of bits set and
+    ~20% of CLEAN shingles flooding the verify join (a 1.32 scaling
+    exponent), vs near-linear once sized to the eval set — which the
+    derived default now does without manual sizing."""
     tr = shingle_table(train, id_col, text_col, n=n)
     ev = (
         shingle_table(evals, id_col, text_col, n=n)
         .select("shingle")
         .distinct()
     )
+    if m_bits is None:
+        # materialize the eval shingles once (they feed the sketch AND
+        # the verify join), count them, size the sketch to them
+        ev = ev.localCheckpoint(eager=True)
+        m_bits = derived_m_bits(ev.count(), k_hashes)
     sk = bloom_sketch(
         ev.select(F.xxhash64("shingle").alias("k")),
         "k",

@@ -131,16 +131,42 @@ def build_embed_state(
     num_planes, bands = copy_screen_band_params(threshold, target_miss)
     planes = _planes(dim, num_planes, seed)
     src = _projected(corpus, id_col, vec_col)
+    # the geometry rides the state as column metadata (it survives
+    # select/join/checkpoint AND a parquet round-trip), so a probe
+    # against state built at a different (threshold, dim, seed,
+    # target_miss) fails loudly instead of silently comparing
+    # incomparable band values (ADVICE r16)
+    geo = {
+        "threshold": float(threshold),
+        "dim": int(dim),
+        "seed": int(seed),
+        "target_miss": float(target_miss),
+    }
     vectors = src.select(
         "id", "vec", F.sqrt(l2_norm_sq(F.col("vec"))).alias("norm")
-    )
+    ).withMetadata("vec", geo)
     band_index = src.select(
         "id",
         F.posexplode(_band_values_arrow(planes, bands)(F.col("vec"))).alias(
             "band", "bb"
         ),
-    )
+    ).withMetadata("band", geo)
     return vectors, band_index
+
+
+_GEO_KEYS = ("threshold", "dim", "seed", "target_miss")
+
+
+def _state_geometry(df: DataFrame, col: str) -> dict | None:
+    """The geometry dict stamped by :func:`build_embed_state`, or None
+    for hand-built state (older checkpoints, ad-hoc frames)."""
+    try:
+        meta = df.schema[col].metadata
+    except KeyError:
+        return None
+    if not meta or any(k not in meta for k in _GEO_KEYS):
+        return None
+    return {k: meta[k] for k in _GEO_KEYS}
 
 
 def incremental_embed_neardup(
@@ -164,7 +190,15 @@ def incremental_embed_neardup(
     ``corpus_vectors``/``corpus_bands`` are the maintained state from
     :func:`build_embed_state` (same threshold/dim/seed/target_miss);
     when supplied the standing corpus is NOT rescanned. Omitted, the
-    state is built here with one pass over the corpus."""
+    state is built here with one pass over the corpus.
+
+    Geometry safety (ADVICE r16): state stamped by
+    :func:`build_embed_state` carries its (threshold, dim, seed,
+    target_miss) as column metadata and a mismatched probe raises;
+    hand-built state falls back to a 1-row dim probe of the state
+    itself, and a batch whose vectors differ from the state's dim
+    raises instead of silently yielding incomparable band values
+    (near-zero recall with no error)."""
     if (corpus_vectors is None) != (corpus_bands is None):
         raise ValueError(
             "incremental_embed_neardup: supply BOTH corpus_vectors and "
@@ -194,8 +228,51 @@ def incremental_embed_neardup(
                 _band_values_arrow(planes, bands)(F.col("vec"))
             ).alias("band", "bb"),
         )
-    if dim is None:
-        dim = _infer_dim(batch, vec_col)
+    else:
+        # prebuilt state: the state's geometry is the source of truth,
+        # never the batch (ADVICE r16 — dim inferred from the batch
+        # silently mis-probes state built at another geometry)
+        geo_v = _state_geometry(corpus_vectors, "vec")
+        geo_b = _state_geometry(corpus_bands, "band")
+        if geo_v is not None and geo_b is not None and geo_v != geo_b:
+            raise ValueError(
+                "incremental_embed_neardup: corpus_vectors and "
+                f"corpus_bands carry different geometries ({geo_v} vs "
+                f"{geo_b}) — they are not the same build_embed_state pair"
+            )
+        geo = geo_v or geo_b
+        if geo is not None:
+            asked = {
+                "threshold": float(threshold),
+                "dim": int(dim) if dim is not None else int(geo["dim"]),
+                "seed": int(seed),
+                "target_miss": float(target_miss),
+            }
+            if asked != geo:
+                raise ValueError(
+                    "incremental_embed_neardup: probe geometry "
+                    f"{asked} does not match the supplied state's "
+                    f"{geo} — band values would be incomparable "
+                    "(rebuild the state or match the parameters)"
+                )
+            state_dim = int(geo["dim"])
+        else:
+            state_dim = _infer_dim(corpus_vectors, "vec")
+            if dim is not None and dim != state_dim:
+                raise ValueError(
+                    f"incremental_embed_neardup: dim={dim} does not "
+                    f"match the supplied state's vectors (dim="
+                    f"{state_dim})"
+                )
+        batch_dim = _infer_dim(batch, vec_col)
+        if batch_dim != state_dim:
+            raise ValueError(
+                f"incremental_embed_neardup: batch vectors have dim="
+                f"{batch_dim} but the corpus state was built at dim="
+                f"{state_dim} — the sign-LSH band values would be "
+                "incomparable (near-zero recall, no error)"
+            )
+        dim = state_dim
     num_planes, bands = copy_screen_band_params(threshold, target_miss)
     planes = _planes(dim, num_planes, seed)
     b_src = _projected(batch, id_col, vec_col).localCheckpoint(eager=False)

@@ -100,3 +100,21 @@ def test_survivor_side_never_misses(spark, sf_dir):
         .count()
     )
     assert missed == 0
+
+
+def test_derived_m_bits_sizing_rule():
+    """m ≈ 1.44·k·n/ln2 rounded UP to a power of two, floored at 2^16
+    (the ADVICE r16 stronger variant: the default is derived from the
+    eval shingle count instead of a fixed constant)."""
+    from food_panda_etl_spark.operators.decontam_bloom import derived_m_bits
+
+    # tiny evals keep the old fixture default
+    assert derived_m_bits(0, 4) == 1 << 16
+    assert derived_m_bits(1000, 4) == 1 << 16
+    # ~18k shingles at k=4 → 1.44·4·18000/ln2 ≈ 149k → 2^18
+    assert derived_m_bits(18_000, 4) == 1 << 18
+    # the bench_scale regime that degraded at a fixed 2^16: millions
+    # of shingles now size themselves (2M → 16.6M bits → 2^24)
+    assert derived_m_bits(2_000_000, 4) == 1 << 24
+    # power-of-two and monotone in n and k
+    assert derived_m_bits(100_000, 8) >= derived_m_bits(100_000, 4)

@@ -115,3 +115,54 @@ def test_partial_state_raises(spark):
         )
     with pytest.raises(ValueError, match="need a corpus DataFrame"):
         incremental_embed_neardup(None, None)
+
+
+def test_state_geometry_mismatch_raises(spark, sf_dir):
+    """ADVICE r16: probing state built at a different (threshold, seed,
+    target_miss) must raise, not silently compare incomparable band
+    values (near-zero recall with no error)."""
+    corpus, batch = _split(spark, sf_dir)
+    c_vec, c_bands = build_embed_state(corpus, threshold=0.95)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        incremental_embed_neardup(
+            None, batch, threshold=_TAU,
+            corpus_vectors=c_vec, corpus_bands=c_bands,
+        )
+    c_vec2, c_bands2 = build_embed_state(corpus, threshold=_TAU, seed=7)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        incremental_embed_neardup(
+            None, batch, threshold=_TAU,
+            corpus_vectors=c_vec2, corpus_bands=c_bands2,
+        )
+    # mixed pairs from two different builds are caught too
+    with pytest.raises(ValueError, match="different geometries"):
+        incremental_embed_neardup(
+            None, batch, threshold=_TAU,
+            corpus_vectors=c_vec, corpus_bands=c_bands2,
+        )
+
+
+def test_batch_dim_mismatch_raises(spark, sf_dir):
+    """ADVICE r16: a batch whose vectors differ from the state's dim
+    must fail loudly — for stamped state AND for hand-built state
+    (where the dim is probed from the state's own vectors)."""
+    corpus, batch = _split(spark, sf_dir)
+    bad_batch = batch.select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    c_vec, c_bands = build_embed_state(corpus, threshold=_TAU)
+    with pytest.raises(ValueError, match="batch vectors have dim=8"):
+        incremental_embed_neardup(
+            None, bad_batch, threshold=_TAU,
+            corpus_vectors=c_vec, corpus_bands=c_bands,
+        )
+    # hand-built state (no metadata stamp — stripped explicitly; the
+    # stamp survives plain selects/aliases by design): the fallback
+    # probes the state's vectors instead
+    plain_vec = c_vec.withMetadata("vec", {})
+    assert "threshold" not in (plain_vec.schema["vec"].metadata or {})
+    with pytest.raises(ValueError, match="batch vectors have dim=8"):
+        incremental_embed_neardup(
+            None, bad_batch, threshold=_TAU,
+            corpus_vectors=plain_vec, corpus_bands=c_bands,
+        )
