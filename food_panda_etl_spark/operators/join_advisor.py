@@ -94,6 +94,38 @@ def _n_from_sketch(sk: DataFrame) -> DataFrame:
     )
 
 
+def _grid_check(sk: DataFrame, width: int, depth: int, label: str) -> DataFrame:
+    """One row (__chk, always NULL) that THROWS at execution when a
+    supplied maintained sketch does not sit on the requested
+    (width, depth) grid (ADVICE r16): ``max(d) == depth-1`` exactly
+    (every key populates every depth row, so any non-empty sketch has
+    all depth rows) and ``max(b) < width`` (cells may be sparse, so
+    width is screened one-sided — a sketch built WIDER than requested
+    is certain to be caught, one built narrower is indistinguishable
+    from sparsity). An EMPTY sketch passes (an empty side is a
+    legitimate broadcast verdict). In-plan (F.assert_true), so the
+    zero-rescan contract holds — the check costs one sketch-sized agg,
+    never a fact scan."""
+    g = sk.agg(F.max("d").alias("__d"), F.max("b").alias("__b"))
+    ok = F.col("__d").isNull() | (
+        (F.col("__d") == depth - 1) & (F.col("__b") < width)
+    )
+    return g.select(
+        F.assert_true(
+            ok,
+            F.format_string(
+                f"join_advice: {label} grid mismatch — maintained sketch "
+                f"has max d=%s, max b=%s but the requested geometry is "
+                f"width={width}, depth={depth}; cms_inner_product and the "
+                f"d=0 row counts would be silently wrong (rebuild the "
+                f"sketch at this geometry or pass its own width/depth)",
+                F.col("__d"),
+                F.col("__b"),
+            ),
+        ).alias("__chk")
+    )
+
+
 def join_advice(
     a: DataFrame,
     key_a: str,
@@ -120,11 +152,25 @@ def join_advice(
     frame at fraction 1/64) are optional MAINTAINED summaries: when
     all four are supplied neither fact is scanned at all (the
     zero-rescan mode — ADVICE r15); any omitted summary is built here
-    with one pass over its side."""
+    with one pass over its side. Supplied sketches are grid-checked
+    in-plan against (width, depth) and the plan throws on mismatch
+    (ADVICE r16 — a sketch at another geometry would make
+    `cms_inner_product` and the d=0 row counts silently wrong)."""
     if not (0 < skew_num <= skew_den):
         raise ValueError(
             f"join_advice: need 0 < skew_num <= skew_den, "
             f"got {skew_num}/{skew_den}"
+        )
+    if skew_num * 64 < skew_den:
+        # heavy_hitters(fraction=1/64) reports ONLY keys above n/64:
+        # a finer skew bar would read top_cnt=0 for every key between
+        # the two fractions and never salt — fail loudly instead
+        # (ADVICE r16)
+        raise ValueError(
+            f"join_advice: skew bar {skew_num}/{skew_den} is finer than "
+            f"the heavy-hitter candidate fraction 1/64 — keys between "
+            f"the two thresholds would be invisible (top_cnt=0, never "
+            f"salted); use skew_num/skew_den >= 1/64"
         )
     sk_a = (
         sketch_a
@@ -136,6 +182,13 @@ def join_advice(
         if sketch_b is not None
         else cms_sketch(b, key_b, width=width, depth=depth)
     ).localCheckpoint(eager=False)
+    # in-plan grid guards for SUPPLIED sketches only (built ones match
+    # by construction, and the no-summaries plan stays byte-identical)
+    checks = []
+    if sketch_a is not None:
+        checks.append(_grid_check(sk_a, width, depth, "sketch_a"))
+    if sketch_b is not None:
+        checks.append(_grid_check(sk_b, width, depth, "sketch_b"))
     est = cms_inner_product(sk_a, sk_b)
     na = _n_from_sketch(sk_a)
     nb = _n_from_sketch(sk_b)
@@ -144,12 +197,21 @@ def join_advice(
     skew = (F.col("__ta") * skew_den >= F.col("n_a") * skew_num) | (
         F.col("__tb") * skew_den >= F.col("n_b") * skew_num
     )
-    return (
+    out = (
         na.select(F.col("n").alias("n_a"))
         .crossJoin(F.broadcast(nb.select(F.col("n").alias("n_b"))))
         .crossJoin(F.broadcast(est))
         .crossJoin(F.broadcast(ta.select(F.col("c").alias("__ta"))))
         .crossJoin(F.broadcast(tb.select(F.col("c").alias("__tb"))))
+    )
+    for chk in checks:
+        # one broadcast NULL row per guard; evaluating it fires the
+        # assert, and the always-true filter keeps it in the plan
+        out = out.crossJoin(F.broadcast(chk)).filter(
+            F.col("__chk").isNull()
+        ).drop("__chk")
+    return (
+        out
         .select(
             F.lit(join_id).alias("join_id"),
             "n_a",

@@ -116,3 +116,63 @@ def test_prebuilt_summaries_match_raw_path(spark):
     ).collect()
     assert got == want
     assert got[0].advice == "shuffle_salt"
+
+
+def test_skew_bar_finer_than_hh_fraction_raises(spark):
+    """ADVICE r16: heavy_hitters(1/64) cannot see keys below n/64, so
+    a requested skew bar finer than 1/64 would silently read top_cnt=0
+    and never salt — it must raise instead."""
+    with pytest.raises(ValueError, match="finer than"):
+        join_advice(
+            _uniform(spark, 10), "k", _uniform(spark, 10), "k",
+            skew_num=1, skew_den=128,
+        )
+    # exactly 1/64 is the boundary and legal
+    join_advice(
+        _uniform(spark, 10), "k", _uniform(spark, 10), "k",
+        skew_num=1, skew_den=64,
+    ).collect()
+
+
+def test_maintained_sketch_grid_mismatch_raises(spark):
+    """ADVICE r16: a maintained sketch built at a different
+    (width, depth) must throw at execution, not silently mis-estimate
+    cms_inner_product and the d=0 row counts."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from food_panda_etl_spark.operators.cms import cms_sketch
+
+    a, b = _uniform(spark, 50000), _uniform(spark, 50000)
+    # depth mismatch: built at depth=2, requested depth=4
+    sk_wrong_d = cms_sketch(a, "k", width=1024, depth=2)
+    with pytest.raises(SparkRuntimeException, match="grid mismatch"):
+        join_advice(
+            a, "k", b, "k", sketch_a=sk_wrong_d,
+            width=1024, depth=4,
+        ).collect()
+    # width mismatch: built WIDER (2048) than requested (1024) — the
+    # one-sided max(b) screen is certain to catch it at 50k keys
+    sk_wrong_w = cms_sketch(a, "k", width=2048, depth=4)
+    with pytest.raises(SparkRuntimeException, match="grid mismatch"):
+        join_advice(
+            a, "k", b, "k", sketch_a=sk_wrong_w,
+            width=1024, depth=4,
+        ).collect()
+
+
+def test_maintained_empty_sketch_passes_grid_check(spark):
+    """An EMPTY maintained sketch (empty side) is legitimate — n=0
+    reads broadcast; the grid guard must not fire on it."""
+    from food_panda_etl_spark.operators.cms import cms_sketch
+    from food_panda_etl_spark.operators.heavy import heavy_hitters
+
+    empty = _uniform(spark, 10).filter(F.lit(False))
+    sk_e = cms_sketch(empty, "k")
+    hh_e = heavy_hitters(
+        empty.select(F.col("k").alias("__k")), "__k", fraction=1.0 / 64.0
+    )
+    row = join_advice(
+        empty, "k", _uniform(spark, 500), "k",
+        sketch_a=sk_e, top_a=hh_e,
+    ).collect()[0]
+    assert row.n_a == 0 and row.advice == "broadcast"
