@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P
+from food_panda_etl_spark.operators.cms import _P, oracle_dm_sql
 from food_panda_etl_spark.queries import query
 from food_panda_etl_spark.tables import load_table
 
@@ -16,17 +16,19 @@ _CMS_WIDTH = 1024
 _CMS_DEPTH = 4
 _CMS_PROBES = 100
 
-# (d, A_d, B_d) rows interpolated from the operator's constants so the
-# oracle's hash family can never drift from the Spark side.
-_DM_VALUES = ", ".join(
-    f"({d}, {_MULTS[d]}, {_ADDS[d]})" for d in range(_CMS_DEPTH)
-)
+# The (d, A_d, B_d) affine-hash rows come from the ONE shared builder
+# (`operators/cms.py::oracle_dm_sql` — constants interpolated from the
+# operator, so the oracle's hash family can never drift from the Spark
+# side); the former inline _DM_VALUES copy retired when this file's
+# keys windowed in r16 (the dm-fragment consolidation, VERDICT r15
+# task 5). l_partkey is non-negative, so the raw `% P` form below
+# needs no sign re-reduction.
 
 
 @query(
     "q_cms_counts",
     oracle=f"""
-    WITH dm AS (SELECT * FROM (VALUES {_DM_VALUES}) AS t(d, a, c)),
+    WITH dm AS {oracle_dm_sql(_CMS_DEPTH)},
     sk AS MATERIALIZED (
       SELECT d, ((l_partkey % {_P}) * a + c) % {_P} % {_CMS_WIDTH} AS b,
              count(*) AS cnt

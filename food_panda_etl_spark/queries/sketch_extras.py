@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.cms import _ADDS, _MULTS, _P
+from food_panda_etl_spark.operators.cms import _P, oracle_dm_sql
 from food_panda_etl_spark.operators.random_projection import (
     oracle_projection_sql,
 )
@@ -43,9 +43,13 @@ _CMSW_PROBES = 50
 _CMSW_WIN = 7
 _DAY_US = 86400 * 1000000
 
-_CMSW_DM = ", ".join(
-    f"({d}, {_MULTS[d]}, {_ADDS[d]})" for d in range(_CMSW_DEPTH)
-)
+# The (d, A_d, B_d) affine-hash rows come from the ONE shared builder
+# (`operators/cms.py::oracle_dm_sql`); the former inline _CMSW_DM copy
+# retired when this file's keys windowed in r16 (the dm-fragment
+# consolidation, VERDICT r15 task 5). The q_cms_windowed hash cells
+# below keep their sign-normalized `((k % P) + P) % P` form — user_id
+# keys could in principle be negative and the engine's `_cell` uses
+# pmod where DuckDB's % truncates.
 
 
 @query(
@@ -153,7 +157,7 @@ def q_hll_xxhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_cms_windowed",
     oracle=f"""
-    WITH dm AS (SELECT * FROM (VALUES {_CMSW_DM}) AS t(d, a, c)),
+    WITH dm AS {oracle_dm_sql(_CMSW_DEPTH)},
     ev AS (SELECT user_id AS k, epoch_us(ts) // {_DAY_US} AS day
            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     mx AS (SELECT max(day) AS md FROM ev),

@@ -140,3 +140,18 @@ def test_cms_validates_geometry(spark):
         cms_sketch(df, "k", depth=0)
     with pytest.raises(ValueError, match="width"):
         cms_sketch(df, "k", width=0)
+
+
+def test_dm_fragment_oracles_build_on_the_shared_builder():
+    """One-definition pin (the r15 gram-builder convention): every
+    declared oracle that replays the affine (d, A_d, B_d) hash rows
+    must embed the ONE shared builder's output — the r16 dm-fragment
+    consolidation retired the last two inline copies (sketch.py's
+    _DM_VALUES, sketch_extras.py's _CMSW_DM); a drifted copy would
+    silently hash-match a different hash family."""
+    from food_panda_etl_spark.operators.cms import oracle_dm_sql
+    from food_panda_etl_spark.queries import ORACLES
+
+    assert oracle_dm_sql(4) in ORACLES["q_cms_counts"]
+    assert oracle_dm_sql(4) in ORACLES["q_cms_windowed"]
+    assert oracle_dm_sql(4) in ORACLES["q_join_advice"]
