@@ -1,0 +1,146 @@
+"""ICWS — Ioffe's Consistent Weighted Sampling (Ioffe, ICDM 2010) —
+the REAL-weight MinHash the occurrence expansion cannot provide:
+`operators/weighted_minhash.py` handles INTEGER multiplicities by
+expanding (s, c) to c set elements; TF-normalized weights c/n (or any
+positive reals) have no such expansion, and ICWS samples an (element,
+level) pair per hash such that
+P[sample_A(i) == sample_B(i)] = J_w(A, B) EXACTLY — the collision
+probability IS the real-weight Jaccard, so the banding analysis of
+every other LSH path here applies verbatim.
+
+Construction (Ioffe 2010, §4, the standard ICWS sampler) per element
+s with weight w > 0 and hash index i, from deterministic per-(s, i)
+uniforms (the seeded affine/xxhash discipline — both sides of any
+join draw the SAME stream, so cross-side signatures are comparable by
+construction):
+
+    r ~ Gamma(2,1)   = −ln(u1·u2)
+    c ~ Gamma(2,1)   = −ln(u3·u4)
+    β ~ Uniform(0,1) = u5
+    t   = ⌊ln(w)/r + β⌋
+    ln a = ln(c) − r·(t + 1 − β)
+
+and the hash-i sample is the (s, t) of the minimal ln a; the
+signature component stored is xxhash64(s, t) (64-bit, band-foldable —
+only the identity of the winning (element, level) matters, exactly as
+MinHash stores a hash, not the element). The min is taken over a
+STRUCT (ln a, sig) so ties — probability-zero but partition-order
+visible — break deterministically at any parallelism.
+
+All of this is engine-internal floating point: ln/exp never cross to
+an oracle (the q_minhash_gate rule — sketches are gate-evidenced, the
+EXACT side oracles). The declared companion gate
+(`q_icws_gate`, slated r17) measures candidate recall against
+`operators/tf_jaccard.py`'s exact join with the oracle recomputing
+the exact pair set — the `q_weighted_minhash_gate` evidence pattern.
+
+Scale: the per-row work is 32 independent (ln, mul, floor, hash)
+chains — one map-only projection, whole-stage codegen, no UDF; the
+signature agg is one hash aggregate (map-side combinable min per
+component); candidates are the shared `dedup.band_rows` /
+`_band_candidates` equi-join; the verify is candidate-bounded and
+shared with the exact path (`tf_count_table_verify` — ONE definition,
+no drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.dedup import _band_candidates
+from food_panda_etl_spark.operators.tf_jaccard import (
+    tf_count_table_verify,
+)
+from food_panda_etl_spark.operators.weighted_jaccard import (
+    shingle_multiset_table,
+)
+
+#: 2^31 — the uniform grid; (hash mod 2^31 + 0.5) / 2^31 ∈ (0, 1)
+#: keeps every ln() argument strictly positive.
+_GRID = 1 << 31
+
+
+def _unit(element, i: int, j: int, seed: int):
+    """Deterministic Uniform(0,1) stream per (element, hash i, slot j)."""
+    h = F.xxhash64(element, F.lit(i * 8 + j), F.lit(seed))
+    return (F.pmod(h, F.lit(_GRID)).cast("double") + 0.5) / F.lit(
+        float(_GRID)
+    )
+
+
+def icws_signatures(
+    wt: DataFrame,
+    num_hashes: int = 32,
+    seed: int = 42,
+    id_col: str = "doc",
+    element_col: str = "shingle",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Per-doc ICWS signature (columns m0..m{k-1}) from a
+    (doc, element, w double) table with w > 0 — the weighted
+    counterpart of `dedup.minhash_from_shingles`, band-compatible with
+    `dedup.band_rows` by construction (64-bit components named mI).
+    Rows with NULL or non-positive weight are skipped (ln is undefined
+    there; a zero-weight element is not in the weighted set)."""
+    el = F.col(element_col)
+    lnw = F.log(F.col(weight_col).cast("double"))
+    cols = []
+    for i in range(num_hashes):
+        r = -(F.log(_unit(el, i, 1, seed)) + F.log(_unit(el, i, 2, seed)))
+        cg = -(F.log(_unit(el, i, 3, seed)) + F.log(_unit(el, i, 4, seed)))
+        beta = _unit(el, i, 5, seed)
+        t = F.floor(lnw / r + beta)
+        lna = F.log(cg) - r * (t.cast("double") + 1.0 - beta)
+        sig = F.xxhash64(el, t)
+        cols.append(
+            F.struct(lna.alias("a"), sig.alias("s")).alias(f"__h{i}")
+        )
+    hashed = (
+        wt.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(F.col(id_col).alias("doc"), *cols)
+    )
+    return hashed.groupBy("doc").agg(
+        *[
+            F.min(f"__h{i}").getField("s").alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def icws_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_a, doc_b, wi_scaled bigint, tf_jaccard double) — the pairs
+    with TF-normalized weighted n-gram Jaccard ≥ num/den found via
+    banded ICWS signatures, each verified EXACTLY against the count
+    tables (same output contract as `tf_jaccard_join`; equality up to
+    candidate recall — a true pair at similarity j is missed with
+    probability (1−j^r)^bands, the shared banding bound)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(
+            f"icws_lsh_pairs: need 0 < num <= den, got {num}/{den}"
+        )
+    shc = shingle_multiset_table(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )  # consumers: weights, sizes, verify
+    sizes = shc.groupBy("doc").agg(F.sum("c").cast("bigint").alias("__n"))
+    wt = shc.join(sizes, "doc").select(
+        "doc",
+        "shingle",
+        (F.col("c").cast("double") / F.col("__n").cast("double")).alias("w"),
+    )
+    sig = icws_signatures(wt, num_hashes, seed)
+    cand = _band_candidates(sig, num_hashes, bands)
+    return tf_count_table_verify(shc, cand, num, den)
