@@ -155,9 +155,13 @@ DECLARED_WINDOW = [
 # R17 ROTATION PLAN (arithmetic on the ACTUAL post-r16 evidence ages:
 # after this window re-records, the oldest standing evidence is the
 # 37 remaining r13-era keys — wall at r18 — then 39 r14-era — wall at
-# r19). NOTHING is age-mandatory at r17 itself. MANDATORY = whatever
-# tests/test_r17_oracle_previews.py preview-verifies (the guard FAILS
-# the build once WINDOW_ROUND reaches 17 without the declarations).
+# r19). NOTHING is age-mandatory at r17 itself. MANDATORY 4 = the r16
+# build-aheads preview-verified at sf0.001/0.01/0.1 in
+# tests/test_r17_oracle_previews.py — q_incremental_containment,
+# q_tf_jaccard, q_icws_gate, q_bloom_by_group (the guard FAILS the
+# build once WINDOW_ROUND reaches 17 without the declarations; the
+# tf/icws pair is one exact↔approximate component, so this is three
+# component families, inside the keep-the-bank-small guidance).
 # STRONGLY RECOMMENDED = the remaining 37-key r13 block, defusing the
 # r18 wall: q_binary_meta q_bpe_encode q_bpe_train q_corpus_stats
 # q_curriculum_mix q_domain_drift q_dsir_weight q_funnel
