@@ -591,3 +591,106 @@ def test_streaming_embed_copy_screen_equals_batch(spark, out_dir):
     finally:
         c_vec.unpersist()
         c_bands.unpersist()
+
+
+def test_streaming_incremental_containment_equals_batch(spark, out_dir):
+    """The streaming face of `operators/incremental_containment.py`
+    (the r16 build-ahead): the standing corpus is STATIC state — its
+    shingle index and df table are built ONCE
+    (`build_containment_state`) — and every arriving micro-batch of
+    new documents is screened for quote/subsumption against that
+    state as it lands (verdicts are per batch-doc — no cross-batch
+    state). The union of the per-batch verdicts must equal the batch
+    composite over the full arrival set AND the brute-force cross-side
+    inverted-index join — the ingestion-time containment gate,
+    versioned per batch_id so replays stay idempotent."""
+    import json as _json
+
+    from food_panda_etl_spark.operators.incremental_containment import (
+        build_containment_state,
+        incremental_containment_pairs,
+    )
+    from tests.test_incremental_containment import _brute_force
+
+    corpus_rows = [
+        (101, "alpha beta gamma delta epsilon zeta eta theta"),
+        (102, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        (103, "one two three four five six seven eight"),
+    ]
+    batches = [
+        # 6-token prefix quote of 101: both of its 5-gram shingles sit
+        # in 101 → containment 1
+        [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+         {"doc_id": 2, "text": "totally novel text with no shared grams"}],
+        # full quote of 102
+        [{"doc_id": 3,
+          "text": "lorem ipsum dolor sit amet consectetur adipiscing elit"}],
+        [{"doc_id": 4, "text": "another clean document arriving later here"}],
+    ]
+    src = os.path.join(out_dir, "in_ic")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i:03d}.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    c_sh, c_df = build_containment_state(corpus, "doc_id", "text", n=5)
+    c_sh, c_df = c_sh.cache(), c_df.cache()
+    c_sh.count(), c_df.count()
+    verdicts = os.path.join(out_dir, "ic_verdicts")
+
+    def screen_batch(df, batch_id):
+        out = incremental_containment_pairs(
+            None, df, "doc_id", "text", n=5,
+            threshold_num=4, threshold_den=5,
+            corpus_shingles=c_sh, corpus_df=c_df,
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(verdicts, f"v{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+        .writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "ic_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("availableNow replay exceeded 180 s")
+    finally:
+        q.stop()
+    try:
+        got = _rows(
+            spark.read.parquet(os.path.join(verdicts, "v*")),
+            ["doc_id", "contained_in", "inter", "containment"],
+        )
+        full = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for b in batches for r in b],
+            "doc_id long, text string",
+        )
+        want_composite = _rows(
+            incremental_containment_pairs(
+                None, full, "doc_id", "text", n=5,
+                threshold_num=4, threshold_den=5,
+                corpus_shingles=c_sh, corpus_df=c_df,
+            ),
+            ["doc_id", "contained_in", "inter", "containment"],
+        )
+        assert got == want_composite
+        want_exact = _rows(
+            _brute_force(corpus, full, 4, 5),
+            ["doc_id", "contained_in", "inter"],
+        )
+        assert [(a, b, i) for a, b, i, _ in got] == want_exact
+        # non-vacuous: doc 1 is a prefix quote of 101 (2/2 shingles),
+        # doc 3 a full quote of 102 (4/4); docs 2 and 4 are clean
+        assert got == [(1, 101, 2, 1.0), (3, 102, 4, 1.0)]
+    finally:
+        c_sh.unpersist()
+        c_df.unpersist()
