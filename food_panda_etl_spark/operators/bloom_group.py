@@ -82,6 +82,15 @@ def bloom_probe_by_group(
         raise ValueError(
             f"bloom_probe_by_group: probes lack group columns {missing}"
         )
+    # NOTE (review r16): this k-cell struct-array + explode expansion
+    # mirrors `bloom.bloom_probe`'s block. The shared `_exploded_cells`
+    # extraction byte-changes bloom.py, whose declared riders
+    # (q_bloom_filter/q_bloom_prefilter/q_bloom_fpr_gate) are outside
+    # the r16 window — the consolidation is DEFERRED to the round that
+    # windows them (the dedup gram-builder precedent), and until then
+    # `tests/test_bloom_group.py::test_matches_flat_probe_per_group`
+    # is the behavior pin: the grouped probe must equal the flat probe
+    # group-by-group, so the two expansions cannot silently drift.
     k = F.col(col)
     cells = F.array(*[
         F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))

@@ -42,11 +42,22 @@ _MIN_M_BITS = 1 << 16
 def derived_m_bits(n_shingles: int, k_hashes: int) -> int:
     """The sizing rule as code: m ≈ 1.44·k·n/ln2 bits for n distinct
     shingles (the `operators/bloom.py` optimum — ≈ 8.3·n at k=4),
-    rounded UP to a power of two, floored at 2^16 (a sketch can never
-    be cheaper than 8 KiB of broadcast, and tiny evals keep the old
-    fixture default)."""
-    want = 1.44 * k_hashes * max(n_shingles, 1) / math.log(2)
-    return max(_MIN_M_BITS, 1 << math.ceil(math.log2(want)))
+    rounded UP to k·2^⌈log2(want/k)⌉ — a power-of-two PER-ROW width,
+    so the result is always the multiple of k_hashes that bloom's
+    geometry validation requires (a pure power of two is rejected for
+    legal k = 3, 5, 6, 7 — review-caught r16) — floored at 2^16-ish
+    (a sketch can never be cheaper than ~8 KiB of broadcast, and tiny
+    evals keep the old fixture default) and CAPPED at the affine hash
+    grid (per-row width ≤ 2^19 < P = 1000003, the bloom family's own
+    ceiling): past ~250k eval shingles per hash row the screen
+    saturates and degrades gracefully toward the unscreened cost —
+    never toward a wrong answer (the one-sided contract is
+    size-independent)."""
+    want = max(
+        1.44 * k_hashes * max(n_shingles, 1) / math.log(2), _MIN_M_BITS
+    )
+    per_row = 1 << math.ceil(math.log2(want / k_hashes))
+    return k_hashes * min(per_row, 1 << 19)
 
 
 def bloom_screened_contamination(

@@ -63,6 +63,48 @@ def build_containment_state(
     return sh, sh.groupBy("shingle").agg(F.count("*").alias("__df"))
 
 
+def containment_probe_candidates(
+    corpus_shingles: DataFrame,
+    corpus_df: DataFrame,
+    batch_shingles: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """(doc_id, contained_in, n_a) distinct candidate pairs from the
+    batch-prefix × corpus-index probe — the pruning stage, public so
+    its VOLUME is testable (the `prefix_candidates` convention; the
+    refresh-regime claim "novel batch docs generate ZERO candidates"
+    is asserted HERE, not on the verified output, which would stay
+    empty even if the pruning silently regressed — review r16).
+    Batch prefixes rank by CORPUS df with corpus-absent shingles
+    first (df 0, empty posting lists)."""
+    num, den = int(threshold_num), int(threshold_den)
+    sizes = batch_shingles.groupBy("doc").agg(F.count("*").alias("n_a"))
+    ranked = (
+        batch_shingles.join(corpus_df, "shingle", "left")
+        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("__df", "shingle")
+            ),
+        )
+        .join(sizes, "doc")
+    )
+    # A-prefix length n_a − ⌈t·n_a⌉ + 1 on the integer grid (`div` —
+    # exact integer division, identical in Spark and DuckDB)
+    ceil_tn = F.expr(f"({num} * n_a + {den - 1}) div {den}")
+    pa = ranked.filter(F.col("__pos") <= F.col("n_a") - ceil_tn + 1).select(
+        F.col("doc").alias("doc_id"), "shingle", "n_a"
+    )
+    idx = corpus_shingles.select(F.col("doc").alias("contained_in"), "shingle")
+    return (
+        pa.join(idx, "shingle")
+        .select("doc_id", "contained_in", "n_a")
+        .distinct()
+    )
+
+
 def incremental_containment_pairs(
     corpus: DataFrame,
     batch: DataFrame,
@@ -119,33 +161,9 @@ def incremental_containment_pairs(
     b_sh = shingle_table(batch, id_col, text_col, n).localCheckpoint(
         eager=False
     )  # consumers: ranking, verify
-    sizes = b_sh.groupBy("doc").agg(F.count("*").alias("n_a"))
-    # rank by CORPUS df — left join so corpus-absent shingles keep
-    # df 0 and rank first (zero candidates for novel content)
-    ranked = (
-        b_sh.join(corpus_df, "shingle", "left")
-        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
-        .withColumn(
-            "__pos",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy("__df", "shingle")
-            ),
-        )
-        .join(sizes, "doc")
-    )
-    # A-prefix length n_a − ⌈t·n_a⌉ + 1 on the integer grid (`div` —
-    # exact integer division, identical in Spark and DuckDB)
-    ceil_tn = F.expr(f"({num} * n_a + {den - 1}) div {den}")
-    pa = ranked.filter(F.col("__pos") <= F.col("n_a") - ceil_tn + 1).select(
-        F.col("doc").alias("doc_id"), "shingle", "n_a"
-    )
-    idx = corpus_shingles.select(F.col("doc").alias("contained_in"), "shingle")
-    cand = (
-        pa.join(idx, "shingle")
-        .select("doc_id", "contained_in", "n_a")
-        .distinct()
-        .localCheckpoint(eager=False)  # two consumers: prune + verify
-    )
+    cand = containment_probe_candidates(
+        corpus_shingles, corpus_df, b_sh, num, den
+    ).localCheckpoint(eager=False)  # two consumers: prune + verify
     # prune the standing index to candidate corpus docs FIRST (broadcast
     # semi-join on 8-byte ids, bounded by batch size × posting hits) —
     # the verify shuffle then carries candidate-doc shingles only

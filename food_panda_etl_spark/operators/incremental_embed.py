@@ -212,22 +212,6 @@ def incremental_embed_neardup(
             )
         if dim is None:
             dim = _infer_dim(corpus, vec_col)
-        # checkpoint the projection: vectors and band index both read
-        # it, and without the pin the corpus is projected twice
-        src = _projected(corpus, id_col, vec_col).localCheckpoint(
-            eager=False
-        )
-        num_planes, bands = copy_screen_band_params(threshold, target_miss)
-        planes = _planes(dim, num_planes, seed)
-        corpus_vectors = src.select(
-            "id", "vec", F.sqrt(l2_norm_sq(F.col("vec"))).alias("norm")
-        )
-        corpus_bands = src.select(
-            "id",
-            F.posexplode(
-                _band_values_arrow(planes, bands)(F.col("vec"))
-            ).alias("band", "bb"),
-        )
     else:
         # prebuilt state: the state's geometry is the source of truth,
         # never the batch (ADVICE r16 — dim inferred from the batch
@@ -264,17 +248,37 @@ def incremental_embed_neardup(
                     f"match the supplied state's vectors (dim="
                     f"{state_dim})"
                 )
-        batch_dim = _infer_dim(batch, vec_col)
-        if batch_dim != state_dim:
-            raise ValueError(
-                f"incremental_embed_neardup: batch vectors have dim="
-                f"{batch_dim} but the corpus state was built at dim="
-                f"{state_dim} — the sign-LSH band values would be "
-                "incomparable (near-zero recall, no error)"
-            )
         dim = state_dim
+    # batch-dim guard on BOTH branches (review r16 — the from-corpus
+    # path used to die in an opaque Arrow matmul shape error instead)
+    batch_dim = _infer_dim(batch, vec_col)
+    if batch_dim != dim:
+        raise ValueError(
+            f"incremental_embed_neardup: batch vectors have dim="
+            f"{batch_dim} but the corpus side is dim={dim} — the "
+            "sign-LSH band values would be incomparable (near-zero "
+            "recall, no error)"
+        )
+    # ONE plane family for corpus state and batch probe (review r16:
+    # the from-corpus branch computed it separately — 2× the driver-
+    # side rng.gauss work for nothing, and a drift hazard)
     num_planes, bands = copy_screen_band_params(threshold, target_miss)
     planes = _planes(dim, num_planes, seed)
+    if corpus_vectors is None:
+        # checkpoint the projection: vectors and band index both read
+        # it, and without the pin the corpus is projected twice
+        src = _projected(corpus, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
+        corpus_vectors = src.select(
+            "id", "vec", F.sqrt(l2_norm_sq(F.col("vec"))).alias("norm")
+        )
+        corpus_bands = src.select(
+            "id",
+            F.posexplode(
+                _band_values_arrow(planes, bands)(F.col("vec"))
+            ).alias("band", "bb"),
+        )
     b_src = _projected(batch, id_col, vec_col).localCheckpoint(eager=False)
     b_bands = b_src.select(
         "id",

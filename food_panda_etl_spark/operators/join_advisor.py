@@ -161,16 +161,19 @@ def join_advice(
             f"join_advice: need 0 < skew_num <= skew_den, "
             f"got {skew_num}/{skew_den}"
         )
-    if skew_num * 64 < skew_den:
-        # heavy_hitters(fraction=1/64) reports ONLY keys above n/64:
-        # a finer skew bar would read top_cnt=0 for every key between
-        # the two fractions and never salt — fail loudly instead
-        # (ADVICE r16)
+    if skew_num * 64 <= skew_den:
+        # heavy_hitters(fraction=1/64) reports ONLY keys STRICTLY
+        # above n/64 while the salt test uses ≥, so a bar of exactly
+        # 1/64 still misses a key sitting exactly AT n/64 (the silent
+        # boundary mode review r16 caught in the first < form of this
+        # guard) — the bar must be strictly coarser than the candidate
+        # fraction. Fail loudly instead (ADVICE r16).
         raise ValueError(
-            f"join_advice: skew bar {skew_num}/{skew_den} is finer than "
-            f"the heavy-hitter candidate fraction 1/64 — keys between "
-            f"the two thresholds would be invisible (top_cnt=0, never "
-            f"salted); use skew_num/skew_den >= 1/64"
+            f"join_advice: skew bar {skew_num}/{skew_den} is not "
+            f"strictly coarser than the heavy-hitter candidate fraction "
+            f"1/64 — keys at or between the two thresholds would be "
+            f"invisible (top_cnt=0, never salted); use "
+            f"skew_num/skew_den > 1/64"
         )
     sk_a = (
         sketch_a

@@ -173,7 +173,12 @@ DECLARED_WINDOW = [
 # q_token_fertility q_triangle_count q_vendor_enrich (33 after the
 # four r16 fills above re-record; recount against the CORRECTNESS
 # union before pinning — see test_evidence_age). Remaining slots:
-# oldest-r14 fills.
+# oldest-r14 fills. IF the r15-era bloom keys (q_bloom_filter,
+# q_bloom_prefilter, q_bloom_fpr_gate) are windowed in some round,
+# take the deferred bloom.py `_exploded_cells` consolidation with
+# them (review r16 — bloom_group.py mirrors bloom_probe's cell
+# expansion; test_matches_flat_probe_per_group is the pin until
+# then).
 
 
 def _load_all() -> None:

@@ -108,13 +108,24 @@ def test_derived_m_bits_sizing_rule():
     eval shingle count instead of a fixed constant)."""
     from food_panda_etl_spark.operators.decontam_bloom import derived_m_bits
 
+    from food_panda_etl_spark.operators.bloom import _validate
+
     # tiny evals keep the old fixture default
     assert derived_m_bits(0, 4) == 1 << 16
     assert derived_m_bits(1000, 4) == 1 << 16
     # ~18k shingles at k=4 → 1.44·4·18000/ln2 ≈ 149k → 2^18
     assert derived_m_bits(18_000, 4) == 1 << 18
     # the bench_scale regime that degraded at a fixed 2^16: millions
-    # of shingles now size themselves (2M → 16.6M bits → 2^24)
-    assert derived_m_bits(2_000_000, 4) == 1 << 24
-    # power-of-two and monotone in n and k
+    # of shingles now size themselves — capped at the hash grid's
+    # per-row ceiling (width ≤ 2^19 < P), where the screen saturates
+    # gracefully instead of requesting an invalid geometry
+    assert derived_m_bits(2_000_000, 4) == 4 * (1 << 19)
+    # monotone in k
     assert derived_m_bits(100_000, 8) >= derived_m_bits(100_000, 4)
+    # every k in bloom's legal range gets a geometry _validate accepts
+    # (review-caught r16: a pure power of two is NOT a multiple of
+    # k = 3, 5, 6, 7)
+    for k in range(1, 9):
+        for n in (0, 1000, 50_000, 3_000_000):
+            m = derived_m_bits(n, k)
+            assert _validate(m, k) == m // k

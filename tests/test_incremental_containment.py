@@ -130,7 +130,15 @@ def test_novel_batch_docs_generate_zero_candidates(spark):
     """The refresh-regime property the corpus-df ranking buys: a batch
     doc sharing NO shingle with the corpus ranks its (corpus-absent,
     df 0) shingles first, every posting list is empty, and the probe
-    emits nothing — novel content costs only its own shingling."""
+    emits nothing — novel content costs only its own shingling. The
+    assertion is on the CANDIDATE stage, not the verified output
+    (which would stay empty even if the pruning silently regressed to
+    fact-sized candidate volume — review r16)."""
+    from food_panda_etl_spark.operators.dedup import shingle_table
+    from food_panda_etl_spark.operators.incremental_containment import (
+        containment_probe_candidates,
+    )
+
     corpus = spark.createDataFrame(
         [(1, "aa bb cc dd ee ff gg"), (2, "aa bb cc dd ee hh ii")],
         "doc_id long, text string",
@@ -138,6 +146,12 @@ def test_novel_batch_docs_generate_zero_candidates(spark):
     batch = spark.createDataFrame(
         [(10, "zz yy xx ww vv uu tt ss")], "doc_id long, text string"
     )
+    sh, dfq = build_containment_state(corpus, "doc_id", "text", n=2)
+    b_sh = shingle_table(batch, "doc_id", "text", 2)
+    assert (
+        containment_probe_candidates(sh, dfq, b_sh, 1, 2).count() == 0
+    )
+    # and the end-to-end output is empty too, of course
     out = incremental_containment_pairs(
         corpus, batch, "doc_id", "text", n=2,
         threshold_num=1, threshold_den=2,

@@ -156,13 +156,20 @@ def test_batch_dim_mismatch_raises(spark, sf_dir):
             None, bad_batch, threshold=_TAU,
             corpus_vectors=c_vec, corpus_bands=c_bands,
         )
-    # hand-built state (no metadata stamp — stripped explicitly; the
-    # stamp survives plain selects/aliases by design): the fallback
-    # probes the state's vectors instead
+    # hand-built state (no metadata stamp — stripped from BOTH frames;
+    # the stamp survives plain selects/aliases by design, and a
+    # one-sided strip would still read the other frame's geometry,
+    # review-caught r16): the fallback probes the state's vectors
     plain_vec = c_vec.withMetadata("vec", {})
+    plain_bands = c_bands.withMetadata("band", {})
     assert "threshold" not in (plain_vec.schema["vec"].metadata or {})
+    assert "threshold" not in (plain_bands.schema["band"].metadata or {})
     with pytest.raises(ValueError, match="batch vectors have dim=8"):
         incremental_embed_neardup(
             None, bad_batch, threshold=_TAU,
-            corpus_vectors=plain_vec, corpus_bands=c_bands,
+            corpus_vectors=plain_vec, corpus_bands=plain_bands,
         )
+    # and the FROM-CORPUS path raises the same friendly error instead
+    # of an opaque Arrow matmul shape failure (review r16)
+    with pytest.raises(ValueError, match="batch vectors have dim=8"):
+        incremental_embed_neardup(corpus, bad_batch, threshold=_TAU)

@@ -119,33 +119,43 @@ def test_prebuilt_summaries_match_raw_path(spark):
 
 
 def test_skew_bar_finer_than_hh_fraction_raises(spark):
-    """ADVICE r16: heavy_hitters(1/64) cannot see keys below n/64, so
-    a requested skew bar finer than 1/64 would silently read top_cnt=0
-    and never salt — it must raise instead."""
-    with pytest.raises(ValueError, match="finer than"):
+    """ADVICE r16: heavy_hitters(1/64) cannot see keys at or below
+    n/64 (its threshold is STRICT while the salt test uses >=), so a
+    requested skew bar at or finer than 1/64 would silently read
+    top_cnt=0 for boundary keys and never salt — it must raise
+    instead (the == case was the review-caught survivor of the first
+    < form of the guard)."""
+    with pytest.raises(ValueError, match="strictly coarser"):
         join_advice(
             _uniform(spark, 10), "k", _uniform(spark, 10), "k",
             skew_num=1, skew_den=128,
         )
-    # exactly 1/64 is the boundary and legal
+    with pytest.raises(ValueError, match="strictly coarser"):
+        join_advice(
+            _uniform(spark, 10), "k", _uniform(spark, 10), "k",
+            skew_num=1, skew_den=64,
+        )
+    # strictly coarser than 1/64 is legal
     join_advice(
         _uniform(spark, 10), "k", _uniform(spark, 10), "k",
-        skew_num=1, skew_den=64,
+        skew_num=1, skew_den=32,
     ).collect()
 
 
 def test_maintained_sketch_grid_mismatch_raises(spark):
     """ADVICE r16: a maintained sketch built at a different
     (width, depth) must throw at execution, not silently mis-estimate
-    cms_inner_product and the d=0 row counts."""
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
+    cms_inner_product and the d=0 row counts. The expected type is the
+    broad Exception on purpose: the in-plan assert fires either in a
+    task or inside broadcast materialization, and Spark wraps the two
+    differently (SparkRuntimeException vs a broadcast SparkException)
+    — the message is the stable contract."""
     from food_panda_etl_spark.operators.cms import cms_sketch
 
     a, b = _uniform(spark, 50000), _uniform(spark, 50000)
     # depth mismatch: built at depth=2, requested depth=4
     sk_wrong_d = cms_sketch(a, "k", width=1024, depth=2)
-    with pytest.raises(SparkRuntimeException, match="grid mismatch"):
+    with pytest.raises(Exception, match="grid mismatch"):
         join_advice(
             a, "k", b, "k", sketch_a=sk_wrong_d,
             width=1024, depth=4,
@@ -153,7 +163,7 @@ def test_maintained_sketch_grid_mismatch_raises(spark):
     # width mismatch: built WIDER (2048) than requested (1024) — the
     # one-sided max(b) screen is certain to catch it at 50k keys
     sk_wrong_w = cms_sketch(a, "k", width=2048, depth=4)
-    with pytest.raises(SparkRuntimeException, match="grid mismatch"):
+    with pytest.raises(Exception, match="grid mismatch"):
         join_advice(
             a, "k", b, "k", sketch_a=sk_wrong_w,
             width=1024, depth=4,
