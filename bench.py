@@ -223,10 +223,18 @@ HEADLINE = [
     # r15 additions
     "q_weighted_jaccard",
     "q_decontaminate_bloom",
+    # r16 additions: the incremental screens (fixed-batch refresh cost
+    # against standing state — built here per run, so the timing is the
+    # worst-case from-raw path), the asymmetric containment join, and
+    # the bounded edit-distance join.
+    "q_incremental_neardup",
+    "q_incremental_embed_neardup",
+    "q_containment_join",
+    "q_edit_distance_join",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 114 of the 165
-# declared keys are timed above. The 51 excluded, by category:
+# Bench coverage accounting (VERDICT r6 task 7): 118 of the 170
+# declared keys are timed above. The 52 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —
 #     q_project q_ceil_div q_case_when q_null_handling q_epoch_cast
@@ -236,7 +244,7 @@ HEADLINE = [
 #     q_udaf q_to_json q_exists_subquery q_intersect q_except — each
 #     family keeps a timed representative (q_sort_multi, q_filter_range,
 #     q_tpch_q1/q3/q5/q6, q_lag_lead, q_union_all, q_scalar_subquery);
-# (b) 12 approx variants + their gates where the timed key is a strict
+# (b) 13 approx variants + their gates where the timed key is a strict
 #     superset or the gate itself runs the variant plus its exact
 #     reference — q_approx_distinct(+_gate) q_cosine_topk_lsh
 #     q_cosine_lsh_gate q_ivf_topk q_ivf_gate q_embed_neardup_lsh
@@ -246,6 +254,8 @@ HEADLINE = [
 #     cost shape; q_hll_intersect_gate joins this family r14 (three
 #     sketches + the exact countDistinct reference in one query;
 #     q_hll_counts/q_hll_windowed time the sketch-build cost), and
+#     q_weighted_minhash_gate joins this family r16 (it runs the timed
+#     q_weighted_jaccard's exact side PLUS the banded path), and
 #     q_join_advice joins it r15 (three advised pairs whose cost is the
 #     already-timed CMS-build class over ≤ W·D-row frames plus scalar
 #     broadcasts — the timed q_cms_join_size carries the same sketch
