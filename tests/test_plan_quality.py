@@ -648,7 +648,7 @@ def test_kcore_rounds_are_key_joins_only(spark, sf_dir):
 
 
 def test_incremental_neardup_probe_is_equi_and_prune_broadcasts(spark, sf_dir):
-    """The r15 incremental near-dup screen (r16 preview): the corpus
+    """The incremental near-dup screen (declared r16): the corpus
     probe must be pure equi-joins (band index + verify) with the
     candidate-doc prune a BROADCAST semi-join — never a cartesian or
     nested-loop node, so a refresh never pays a corpus-wide non-keyed
@@ -676,7 +676,7 @@ def test_incremental_neardup_probe_is_equi_and_prune_broadcasts(spark, sf_dir):
 
 
 def test_weighted_minhash_path_is_equi_only(spark, sf_dir):
-    """The weighted MinHash LSH path (r16 preview): banded candidates
+    """The weighted MinHash LSH path (declared r16 via its gate): banded candidates
     and the count-table verify are equi-joins end to end — no
     cartesian, no nested loop."""
     from food_panda_etl_spark.operators.weighted_minhash import (
@@ -694,7 +694,7 @@ def test_weighted_minhash_path_is_equi_only(spark, sf_dir):
 
 
 def test_incremental_embed_probe_is_equi_and_prune_broadcasts(spark, sf_dir):
-    """The embedding copy screen (r16 preview): band probe and verify
+    """The embedding copy screen (declared r16): band probe and verify
     are equi-joins, the corpus-vector prune broadcasts, and no
     cartesian/nested-loop node anywhere (the Arrow matmul is the only
     Python boundary by design)."""
@@ -744,7 +744,7 @@ def test_edit_join_long_path_equi_short_bucket_bounded(spark, sf_dir):
 
 
 def test_containment_join_is_equi_only(spark, sf_dir):
-    """The containment join (r16 preview): A-prefix × full-index probe
+    """The containment join (declared r16): A-prefix × full-index probe
     and the candidates-only verify are equi-joins end to end — no
     cartesian, no nested loop, and the per-doc rank window is the only
     Window (doc-partitioned, never a global sort)."""
