@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pytest
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.dedup import shingle_table
@@ -191,3 +193,68 @@ def test_partial_state_raises(spark):
         incremental_containment_pairs(
             None, None, "doc_id", "text", threshold_num=0
         )
+
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from("abcdefg"), min_size=1, max_size=10
+    ),  # words from a 7-token vocabulary → heavy cross-side overlap
+    min_size=2,
+    max_size=10,
+)
+
+
+@SET
+@given(
+    docs=docs_strategy,
+    thr=st.sampled_from([(1, 2), (4, 5), (1, 1)]),
+)
+def test_equals_brute_force_random_docs(spark, docs, thr):
+    """Random short documents over a tiny vocabulary, alternating ids
+    split corpus/batch: duplicate docs (containment 1), subset docs,
+    empty-shingle docs, and thresholds landing exactly on the integer
+    prefix boundary. Output must equal the brute-force cross-side
+    inverted-index join for every threshold — at n=1 grams so the
+    overlap structure is dense and adversarial."""
+    num, den = thr
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    got = sorted(
+        map(
+            tuple,
+            incremental_containment_pairs(
+                corpus, batch, "doc_id", "text", n=1,
+                threshold_num=num, threshold_den=den,
+            )
+            .select("doc_id", "contained_in", "inter")
+            .collect(),
+        )
+    )
+    bsh = shingle_table(batch, "doc_id", "text", 1)
+    csh = shingle_table(corpus, "doc_id", "text", 1)
+    na = bsh.groupBy("doc").agg(F.count("*").alias("n_a"))
+    want = sorted(
+        map(
+            tuple,
+            bsh.alias("a")
+            .join(csh.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+            .groupBy(
+                F.col("a.doc").alias("doc_id"),
+                F.col("b.doc").alias("contained_in"),
+            )
+            .agg(F.count("*").cast("bigint").alias("inter"))
+            .join(na.withColumnRenamed("doc", "doc_id"), "doc_id")
+            .filter(F.col("inter") * den >= num * F.col("n_a"))
+            .select("doc_id", "contained_in", "inter")
+            .collect(),
+        )
+    )
+    assert got == want
