@@ -760,3 +760,115 @@ def test_containment_join_is_equi_only(spark, sf_dir):
     )
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
+
+
+def test_incremental_containment_probe_is_equi_and_prune_broadcasts(
+    spark, sf_dir
+):
+    """The incremental containment screen (r17 preview): the df-ranked
+    prefix probe against the corpus index and the candidates-only
+    verify are equi-joins, the candidate-doc prune is a BROADCAST
+    semi-join, the prefix rank window is doc-partitioned (never a
+    global sort), and no cartesian/nested-loop node appears — a
+    refresh never pays a corpus-wide non-keyed pass."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.incremental_containment import (
+        incremental_containment_pairs,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    df = incremental_containment_pairs(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=5,
+        threshold_num=4,
+        threshold_den=5,
+    )
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.broadcast_joins >= 1  # the candidate-doc semi-join prune
+    plan = explain_formatted(df)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^,]*)", plan):
+        assert " ASC" not in spec and " DESC" not in spec, (
+            "global (partition-less) window in the prefix rank"
+        )
+
+
+def test_tf_jaccard_is_equi_only_and_jvm_side(spark, sf_dir):
+    """The TF-weighted Jaccard join (r17 preview): weighted prefixes,
+    candidates, and the count-table verify are equi-joins end to end,
+    the cumulative-mass window is doc-partitioned, and the whole plan
+    stays JVM-side (no Python nodes)."""
+    from food_panda_etl_spark.operators.tf_jaccard import tf_jaccard_join
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    df = tf_jaccard_join(
+        d, "doc_id", "text", n=3, threshold_num=7, threshold_den=10
+    )
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    plan = explain_formatted(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_icws_sampler_is_jvm_side_codegen(spark, sf_dir):
+    """The ICWS path (r17 preview): the per-row sampler is pure SQL
+    expressions (xxhash64 + ln chains) — NO Python boundary anywhere
+    in the plan, unlike most 'weighted sampling' implementations —
+    and the band/verify joins are equi-only."""
+    from food_panda_etl_spark.operators.icws import icws_lsh_pairs
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    df = icws_lsh_pairs(
+        d, "doc_id", "text", n=3, threshold_num=7, threshold_den=10
+    )
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    plan = explain_formatted(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_bloom_group_probe_is_one_equi_join(spark, sf_dir):
+    """The grouped Bloom probe (r17 preview): ONE equi-join on
+    (*group, j, b) plus the per-probe agg — no cartesian, no nested
+    loop, no Python; the sketch side is geometry-bounded
+    (groups × m rows), never fact-sized."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.bloom import bloom_sketch
+    from food_panda_etl_spark.operators.bloom_group import (
+        bloom_probe_by_group,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = bloom_sketch(
+        li, "l_partkey", m_bits=4096, k_hashes=4,
+        group_cols=("l_returnflag",),
+    )
+    probes = (
+        li.select("l_returnflag").distinct()
+        .crossJoin(spark.range(100).select(F.col("id").alias("k")))
+    )
+    df = bloom_probe_by_group(
+        sk, probes, "k", ("l_returnflag",), m_bits=4096, k_hashes=4
+    )
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 1  # the 3-row flag × 100-key probe grid
+    plan = explain_formatted(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
