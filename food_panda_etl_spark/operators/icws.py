@@ -95,8 +95,11 @@ def icws_signatures(
         u1, u2 = _units(el, i, 1, seed)
         u3, u4 = _units(el, i, 2, seed)
         u5, _ = _units(el, i, 3, seed)
-        r = -(F.log(u1) + F.log(u2))
-        cg = -(F.log(u3) + F.log(u4))
+        # Gamma(2,1) as −ln(u·v): ONE ln of the product instead of two
+        # (u, v ∈ (2^−32, 1] so the product cannot underflow; the hot
+        # loop drops from 5 to 3 ln per (element, hash))
+        r = -F.log(u1 * u2)
+        cg = -F.log(u3 * u4)
         beta = u5
         t = F.floor(lnw / r + beta)
         lna = F.log(cg) - r * (t.cast("double") + 1.0 - beta)
