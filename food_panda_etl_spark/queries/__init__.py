@@ -178,7 +178,16 @@ DECLARED_WINDOW = [
 # take the deferred bloom.py `_exploded_cells` consolidation with
 # them (review r16 — bloom_group.py mirrors bloom_probe's cell
 # expansion; test_matches_flat_probe_per_group is the pin until
-# then).
+# then). r18 BANK CANDIDATES (keep it at 2-3), from the inventory's
+# remaining symmetry gaps: a trailing-WINDOW Bloom query
+# (bloom_merge_groups already proves the re-bucketing combine and the
+# streamed state face — no declared query asks the "seen in the last
+# N days?" question yet); an approximate/incremental face for the
+# TF-weighted family (ICWS band index as maintained state probed by a
+# refresh batch — the machinery now exists on both the text and
+# embedding sides); a windowed/grouped priority-sample or a
+# per-group quantile-bucket refresh if the verdict prefers sampling
+# symmetry.
 
 
 def _load_all() -> None:
