@@ -54,6 +54,34 @@ from food_panda_etl_spark.operators.cms import (
 from food_panda_etl_spark.operators.sketch_checks import check_merge_columns
 
 
+def _exploded_cells(
+    df: DataFrame,
+    col: str,
+    k_hashes: int,
+    width: int,
+    keep: list[str],
+) -> DataFrame:
+    """``keep`` columns + one (j, b) row per hash of ``col`` — the
+    k-cell struct-array + explode expansion shared by the build and
+    BOTH probes (flat `bloom_probe` and the grouped
+    `bloom_group.bloom_probe_by_group`). ONE definition (review r16:
+    the grouped probe mirrored this block; the consolidation was
+    deferred to the round that windows bloom.py's declared keys —
+    landed r17, and `tests/test_bloom_group.py::
+    test_matches_flat_probe_per_group` keeps pinning the grouped ==
+    flat-per-group equivalence as the behavior check)."""
+    k = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))
+        for j in range(k_hashes)
+    ])
+    return df.select(*keep, F.explode(cells).alias("__c")).select(
+        *keep,
+        F.col("__c.j").alias("j"),
+        F.col("__c.b").alias("b"),
+    )
+
+
 def bloom_sketch(
     df: DataFrame,
     col: str,
@@ -77,17 +105,15 @@ def bloom_sketch(
             "first (ADVICE r12: an unguarded build side yields duplicate "
             "column names that only fail far from the cause)"
         )
-    k = F.col(col)
-    cells = F.array(*[
-        F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))
-        for j in range(k_hashes)
-    ])
     return (
-        df.filter(k.isNotNull())
-        .select(*[F.col(c) for c in group_cols], F.explode(cells).alias("__c"))
-        .groupBy(
-            *group_cols, F.col("__c.j").alias("j"), F.col("__c.b").alias("b")
+        _exploded_cells(
+            df.filter(F.col(col).isNotNull()),
+            col,
+            k_hashes,
+            width,
+            list(group_cols),
         )
+        .groupBy(*group_cols, "j", "b")
         .agg(F.lit(1).cast("int").alias("set"))
     )
 
@@ -182,18 +208,7 @@ def bloom_probe(
             f"bloom_probe: probe columns {clash} collide with the "
             "sketch's reserved (j, b, set) / __c temp — rename them first"
         )
-    k = F.col(col)
-    cells = F.array(*[
-        F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))
-        for j in range(k_hashes)
-    ])
-    exploded = probes.select(
-        *probes.columns, F.explode(cells).alias("__c")
-    ).select(
-        *probes.columns,
-        F.col("__c.j").alias("j"),
-        F.col("__c.b").alias("b"),
-    )
+    exploded = _exploded_cells(probes, col, k_hashes, width, probes.columns)
     hits = exploded.join(F.broadcast(sketch), ["j", "b"], "left")
     return (
         hits.groupBy(*probes.columns)

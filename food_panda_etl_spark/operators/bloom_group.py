@@ -37,8 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.bloom import _validate
-from food_panda_etl_spark.operators.cms import _cell
+from food_panda_etl_spark.operators.bloom import _exploded_cells, _validate
 
 
 def bloom_probe_by_group(
@@ -82,27 +81,11 @@ def bloom_probe_by_group(
         raise ValueError(
             f"bloom_probe_by_group: probes lack group columns {missing}"
         )
-    # NOTE (review r16): this k-cell struct-array + explode expansion
-    # mirrors `bloom.bloom_probe`'s block. The shared `_exploded_cells`
-    # extraction byte-changes bloom.py, whose declared riders
-    # (q_bloom_filter/q_bloom_prefilter/q_bloom_fpr_gate) are outside
-    # the r16 window — the consolidation is DEFERRED to the round that
-    # windows them (the dedup gram-builder precedent), and until then
-    # `tests/test_bloom_group.py::test_matches_flat_probe_per_group`
-    # is the behavior pin: the grouped probe must equal the flat probe
-    # group-by-group, so the two expansions cannot silently drift.
-    k = F.col(col)
-    cells = F.array(*[
-        F.struct(F.lit(j).alias("j"), _cell(k, j, width).alias("b"))
-        for j in range(k_hashes)
-    ])
-    exploded = probes.select(
-        *probes.columns, F.explode(cells).alias("__c")
-    ).select(
-        *probes.columns,
-        F.col("__c.j").alias("j"),
-        F.col("__c.b").alias("b"),
-    )
+    # ONE cell expansion for build + both probes (`bloom._exploded_cells`
+    # — the r16-deferred consolidation, landed r17 with bloom.py's keys
+    # in the window; test_matches_flat_probe_per_group remains as the
+    # grouped == flat-per-group behavior check).
+    exploded = _exploded_cells(probes, col, k_hashes, width, probes.columns)
     # null-safe on the group keys (NULL group == NULL group, the
     # bloom_sketch grouping contract), plain equi on the cell keys
     on = [exploded[g].eqNullSafe(sketch[g]) for g in group_cols] + [

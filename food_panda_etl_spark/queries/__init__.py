@@ -67,129 +67,119 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order matches it, so a planned rotation that fails to land in code
 # fails loudly instead of silently (round 8 shipped zero commits because
 # the plan lived only in a comment).
-WINDOW_ROUND = 16
+WINDOW_ROUND = 17
 
 DECLARED_WINDOW = [
-    # 1-5 NEW in r16: the five r15 build-ahead components' first
+    # 1-4 NEW in r17: the four r16 build-ahead components' first
     # driver evidence — bodies and oracle strings moved VERBATIM from
-    # tests/test_r16_oracle_previews.py (now registry-driven, the
-    # r10/r12/r13/r14/r15 convention) into queries/incremental_ops.py,
-    # where they were pre-verified at sf0.001/0.01/0.1 through the
-    # driver's own compare harness.
-    "q_incremental_neardup",
-    "q_incremental_embed_neardup",
-    "q_weighted_minhash_gate",
-    "q_containment_join",
+    # tests/test_r17_oracle_previews.py (now registry-driven, the
+    # r10..r16 convention) into queries/weighted_ops.py, where they
+    # were pre-verified at sf0.001/0.01/0.1 through the driver's own
+    # compare harness.
+    "q_incremental_containment",
+    "q_tf_jaccard",
+    "q_icws_gate",
+    "q_bloom_by_group",
+    # 5 NEW in r17: the trailing-window Bloom membership query
+    # (VERDICT r16 task 3 / registry r18-bank head, pulled forward) —
+    # "seen in the last N days?" answered from per-day Bloom state
+    # OR-merged via bloom_merge_groups, the q_cms_windowed /
+    # q_hll_windowed convention applied to the membership family
+    # (queries/weighted_ops.py, oracle replays the OR-merged bit
+    # table).
+    "q_bloom_window",
+    # 6-7 ADVICE-r17 byte-change riders: operators/edit_join.py (the
+    # eager-collect guard skip) and operators/join_advisor.py (the
+    # deterministic driver-side grid check) byte-change this round, so
+    # their declared keys re-record (file-granular evidence rule; call
+    # graph: incremental_ops.py:312 and scale_ops.py:218 are their
+    # only query-body callers).
     "q_edit_distance_join",
-    # 6-41 the FULL 36-key r12 block (recounted against the
-    # CORRECTNESS r01-r15 union this round — the ACTUAL r12-latest
-    # set, which differs from the r15 plan comment's guess: it
-    # includes q_histogram/q_percentile/q_unpivot/q_group_sample/
-    # q_random_projection/q_skew_agg/q_hll_by_group/q_hll_xxhash_gate
-    # and excludes the r13-era graph/funnel keys the comment listed).
-    # Nothing is age-mandatory at r16 itself; spending the slots here
-    # defuses the r17 age wall entirely (VERDICT r15 task 2).
-    "q_anti_join",
-    "q_asof_join",
-    "q_cube",
-    "q_except",
-    "q_exists_subquery",
-    "q_group_sample",
-    "q_grouping_sets",
-    "q_histogram",
-    "q_hll_by_group",
-    "q_hll_xxhash_gate",
-    "q_intersect",
-    "q_interval_join",
-    "q_join_1n_agg",
-    "q_lag_lead",
-    "q_math_funcs",
-    "q_nullsafe_join",
-    "q_pagerank",
-    "q_percentile",
-    "q_pivot",
-    "q_random_projection",
-    "q_range_join",
-    "q_rank",
-    "q_regex_extract",
-    "q_rollup",
-    "q_running_sum",
-    "q_semi_join",
-    "q_session_window",
-    "q_skew_agg",
-    "q_skew_join",
-    "q_sliding_window",
-    "q_topk_per_group",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tumbling_window",
-    "q_union_all",
-    "q_unpivot",
-    # 42-44 the sketch.py / sketch_extras.py dm-fragment consolidation
-    # riders (VERDICT r15 task 5): both files byte-change this round
-    # (the duplicated (d, A_d, B_d) VALUES builders consolidate onto
-    # operators/cms.py's shared oracle_dm_sql family), so ALL their
-    # declared keys re-record. Four are r12-era and already above
-    # (q_group_sample, q_hll_by_group, q_hll_xxhash_gate,
-    # q_random_projection); these are the r13-era remainder:
-    "q_cms_counts",
-    "q_cms_windowed",
-    "q_group_heavy_hitters",
-    # 45-46 hardening byte-change riders (VERDICT r15 tasks 3-4 +
-    # ADVICE r16): operators/decontam_bloom.py (derived m_bits
-    # default) and operators/join_advisor.py (maintained-sketch
-    # geometry validation + skew-bar check) byte-change this round,
-    # so their r15-era keys re-record. (operators/edit_join.py and
-    # operators/incremental_embed.py also byte-change for their
-    # ADVICE guards — their only keys are #5 and #2 above.)
-    "q_decontaminate_bloom",
     "q_join_advice",
-    # 47-50 oldest-r13 fills (no byte-change — evidence refresh toward
-    # the r18 wall; cheap keys so the driver window stays fast).
-    "q_token_count",
-    "q_priority_sample",
-    "q_fingerprint",
-    "q_array_explode",
+    # 8-11 the bloom.py `_exploded_cells` consolidation riders
+    # (VERDICT r15/r16 deferred item, taken NOW because q_bloom_window
+    # lands in the same family): operators/bloom.py and
+    # operators/bloom_group.py byte-change, so every declared key
+    # whose body calls bloom.py functions re-records — the three
+    # scale_sketches.py keys plus q_decontaminate_bloom
+    # (decontam_bloom.py imports bloom_sketch/bloom_prefilter) plus
+    # q_bloom_by_group (already #4; bloom_group.py calls _validate).
+    # test_matches_flat_probe_per_group's pin retires with the
+    # consolidation.
+    "q_bloom_filter",
+    "q_bloom_prefilter",
+    "q_bloom_fpr_gate",
+    "q_decontaminate_bloom",
+    # 12-44 the FULL remaining 33-key r13 block (recounted against the
+    # CORRECTNESS r01-r16 union this round — exactly these 33 carry
+    # r13-latest evidence post-r16), defusing the r18 age wall
+    # entirely (VERDICT r16 task 2). No byte-changes to their files —
+    # evidence refresh only.
+    "q_binary_meta",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_corpus_stats",
+    "q_curriculum_mix",
+    "q_domain_drift",
+    "q_dsir_weight",
+    "q_funnel",
+    "q_heavy_hitters",
+    "q_hll_counts",
+    "q_kmeans",
+    "q_labelprop",
+    "q_langid",
+    "q_lm_score",
+    "q_nfc_normalize",
+    "q_padding_waste",
+    "q_pii_redact",
+    "q_pmi",
+    "q_pps_stratified",
+    "q_quality_classifier",
+    "q_quality_score",
+    "q_repetition",
+    "q_retention",
+    "q_select_pipeline",
+    "q_select_stratified",
+    "q_semantic_dedup",
+    "q_sessionize",
+    "q_text_clean",
+    "q_tfidf",
+    "q_token_count_bpe",
+    "q_token_fertility",
+    "q_triangle_count",
+    "q_vendor_enrich",
+    # 45-50 oldest-r14 fills (no byte-change — evidence refresh toward
+    # the r19 wall; cheap keys so the driver window stays fast).
+    "q_array_size",
+    "q_map_funcs",
+    "q_vector_norm",
+    "q_train_split",
+    "q_shuffle_order",
+    "q_pps_sample",
 ]
 
-# R17 ROTATION PLAN (arithmetic on the ACTUAL post-r16 evidence ages:
+# R18 ROTATION PLAN (arithmetic on the ACTUAL post-r17 evidence ages:
 # after this window re-records, the oldest standing evidence is the
-# 37 remaining r13-era keys — wall at r18 — then 39 r14-era — wall at
-# r19). NOTHING is age-mandatory at r17 itself. MANDATORY 4 = the r16
-# build-aheads preview-verified at sf0.001/0.01/0.1 in
-# tests/test_r17_oracle_previews.py — q_incremental_containment,
-# q_tf_jaccard, q_icws_gate, q_bloom_by_group (the guard FAILS the
-# build once WINDOW_ROUND reaches 17 without the declarations; the
-# tf/icws pair is one exact↔approximate component, so this is three
-# component families, inside the keep-the-bank-small guidance).
-# STRONGLY RECOMMENDED = the remaining 37-key r13 block, defusing the
-# r18 wall: q_binary_meta q_bpe_encode q_bpe_train q_corpus_stats
-# q_curriculum_mix q_domain_drift q_dsir_weight q_funnel
-# q_heavy_hitters q_hll_counts q_kmeans q_labelprop q_langid
-# q_lm_score q_nfc_normalize q_padding_waste q_pii_redact q_pmi
-# q_pps_stratified q_quality_classifier q_quality_score q_repetition
-# q_retention q_select_pipeline q_select_stratified q_semantic_dedup
-# q_sessionize q_text_clean q_tfidf q_token_count_bpe
-# q_token_fertility q_triangle_count q_vendor_enrich (33 after the
-# four r16 fills above re-record; recount against the CORRECTNESS
-# union before pinning — see test_evidence_age). Remaining slots:
-# oldest-r14 fills. IF the r15-era bloom keys (q_bloom_filter,
-# q_bloom_prefilter, q_bloom_fpr_gate) are windowed in some round,
-# take the deferred bloom.py `_exploded_cells` consolidation with
-# them (review r16 — bloom_group.py mirrors bloom_probe's cell
-# expansion; test_matches_flat_probe_per_group is the pin until
-# then). r18 BANK CANDIDATES (keep it at 2-3), from the inventory's
-# remaining symmetry gaps: a trailing-WINDOW Bloom query
-# (bloom_merge_groups already proves the re-bucketing combine and the
-# streamed state face — no declared query asks the "seen in the last
-# N days?" question yet); an approximate/incremental face for the
-# TF-weighted family (ICWS band index as maintained state probed by a
-# refresh batch — the machinery now exists on both the text and
-# embedding sides); a windowed/grouped priority-sample or a
-# per-group quantile-bucket refresh if the verdict prefers sampling
-# symmetry.
-
-
+# 33 remaining r14-era keys — wall at r19 — then 48 r15-era — wall at
+# r20). NOTHING is age-mandatory at r18 itself, but the 33-key r14
+# remainder SHOULD be windowed at r18 to defuse the r19 wall:
+# q_ann_recall q_approx_distinct_gate q_bm25 q_chunk_text
+# q_cms_join_size q_cosine_lsh_gate q_cosine_topk q_cosine_topk_lsh
+# q_embed_centroid q_embed_lsh_gate q_embed_neardup
+# q_embed_neardup_lsh q_embed_outlier q_hll_intersect_gate
+# q_hybrid_rrf q_image_decode q_image_resize q_incremental_agg
+# q_ivf_gate q_ivf_topk q_jpeg_decode q_mix_to_target q_pack_chunks
+# q_partition_prune q_png_decode q_quantize_embed q_snapshot_diff
+# q_stratified_sample q_temperature_mix q_to_json q_train_split*
+# q_udaf q_upsert q_zorder (* minus whatever r17 refreshed — recount
+# against the union before pinning; see test_evidence_age).
+# MANDATORY = whatever r17 banks in tests/test_r18_oracle_previews.py
+# (guard-enforced): the ICWS maintained-state incremental face
+# (q_incremental_icws — band index as state probed by a refresh
+# batch, completing the incremental symmetry for real weights) and
+# ONE sampling-symmetry candidate (grouped priority-sample refresh or
+# per-group quantile-bucket), per VERDICT r16 task 4's 2-3-family
+# guidance. Remaining slots: oldest-r15 fills.
 def _load_all() -> None:
     # Import side effects populate the registries. ORDER MATTERS: the
     # correctness driver records only the first N (~50) registered
@@ -226,6 +216,7 @@ def _load_all() -> None:
         cross_sketches,
         scale_ops,
         incremental_ops,
+        weighted_ops,
     )
 
     # (r15: q_jaccard_prefix_join's oracle now lives in its decorator —

@@ -1,67 +1,49 @@
-"""r17 declaration previews: the r16 build-ahead operators' future
-declared queries, run against their EXACT intended DuckDB oracle SQL
-through the same compare harness the driver uses — everything but the
-registry entries (which must wait for the r17 window per the rotation
-contract). When r17 declares them, the bodies and oracle strings move
-VERBATIM into a queries/ module and this file is rewritten
-registry-driven (the r10–r16 convention, ENFORCED by
-tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
-— these ``*_preview`` functions fail the build if WINDOW_ROUND reaches
-17 without the declarations landing).
+"""r17 declarations, registry-driven: the four r16 build-ahead
+components' query bodies and oracle strings moved VERBATIM from this
+file's r16 preview form into `queries/weighted_ops.py` (per the
+rotation contract), so this file now exercises the DECLARED registry
+entries — the exact (body, oracle) pairs the driver records — through
+the same compare harness at two scale factors, instead of duplicating
+the bodies. The trailing-window Bloom membership query
+(`q_bloom_window`, VERDICT r16 task 3 — declared the same round it
+was built, no preview generation) is exercised here too.
 
-Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning):
-- incremental containment n=5, τ=4/5 over the corpus/batch split
-  (doc_id%10, +1e6 injection of corpus%7 docs — the
-  q_incremental_neardup shape): the operator is EXACT (prefix
-  completeness, no LSH miss), so the oracle is the brute-force
-  cross-side inverted-index SQL and the hash-match IS the cross-side
-  containment completeness theorem; corpus-absent batch shingles rank
-  first (df 0 → empty posting lists), so novel batch docs cost zero
-  candidates;
-- TF-normalized weighted Jaccard n=3, τ=7/10: the real-weight regime
-  (w_s = c_s/n — no occurrence expansion can express 1/n), exact via
-  the integer cross-multiplied form wi = Σ min(c_a·n_b, c_b·n_a) with
-  J_tf = wi/(2·n_a·n_b − wi); the oracle is the brute-force count-join
-  so the hash-match IS the WEIGHTED prefix-filter completeness theorem
-  (mass-form keep rule, `operators/tf_jaccard.py`);
-- ICWS gate n=3, τ=7/10, r=2 b=16 (Ioffe 2010 real-weight consistent
-  weighted sampling): measured recall 1.0 at the verified SFs (the
-  fixture pairs sit at J_tf ≈ 0.8–0.98 where the banding miss is
-  ≤ 1e-5); floor pinned at 0.90, the q_weighted_minhash_gate
-  convention (oracle recomputes the EXACT real-weight pair set:
-  count + integer pair checksum + pinned meets_target=1);
-- group-wise Bloom m=2^16, k=4 over (l_returnflag, l_partkey), probes
-  = flags × [0, 2000): per-group membership with the per-group bit
-  replay — deterministic affine cells, so maybe_present, the exact
-  truly_present, and the never_miss audit all hash-match bit-for-bit
-  (the q_bloom_filter convention with the group threaded through
-  every stage, `operators/bloom_group.py`).
+The ONE-definition pins also live here: the incremental-containment
+brute-force oracle must replay `SHINGLE5_CTE_SQL` (the distinct
+replay owned by operators/overlap_join.py) and the TF-weighted
+Jaccard / ICWS-gate exact sides must replay
+`shingle_multiset_cte_sql(3)` (the multiset replay owned by
+operators/weighted_jaccard.py) — drift between a pruning/screening
+scheme's oracle and the brute-force form would silently weaken the
+completeness theorems. The two Bloom verdict-table oracles must build
+on `oracle_bloom_dm_sql` (the family dm replay) so the bit cells
+cannot drift from the engine's affine family.
+
+Pinned constants (measured at sf0.001/sf0.01/sf0.1 before pinning,
+r16 — see queries/weighted_ops.py for the realized numbers).
 """
 
 from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from food_panda_etl_spark.operators.bloom import oracle_bloom_dm_sql
-from food_panda_etl_spark.operators.cms import _P
 from food_panda_etl_spark.operators.overlap_join import SHINGLE5_CTE_SQL
 from food_panda_etl_spark.operators.weighted_jaccard import (
     shingle_multiset_cte_sql,
 )
-from food_panda_etl_spark.tables import load_table
+from food_panda_etl_spark.queries import ORACLES, QUERIES
 from tests.oracle_compare import compare
 
 _SF01 = "/root/testdata/sf0.01"
 
-_IC_NUM, _IC_DEN = 4, 5
-
-_TF_NUM, _TF_DEN = 7, 10
-_ICWS_TARGET = 0.90
-
-_BG_M, _BG_K, _BG_PROBES = 1 << 16, 4, 2000
-_BG_WIDTH = _BG_M // _BG_K
+_R17_NEW = [
+    "q_incremental_containment",
+    "q_tf_jaccard",
+    "q_icws_gate",
+    "q_bloom_by_group",
+    "q_bloom_window",
+]
 
 
 @pytest.fixture(params=["sf0.001", "sf0.01"])
@@ -69,208 +51,16 @@ def any_sf(request, sf_dir):
     return _SF01 if request.param == "sf0.01" else sf_dir
 
 
-def test_incremental_containment_preview(spark, any_sf):
-    """Incremental set-containment screen
-    (operators/incremental_containment.py): a refresh batch checked
-    against a standing corpus' MAINTAINED shingle index + df table for
-    the directional quote/subsumption question — batch prefixes ranked
-    by CORPUS df, posting-list probe, exact candidates-only verify.
-    Corpus = doc_id%10 <> 0; batch = doc_id%10 = 0 plus corpus%7 docs
-    re-id'd at +1e6 (injected containment-1 rows, non-vacuous at every
-    SF). The oracle is the brute-force cross-side inverted-index SQL on
-    the shared shingle replay: hash-matching it IS the cross-side
-    containment completeness theorem."""
-    from food_panda_etl_spark.operators.incremental_containment import (
-        incremental_containment_pairs,
-    )
-
-    d = load_table(spark, any_sf, "documents")
-    corpus = d.filter(F.col("doc_id") % 10 != 0)
-    batch = (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id", "text")
-        .unionByName(
-            corpus.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-            )
-        )
-    )
-    got = incremental_containment_pairs(
-        corpus, batch, "doc_id", "text", n=5,
-        threshold_num=_IC_NUM, threshold_den=_IC_DEN,
-    )
-    oracle = f"""
-    WITH {SHINGLE5_CTE_SQL},
-    bsh AS (SELECT doc, shingle FROM sh WHERE doc % 10 = 0
-            UNION ALL
-            SELECT doc + 1000000 AS doc, shingle FROM sh
-            WHERE doc % 10 <> 0 AND doc % 7 = 0),
-    csh AS (SELECT doc, shingle FROM sh WHERE doc % 10 <> 0),
-    bsz AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_a FROM bsh
-            GROUP BY doc),
-    inter AS (SELECT b.doc AS bdoc, c.doc AS cdoc,
-                     CAST(count(*) AS BIGINT) AS inter
-              FROM bsh b JOIN csh c ON b.shingle = c.shingle
-              GROUP BY 1, 2)
-    SELECT bdoc AS doc_id, cdoc AS contained_in, inter,
-           CAST(inter AS DOUBLE) / CAST(bs.n_a AS DOUBLE) AS containment
-    FROM inter JOIN bsz bs ON bdoc = bs.doc
-    WHERE inter * {_IC_DEN} >= {_IC_NUM} * bs.n_a
-    """
-    assert compare(got, oracle, any_sf) == []
+@pytest.mark.parametrize("name", _R17_NEW)
+def test_r17_declared_matches_oracle(spark, any_sf, name):
+    assert compare(QUERIES[name](spark, any_sf), ORACLES[name], any_sf) == []
 
 
-def test_tf_jaccard_preview(spark, any_sf):
-    """Exact TF-normalized weighted Jaccard join
-    (operators/tf_jaccard.py): the real-weight regime on the integer
-    grid — wi = Σ min(c_a·n_b, c_b·n_a) over the shared support,
-    J_tf = wi/(2·n_a·n_b − wi), threshold compare pure integer. The
-    oracle is the brute-force count-join: hash-matching it IS the
-    weighted (mass-form) prefix-filter completeness theorem."""
-    from food_panda_etl_spark.operators.tf_jaccard import tf_jaccard_join
-
-    d = load_table(spark, any_sf, "documents")
-    got = tf_jaccard_join(
-        d, "doc_id", "text", n=3,
-        threshold_num=_TF_NUM, threshold_den=_TF_DEN,
-    )
-    oracle = f"""
-    WITH {shingle_multiset_cte_sql(3)},
-    tot AS (SELECT doc, CAST(sum(c) AS BIGINT) AS nw FROM shm GROUP BY doc),
-    wi AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-                  CAST(sum(least(a.c * tb.nw, b.c * ta.nw)) AS BIGINT) AS wi
-           FROM shm a
-           JOIN shm b ON a.shingle = b.shingle AND a.doc < b.doc
-           JOIN tot ta ON a.doc = ta.doc
-           JOIN tot tb ON b.doc = tb.doc
-           GROUP BY 1, 2)
-    SELECT doc_a, doc_b, wi AS wi_scaled,
-           CAST(wi AS DOUBLE)
-             / CAST(2 * ta.nw * tb.nw - wi AS DOUBLE) AS tf_jaccard
-    FROM wi
-    JOIN tot ta ON doc_a = ta.doc
-    JOIN tot tb ON doc_b = tb.doc
-    WHERE wi * {_TF_DEN + _TF_NUM} >= 2 * {_TF_NUM} * ta.nw * tb.nw
-    """
-    assert compare(got, oracle, any_sf) == []
-
-
-def test_icws_gate_preview(spark, any_sf):
-    """Quality gate for the ICWS real-weight MinHash path
-    (operators/icws.py, Ioffe 2010): recall of the exact TF-weighted
-    Jaccard pair set (τ=7/10, `tf_jaccard_join`) through the ICWS
-    banded candidates + exact verify. The oracle recomputes the EXACT
-    side (count + integer pair checksum) and pins meets_target=1 —
-    driver-grade evidence that (a) the exact real-weight side is right
-    and (b) the sketch path's measured recall clears the 0.90 floor
-    (measured 1.0 at the verified SFs)."""
-    from food_panda_etl_spark.operators.icws import icws_lsh_pairs
-    from food_panda_etl_spark.operators.tf_jaccard import tf_jaccard_join
-    from food_panda_etl_spark.queries.approx_gates import _pair_recall_gate
-
-    d = load_table(spark, any_sf, "documents")
-    exact = tf_jaccard_join(
-        d, "doc_id", "text", n=3,
-        threshold_num=_TF_NUM, threshold_den=_TF_DEN,
-    )
-    approx = icws_lsh_pairs(
-        d, "doc_id", "text", n=3,
-        threshold_num=_TF_NUM, threshold_den=_TF_DEN,
-    )
-    got = _pair_recall_gate(exact, approx, target=_ICWS_TARGET)
-    oracle = f"""
-    WITH {shingle_multiset_cte_sql(3)},
-    tot AS (SELECT doc, CAST(sum(c) AS BIGINT) AS nw FROM shm GROUP BY doc),
-    wi AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-                  CAST(sum(least(a.c * tb.nw, b.c * ta.nw)) AS BIGINT) AS wi
-           FROM shm a
-           JOIN shm b ON a.shingle = b.shingle AND a.doc < b.doc
-           JOIN tot ta ON a.doc = ta.doc
-           JOIN tot tb ON b.doc = tb.doc
-           GROUP BY 1, 2),
-    exact AS (SELECT doc_a, doc_b FROM wi
-              JOIN tot ta ON doc_a = ta.doc
-              JOIN tot tb ON doc_b = tb.doc
-              WHERE wi * {_TF_DEN + _TF_NUM}
-                    >= 2 * {_TF_NUM} * ta.nw * tb.nw)
-    SELECT CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(SUM(doc_a * doc_b) AS BIGINT) AS sum_ab,
-           1 AS meets_target
-    FROM exact
-    """
-    assert compare(got, oracle, any_sf) == []
-
-
-def test_bloom_by_group_preview(spark, any_sf):
-    """Group-wise Bloom membership (operators/bloom_group.py): per-
-    return-flag part-key membership probed on a fixed id range
-    spanning present AND absent keys per group — no false negatives
-    ever (the never_miss audit), per-group isolation, and the false
-    positives are THE SAME false positives in both engines
-    (deterministic affine cells), so the whole per-group verdict table
-    hash-matches, not just a gate."""
-    from food_panda_etl_spark.operators.bloom import bloom_sketch
-    from food_panda_etl_spark.operators.bloom_group import (
-        bloom_probe_by_group,
-    )
-
-    li = load_table(spark, any_sf, "lineitem")
-    sk = bloom_sketch(
-        li, "l_partkey", m_bits=_BG_M, k_hashes=_BG_K,
-        group_cols=("l_returnflag",),
-    )
-    probes = (
-        li.select("l_returnflag").distinct()
-        .crossJoin(
-            spark.range(_BG_PROBES).select(F.col("id").alias("k"))
-        )
-    )
-    mp = bloom_probe_by_group(
-        sk, probes, "k", ("l_returnflag",), m_bits=_BG_M, k_hashes=_BG_K
-    )
-    truth = (
-        li.filter(F.col("l_partkey").isNotNull())
-        .select("l_returnflag", F.col("l_partkey").alias("k"))
-        .distinct()
-        .withColumn("__t", F.lit(1))
-    )
-    got = mp.join(truth, ["l_returnflag", "k"], "left").select(
-        "l_returnflag",
-        F.col("k").cast("bigint").alias("k"),
-        "maybe_present",
-        F.coalesce(F.col("__t"), F.lit(0)).cast("int").alias(
-            "truly_present"
-        ),
-        (F.col("maybe_present") >= F.coalesce(F.col("__t"), F.lit(0)))
-        .cast("int")
-        .alias("never_miss"),
-    )
-    oracle = f"""
-    WITH dm AS {oracle_bloom_dm_sql(_BG_K)},
-    keys AS (SELECT DISTINCT l_returnflag AS g, l_partkey AS key
-             FROM lineitem WHERE l_partkey IS NOT NULL),
-    bits AS MATERIALIZED (
-        SELECT DISTINCT g, j,
-               (((key % {_P}) + {_P}) % {_P} * a + c) % {_P} % {_BG_WIDTH} AS b,
-               1 AS st
-        FROM keys CROSS JOIN dm),
-    gs AS (SELECT DISTINCT l_returnflag AS g FROM lineitem),
-    pr AS (SELECT g, unnest(generate_series(0, {_BG_PROBES - 1})) AS k
-           FROM gs),
-    pc AS (SELECT g, k, j,
-                  (((k % {_P}) + {_P}) % {_P} * a + c) % {_P} % {_BG_WIDTH} AS b
-           FROM pr CROSS JOIN dm),
-    hit AS (SELECT g, k,
-                   CAST(sum(coalesce(st, 0)) = {_BG_K} AS INT)
-                     AS maybe_present
-            FROM pc LEFT JOIN bits USING (g, j, b) GROUP BY g, k),
-    tr AS (SELECT pr.g, pr.k,
-                  CAST(keys.key IS NOT NULL AS INT) AS truly_present
-           FROM pr LEFT JOIN keys
-             ON pr.g = keys.g AND pr.k = keys.key)
-    SELECT hit.g AS l_returnflag, CAST(hit.k AS BIGINT) AS k,
-           hit.maybe_present, tr.truly_present,
-           CAST(hit.maybe_present >= tr.truly_present AS INT) AS never_miss
-    FROM hit JOIN tr ON hit.g = tr.g AND hit.k = tr.k
-    """
-    assert compare(got, oracle, any_sf) == []
+def test_r17_oracles_build_on_the_shared_replays():
+    """All five oracles must embed the ONE shared replay definition
+    for their family (see module docstring)."""
+    assert SHINGLE5_CTE_SQL in ORACLES["q_incremental_containment"]
+    assert shingle_multiset_cte_sql(3) in ORACLES["q_tf_jaccard"]
+    assert shingle_multiset_cte_sql(3) in ORACLES["q_icws_gate"]
+    assert oracle_bloom_dm_sql(4) in ORACLES["q_bloom_by_group"]
+    assert oracle_bloom_dm_sql(4) in ORACLES["q_bloom_window"]
