@@ -103,7 +103,14 @@ def edit_distance_join(
     levenshtein(s_a, s_b) ≤ k and id_a < id_b, equal row-for-row to
     the brute-force all-pairs join (the completeness property test /
     declared-query oracle). NULL strings never pair (no edit sequence
-    reaches an unknown value).
+    reaches an unknown value). NOTE: with either guard enabled (the
+    defaults) this runs ONE EAGER Spark action at plan-construction
+    time — a single bounded ≤ 3-number collect over tables the plan
+    builds anyway — because both the degeneracy raise and the
+    broadcast decision need the scalars before the plan is shaped;
+    pass ``degenerate_factor=0`` AND ``short_broadcast_rows=0`` for a
+    fully lazy plan with both guards off (ADVICE r17 — plan-only
+    callers composing lazily pay no job).
 
     Raises ValueError when the q-gram alphabet is degenerately small
     for the corpus (``N_long > degenerate_factor · G`` — see module
@@ -132,28 +139,40 @@ def edit_distance_join(
 
     # Degenerate-alphabet guard + short-bucket size, ONE bounded-scalar
     # action over tables the operator builds anyway (audited collect:
-    # a single 3-number row, never fact-sized). G ≪ N forces ≥ P²/G
+    # a single ≤ 3-number row, never fact-sized) — and ONLY when a
+    # decision depends on it: both guards off → fully lazy plan, no
+    # job at construction time (ADVICE r17). G ≪ N forces ≥ P²/G
     # candidates (module docstring) — fail loudly with the remedy
     # instead of filling the shuffle disk.
-    g_row = (
-        grams.agg(
+    want_guard = bool(degenerate_factor)
+    want_bcast = short_broadcast_rows > 0
+    broadcast_short = False
+    if want_guard:
+        guard_agg = grams.agg(
             F.count_distinct("shingle").alias("g"),
             F.count_distinct("doc").alias("n_long"),
         )
-        .crossJoin(
-            F.broadcast(short_side.agg(F.count("*").alias("n_short")))
-        )
-        .collect()[0]
-    )
-    if degenerate_factor and g_row.n_long > degenerate_factor * g_row.g:
-        raise ValueError(
-            f"edit_distance_join: degenerate q-gram alphabet — "
-            f"{g_row.g} distinct {q}-grams for {g_row.n_long} strings "
-            f"(bar: N_long > {degenerate_factor}·G). Every prefix gram "
-            f"is hot and the candidate join is provably ≥ P²/G pairs. "
-            f"Raise q until |Σ|^q ≫ N (e.g. q={q + 1}), or use a "
-            f"token-level similarity join for this corpus."
-        )
+        if want_bcast:
+            guard_agg = guard_agg.crossJoin(
+                F.broadcast(short_side.agg(F.count("*").alias("n_short")))
+            )
+        g_row = guard_agg.collect()[0]
+        if g_row.n_long > degenerate_factor * g_row.g:
+            raise ValueError(
+                f"edit_distance_join: degenerate q-gram alphabet — "
+                f"{g_row.g} distinct {q}-grams for {g_row.n_long} strings "
+                f"(bar: N_long > {degenerate_factor}·G). Every prefix gram "
+                f"is hot and the candidate join is provably ≥ P²/G pairs. "
+                f"Raise q until |Σ|^q ≫ N (e.g. q={q + 1}), or use a "
+                f"token-level similarity join for this corpus."
+            )
+        if want_bcast:
+            broadcast_short = g_row.n_short <= short_broadcast_rows
+    elif want_bcast:
+        n_short = short_side.agg(F.count("*").alias("n_short")).collect()[
+            0
+        ].n_short
+        broadcast_short = n_short <= short_broadcast_rows
 
     exp = occurrence_expand(grams)
     ranked = ranked_shingles(exp)
@@ -191,7 +210,7 @@ def edit_distance_join(
             )
         ).alias("__ol"),
     ).filter(F.col("__ol") >= 0)
-    if g_row.n_short <= short_broadcast_rows:
+    if broadcast_short:
         sh = F.broadcast(sh)
     other = strs.select(
         F.col("doc").alias("oid"),

@@ -4,9 +4,15 @@ the REAL-weight MinHash the occurrence expansion cannot provide:
 expanding (s, c) to c set elements; TF-normalized weights c/n (or any
 positive reals) have no such expansion, and ICWS samples an (element,
 level) pair per hash such that
-P[sample_A(i) == sample_B(i)] = J_w(A, B) EXACTLY — the collision
-probability IS the real-weight Jaccard, so the banding analysis of
-every other LSH path here applies verbatim.
+P[sample_A(i) == sample_B(i)] = J_w(A, B) — exact under Ioffe's
+formal assumption of fully independent uniforms; THIS implementation
+derives each Gamma draw's two uniforms from disjoint bit ranges of
+ONE xxhash64 value (`_units` — bits 0–30 and 33–63), a per-hash
+approximation to that independence (ADVICE r17), whose practical
+effect is bounded empirically by the 4σ estimator property test
+(`tests/test_icws.py`) and by the declared recall gate. The collision
+probability tracks the real-weight Jaccard closely enough that the
+banding analysis of every other LSH path here applies verbatim.
 
 Construction (Ioffe 2010, §4, the standard ICWS sampler) per element
 s with weight w > 0 and hash index i, from deterministic per-(s, i)
@@ -71,6 +77,9 @@ def _units(element, i: int, j: int, seed: int):
     lo = F.pmod(h, F.lit(_GRID)).cast("double")
     hi = F.pmod(F.shiftrightunsigned(h, 33), F.lit(_GRID)).cast("double")
     g = F.lit(float(_GRID))
+    # the two halves of one hash are not formally independent draws
+    # (module docstring / ADVICE r17) — the estimator property test
+    # bounds the practical effect at 4σ
     return (lo + 0.5) / g, (hi + 0.5) / g
 
 

@@ -47,6 +47,13 @@ from pyspark.sql import Window
 from food_panda_etl_spark.operators.dedup import shingle_table
 
 
+_GEO_KEYS = ("n", "shingler")
+# bump when shingle_table's gram semantics change — state built by an
+# older builder must fail the probe's geometry check, not silently
+# intersect incompatible gram tables
+_SHINGLER = "dedup.shingle_table/v1"
+
+
 def build_containment_state(
     corpus: DataFrame,
     id_col: str,
@@ -58,9 +65,39 @@ def build_containment_state(
     probe and verify stages join, ``df_table`` the (shingle, __df)
     corpus document frequencies the batch prefixes rank by. At scale
     both persist bucketed by shingle; here they are lazy frames the
-    caller may checkpoint."""
-    sh = shingle_table(corpus, id_col, text_col, n)
-    return sh, sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    caller may checkpoint.
+
+    The shingling geometry (n, builder version) rides BOTH frames as
+    column metadata on ``shingle`` (it survives select/join/checkpoint
+    AND a parquet round-trip — the `build_embed_state` pattern, ADVICE
+    r17): a probe at a different n would count intersections across
+    different gram sizes and silently yield wrong containment values,
+    so :func:`incremental_containment_pairs` validates the stamp and
+    raises loudly on mismatch."""
+    geo = {"n": int(n), "shingler": _SHINGLER}
+    sh = shingle_table(corpus, id_col, text_col, n).withMetadata(
+        "shingle", geo
+    )
+    df_tbl = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .withMetadata("shingle", geo)
+    )
+    return sh, df_tbl
+
+
+def _state_geometry(df: DataFrame) -> dict | None:
+    """The geometry dict stamped by :func:`build_containment_state`,
+    or None for hand-built state (older checkpoints, ad-hoc frames —
+    matching n is then the caller's contract, documented on
+    :func:`incremental_containment_pairs`)."""
+    try:
+        meta = df.schema["shingle"].metadata
+    except KeyError:
+        return None
+    if not meta or any(k not in meta for k in _GEO_KEYS):
+        return None
+    return {k: meta[k] for k in _GEO_KEYS}
 
 
 def containment_probe_candidates(
@@ -129,7 +166,14 @@ def incremental_containment_pairs(
     :func:`build_containment_state` (same n); when supplied the
     standing corpus is NOT rescanned — the refresh cost is batch-sized
     shingling + the prefix probe against the index + a
-    candidate-bounded verify."""
+    candidate-bounded verify.
+
+    Geometry safety (ADVICE r17, the `incremental_embed` pattern):
+    state stamped by :func:`build_containment_state` carries (n,
+    builder version) as column metadata and a probe at a different n
+    raises — intersections counted across different gram sizes are
+    silently wrong, never loudly. Hand-built state (no stamp) is
+    accepted with matching n as the CALLER's contract."""
     num, den = int(threshold_num), int(threshold_den)
     if not (0 < num <= den):
         raise ValueError(
@@ -143,6 +187,26 @@ def incremental_containment_pairs(
             "incremental_containment_pairs: supply BOTH corpus_shingles "
             "and corpus_df (the build_containment_state pair) or neither"
         )
+    if corpus_shingles is not None:
+        geo_s = _state_geometry(corpus_shingles)
+        geo_d = _state_geometry(corpus_df)
+        if geo_s is not None and geo_d is not None and geo_s != geo_d:
+            raise ValueError(
+                "incremental_containment_pairs: corpus_shingles and "
+                f"corpus_df carry different geometries ({geo_s} vs "
+                f"{geo_d}) — they are not the same "
+                "build_containment_state pair"
+            )
+        geo = geo_s or geo_d
+        if geo is not None:
+            asked = {"n": int(n), "shingler": _SHINGLER}
+            if asked != geo:
+                raise ValueError(
+                    f"incremental_containment_pairs: probe geometry "
+                    f"{asked} does not match the supplied state's "
+                    f"{geo} — intersections would be counted across "
+                    "different gram sizes (rebuild the state or match n)"
+                )
     if corpus_shingles is None:
         if corpus is None:
             raise ValueError(

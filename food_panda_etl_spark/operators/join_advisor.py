@@ -94,36 +94,36 @@ def _n_from_sketch(sk: DataFrame) -> DataFrame:
     )
 
 
-def _grid_check(sk: DataFrame, width: int, depth: int, label: str) -> DataFrame:
-    """One row (__chk, always NULL) that THROWS at execution when a
-    supplied maintained sketch does not sit on the requested
-    (width, depth) grid (ADVICE r16): ``max(d) == depth-1`` exactly
-    (every key populates every depth row, so any non-empty sketch has
-    all depth rows) and ``max(b) < width`` (cells may be sparse, so
-    width is screened one-sided — a sketch built WIDER than requested
-    is certain to be caught, one built narrower is indistinguishable
-    from sparsity). An EMPTY sketch passes (an empty side is a
-    legitimate broadcast verdict). In-plan (F.assert_true), so the
-    zero-rescan contract holds — the check costs one sketch-sized agg,
-    never a fact scan."""
-    g = sk.agg(F.max("d").alias("__d"), F.max("b").alias("__b"))
-    ok = F.col("__d").isNull() | (
-        (F.col("__d") == depth - 1) & (F.col("__b") < width)
-    )
-    return g.select(
-        F.assert_true(
-            ok,
-            F.format_string(
-                f"join_advice: {label} grid mismatch — maintained sketch "
-                f"has max d=%s, max b=%s but the requested geometry is "
-                f"width={width}, depth={depth}; cms_inner_product and the "
-                f"d=0 row counts would be silently wrong (rebuild the "
-                f"sketch at this geometry or pass its own width/depth)",
-                F.col("__d"),
-                F.col("__b"),
-            ),
-        ).alias("__chk")
-    )
+def _grid_check(sk: DataFrame, width: int, depth: int, label: str) -> None:
+    """RAISES when a supplied maintained sketch does not sit on the
+    requested (width, depth) grid (ADVICE r16): ``max(d) == depth-1``
+    exactly (every key populates every depth row, so any non-empty
+    sketch has all depth rows) and ``max(b) < width`` (cells may be
+    sparse, so width is screened one-sided — a sketch built WIDER than
+    requested is certain to be caught, one built narrower is
+    indistinguishable from sparsity). An EMPTY sketch passes (an empty
+    side is a legitimate broadcast verdict).
+
+    DRIVER-SIDE (ADVICE r17): one bounded 2-number collect over the
+    ≤ width·depth-row sketch — never a fact scan. The r16 form was an
+    in-plan F.assert_true riding a crossJoin, which survived only
+    because Catalyst cannot yet prune the 1-row join feeding an
+    always-NULL filter; a future optimizer improvement would have
+    silently dropped the guard. A deterministic plan-construction-time
+    check cannot be optimized away, and the existing execution-time
+    tests pin the raise either way."""
+    row = sk.agg(F.max("d").alias("d"), F.max("b").alias("b")).collect()[0]
+    if row.d is None:
+        return
+    if row.d != depth - 1 or row.b >= width:
+        raise ValueError(
+            f"join_advice: {label} grid mismatch — maintained sketch "
+            f"has max d={row.d}, max b={row.b} but the requested "
+            f"geometry is width={width}, depth={depth}; "
+            f"cms_inner_product and the d=0 row counts would be "
+            f"silently wrong (rebuild the sketch at this geometry or "
+            f"pass its own width/depth)"
+        )
 
 
 def join_advice(
@@ -153,9 +153,13 @@ def join_advice(
     all four are supplied neither fact is scanned at all (the
     zero-rescan mode — ADVICE r15); any omitted summary is built here
     with one pass over its side. Supplied sketches are grid-checked
-    in-plan against (width, depth) and the plan throws on mismatch
-    (ADVICE r16 — a sketch at another geometry would make
-    `cms_inner_product` and the d=0 row counts silently wrong)."""
+    against (width, depth) with ONE bounded 2-number driver-side
+    collect per supplied sketch at plan-construction time — an EAGER
+    action over the ≤ width·depth-row sketch, never a fact scan
+    (ADVICE r16/r17: a sketch at another geometry would make
+    `cms_inner_product` and the d=0 row counts silently wrong, and
+    the deterministic driver-side form cannot be optimized away the
+    way the r16 in-plan assert could)."""
     if not (0 < skew_num <= skew_den):
         raise ValueError(
             f"join_advice: need 0 < skew_num <= skew_den, "
@@ -185,13 +189,14 @@ def join_advice(
         if sketch_b is not None
         else cms_sketch(b, key_b, width=width, depth=depth)
     ).localCheckpoint(eager=False)
-    # in-plan grid guards for SUPPLIED sketches only (built ones match
-    # by construction, and the no-summaries plan stays byte-identical)
-    checks = []
+    # grid guards for SUPPLIED sketches only (built ones match by
+    # construction, and the no-summaries plan stays fully lazy and
+    # byte-identical); the collect also materializes the checkpoint
+    # the downstream estimate reuses
     if sketch_a is not None:
-        checks.append(_grid_check(sk_a, width, depth, "sketch_a"))
+        _grid_check(sk_a, width, depth, "sketch_a")
     if sketch_b is not None:
-        checks.append(_grid_check(sk_b, width, depth, "sketch_b"))
+        _grid_check(sk_b, width, depth, "sketch_b")
     est = cms_inner_product(sk_a, sk_b)
     na = _n_from_sketch(sk_a)
     nb = _n_from_sketch(sk_b)
@@ -207,12 +212,6 @@ def join_advice(
         .crossJoin(F.broadcast(ta.select(F.col("c").alias("__ta"))))
         .crossJoin(F.broadcast(tb.select(F.col("c").alias("__tb"))))
     )
-    for chk in checks:
-        # one broadcast NULL row per guard; evaluating it fires the
-        # assert, and the always-true filter keeps it in the plan
-        out = out.crossJoin(F.broadcast(chk)).filter(
-            F.col("__chk").isNull()
-        ).drop("__chk")
     return (
         out
         .select(

@@ -182,3 +182,34 @@ def test_short_bucket_shuffle_fallback_exact(spark):
     )
     assert got == want
     assert len(want) > 0
+
+
+def test_both_guards_off_is_fully_lazy(spark, monkeypatch):
+    """degenerate_factor=0 + short_broadcast_rows=0 → NO eager action
+    at plan-construction time (ADVICE r17: plan-only callers composing
+    lazily pay no job — previously the guard collect ran even when no
+    decision depended on it). collect() is patched to raise, so ANY
+    construction-time action fails the test; the plan must still be
+    buildable AND, once the patch lifts, exact."""
+    from pyspark.sql import DataFrame
+
+    strings = ["abcdef", "abcdxf", "ab", "cd"]
+    strs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "doc long, s string"
+    )
+
+    def _no_action(self, *a, **kw):
+        raise AssertionError("eager action during lazy plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_action)
+    plan = edit_distance_join(
+        strs, "doc", "s", k=2, q=2,
+        degenerate_factor=0, short_broadcast_rows=0,
+    )
+    monkeypatch.undo()
+    got = sorted(map(tuple, plan.collect()))
+    want = sorted(
+        map(tuple, _brute_force(strs).filter(F.col("dist") <= 2).collect())
+    )
+    assert got == want
+    assert len(want) > 0

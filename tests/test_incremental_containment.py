@@ -258,3 +258,52 @@ def test_equals_brute_force_random_docs(spark, docs, thr):
         )
     )
     assert got == want
+
+
+def test_state_geometry_mismatch_raises(spark, sf_dir):
+    """ADVICE r17 (the incremental_embed r16 pattern): probing state
+    built at a different n must raise — intersections counted across
+    different gram sizes are silently wrong containment values, never
+    an error. Mixed pairs from two different builds are caught too."""
+    corpus, batch = _split(spark, sf_dir)
+    c_sh, c_df = build_containment_state(corpus, "doc_id", "text", n=4)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        incremental_containment_pairs(
+            None, batch, "doc_id", "text", n=5,
+            threshold_num=_NUM, threshold_den=_DEN,
+            corpus_shingles=c_sh, corpus_df=c_df,
+        )
+    c_sh5, c_df5 = build_containment_state(corpus, "doc_id", "text", n=5)
+    with pytest.raises(ValueError, match="different geometries"):
+        incremental_containment_pairs(
+            None, batch, "doc_id", "text", n=5,
+            threshold_num=_NUM, threshold_den=_DEN,
+            corpus_shingles=c_sh, corpus_df=c_df5,
+        )
+    # matching geometry passes (and the stamp survives the state's own
+    # groupBy derivation — both frames carry it)
+    got = incremental_containment_pairs(
+        None, batch, "doc_id", "text", n=5,
+        threshold_num=_NUM, threshold_den=_DEN,
+        corpus_shingles=c_sh5, corpus_df=c_df5,
+    )
+    assert got.columns == ["doc_id", "contained_in", "inter", "containment"]
+
+
+def test_hand_built_state_still_accepted(spark, sf_dir):
+    """Unstamped (hand-built) state stays accepted with matching n as
+    the caller's contract — the stamp is a safety net for the
+    build_containment_state path, not a new input requirement."""
+    corpus, batch = _split(spark, sf_dir)
+    sh = shingle_table(corpus, "doc_id", "text", 5)
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    got = incremental_containment_pairs(
+        None, batch, "doc_id", "text", n=5,
+        threshold_num=_NUM, threshold_den=_DEN,
+        corpus_shingles=sh, corpus_df=df_tbl,
+    ).count()
+    want = incremental_containment_pairs(
+        corpus, batch, "doc_id", "text", n=5,
+        threshold_num=_NUM, threshold_den=_DEN,
+    ).count()
+    assert got == want

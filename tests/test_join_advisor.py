@@ -143,13 +143,14 @@ def test_skew_bar_finer_than_hh_fraction_raises(spark):
 
 
 def test_maintained_sketch_grid_mismatch_raises(spark):
-    """ADVICE r16: a maintained sketch built at a different
-    (width, depth) must throw at execution, not silently mis-estimate
-    cms_inner_product and the d=0 row counts. The expected type is the
-    broad Exception on purpose: the in-plan assert fires either in a
-    task or inside broadcast materialization, and Spark wraps the two
-    differently (SparkRuntimeException vs a broadcast SparkException)
-    — the message is the stable contract."""
+    """ADVICE r16/r17: a maintained sketch built at a different
+    (width, depth) must throw, not silently mis-estimate
+    cms_inner_product and the d=0 row counts. Since r17 the guard is a
+    deterministic DRIVER-SIDE check at plan-construction time (the
+    r16 in-plan assert survived only while Catalyst couldn't prune the
+    crossJoin feeding it). The expected type stays the broad Exception
+    on purpose — the message is the stable contract, not where in the
+    lifecycle it fires."""
     from food_panda_etl_spark.operators.cms import cms_sketch
 
     a, b = _uniform(spark, 50000), _uniform(spark, 50000)
