@@ -1252,6 +1252,117 @@ def r17_curves(spark, sizes) -> dict:
     return curves
 
 
+def r18_curves(spark, sizes) -> dict:
+    """r18 build-ahead curves, runnable alone via `--r18` (min-of-two
+    per point):
+
+    - Incremental ICWS (real-weight near-dup screen): the corpus grows
+      with n, the refresh batch stays FIXED at 512 docs, and the
+      corpus's counted shingle table + ICWS band index are PREBUILT,
+      MATERIALIZED state (cached, untimed — the maintained-state
+      regime). Half the batch docs are 6-token prefixes of corpus docs
+      (J_tf = 0.5 at n=3 — exactly the τ=1/2 boundary, included), half
+      novel. Expected near-FLAT like the sibling screens: per refresh
+      the ln/hash-heavy ICWS projection runs over BATCH rows only and
+      the band probe joins a bounded index.
+    - Incremental grouped priority sample: per-group bottom-k state
+      (64 groups, k=32) PREBUILT from the growing corpus (cached,
+      untimed), refreshed with a FIXED 4096-row batch — expected FLAT:
+      the refresh re-ranks ≤ k·groups + batch rows, never the corpus.
+    """
+    from food_panda_etl_spark.operators.incremental_icws import (
+        build_icws_state,
+        incremental_icws_pairs,
+    )
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        incremental_group_priority_sample,
+    )
+
+    curves: dict[str, dict[int, float]] = {
+        "incremental_icws": {},
+        "incremental_group_priority": {},
+    }
+
+    def corpus_doc_text(id_col, tokens=8):
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("c"), (id_col * 8 + j).cast("string"))
+                for j in range(tokens)
+            ],
+        )
+
+    half = 256
+    for n in sizes:
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            corpus_doc_text(F.col("id")).alias("text"),
+        )
+        k = (F.col("id") * 9973) % n  # spread the near-dup'd corpus docs
+        neardup = spark.range(half).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            corpus_doc_text(k, tokens=6).alias("text"),
+        )
+        novel = spark.range(half).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("b"), (F.col("id") * 8 + j).cast("string"))
+                    for j in range(8)
+                ],
+            ).alias("text"),
+        )
+        batch = neardup.unionByName(novel).cache()
+        batch.count()
+        c_cnt, c_idx = build_icws_state(corpus, "doc_id", "text", n=3)
+        c_cnt, c_idx = c_cnt.cache(), c_idx.cache()
+        try:
+            c_cnt.count(), c_idx.count()  # materialize state, untimed
+            run_ii = lambda: incremental_icws_pairs(  # noqa: E731
+                None, batch, "doc_id", "text", n=3,
+                threshold_num=1, threshold_den=2,
+                corpus_counts=c_cnt, corpus_bands=c_idx,
+            ).write.format("noop").mode("overwrite").save()
+            curves["incremental_icws"][n] = min(timed(run_ii), timed(run_ii))
+        finally:
+            batch.unpersist()
+            c_cnt.unpersist()
+            c_idx.unpersist()
+
+    groups, kk = 64, 32
+    batch_rows = 4096
+    for n in sizes:
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(groups)).cast("string").alias("g"),
+            (F.pmod(F.col("id"), F.lit(100)) + 1).alias("w"),
+        )
+        state = group_priority_sample(
+            corpus, ("g",), "w", kk, id_col="doc_id"
+        ).cache()
+        batch = spark.range(batch_rows).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(groups)).cast("string").alias("g"),
+            (F.pmod(F.col("id"), F.lit(100)) + 1).alias("w"),
+        ).cache()
+        try:
+            state.count(), batch.count()  # materialize, untimed
+            run_gp = lambda: incremental_group_priority_sample(  # noqa: E731
+                state, batch, ("g",), "w", kk, id_col="doc_id"
+            ).write.format("noop").mode("overwrite").save()
+            curves["incremental_group_priority"][n] = min(
+                timed(run_gp), timed(run_gp)
+            )
+        finally:
+            state.unpersist()
+            batch.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -1318,6 +1429,13 @@ def main() -> None:
     if "--r17" in sys.argv:  # r17 curves (incr containment / tf jaccard / icws)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r17_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r18" in sys.argv:  # r18 curves (incr ICWS / incr grouped priority)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r18_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))

@@ -1,0 +1,107 @@
+"""Incremental group-wise priority sampling — the maintained-state
+face of `operators/sampling_group.py::group_priority_sample`,
+completing the incremental-refresh symmetry for the SAMPLING family
+(sketches got their maintained faces in the CMS/HLL/Bloom state
+suites; the dedup/similarity screens in incremental_neardup /
+incremental_embed / incremental_containment / incremental_icws; this
+is the same question for samples: "keep a ≤ k-row weighted sample per
+group CURRENT as batches arrive, without rescanning the corpus").
+
+Why it works (the mergeable bottom-k identity the batch operator
+already documents and property-tests): priority sampling is weighted
+bottom-k on priority = h(id)/w — a pure function of the row — so
+    bottomk(S ∪ B) == bottomk(bottomk(S) ∪ bottomk(B))
+per group. The maintained state IS the current sample (≤ k rows per
+group, the `group_priority_sample` output shape with its priorities);
+a refresh computes priorities for the BATCH rows only, unions the two
+≤ k / ≤ batch-sized frames, and re-ranks — O(batch + k·groups) work
+per refresh, zero corpus rescans, and the result is row-identical to
+re-sampling corpus ∪ batch from scratch (the declared query's oracle
+replays exactly that full-union row_number — the hash-match IS the
+merge theorem).
+
+Determinism: priorities ride the state (ONE IEEE division of
+integer-derived doubles at first sight of each row — recomputing them
+on refresh would be identical anyway, the expression is a pure
+function of (id, w), but carrying them keeps refreshes
+projection-free); the re-rank orders by (priority, id), total while
+ids are unique per group across state ∪ batch — the SAME caller
+contract as the batch sampler's merge recipe (dedup (group, id)
+first on overlapping shards; a re-ingested id with a CHANGED weight
+is two different rows and must be resolved upstream — CDC-apply
+`operators/diff.py::upsert` exists for exactly that).
+
+Scale: the union is ≤ k·groups + batch rows; the re-rank's window
+rewrites to WindowGroupLimit exactly like the batch sampler
+(per-partition partial top-k heaps before the shuffle), so a refresh
+moves ≤ k rows per (group, partition). The batch side pre-truncates
+to its own ≤ k per group FIRST (the merge identity's right-hand side)
+— a 100× over-k batch contributes k rows per group to the union, not
+its whole self.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.sampling_group import (
+    group_priority_sample,
+)
+
+
+def incremental_group_priority_sample(
+    state: DataFrame,
+    batch: DataFrame,
+    group_cols: tuple[str, ...],
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The refreshed per-group weighted sample — row-identical to
+    ``group_priority_sample(corpus ∪ batch, ...)`` while ``state`` is
+    the maintained sample of the corpus (the merge theorem, module
+    docstring). Returns the state SHAPE (*group_cols, id_col,
+    *carry_cols, weight bigint, priority double, rk int), so the
+    output IS the next round's state.
+
+    ``state`` must be a `group_priority_sample`-shaped frame at the
+    SAME (group_cols, id_col, carry_cols, k) — shape is validated
+    here; same k is the caller's contract (a state truncated at a
+    SMALLER k has already discarded rows rank k'+1..k and cannot be
+    widened — rebuild instead). ``batch`` is raw rows carrying
+    ``weight_col``; ids must be unique per group across state ∪ batch
+    (the batch sampler's documented merge contract)."""
+    if int(k) < 1:
+        raise ValueError(
+            f"incremental_group_priority_sample: k must be >= 1, got {k!r}"
+        )
+    if not group_cols:
+        raise ValueError(
+            "incremental_group_priority_sample: group_cols must be "
+            "non-empty — for a global sample keep a flat priority state"
+        )
+    want = [*group_cols, id_col, *carry_cols, "weight", "priority", "rk"]
+    if list(state.columns) != want:
+        raise ValueError(
+            f"incremental_group_priority_sample: state has columns "
+            f"{list(state.columns)}, expected {want} — the "
+            "group_priority_sample output shape at the same "
+            "(group_cols, id_col, carry_cols)"
+        )
+    # the merge identity's right-hand side: pre-truncate the batch to
+    # its own ≤ k per group before the union (batch-sized work, and a
+    # huge batch contributes ≤ k rows per group downstream)
+    b = group_priority_sample(
+        batch, group_cols, weight_col, k, id_col, carry_cols
+    )
+    merged = state.drop("rk").unionByName(b.drop("rk"))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        "priority", id_col
+    )
+    return (
+        merged.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= int(k))
+        .select(*want)
+    )

@@ -105,30 +105,45 @@ def tf_count_table_verify(
     cand: DataFrame,
     threshold_num: int,
     threshold_den: int,
+    shc_b: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, wi_scaled bigint, tf_jaccard double) — the EXACT
     TF-weighted verify stage shared by the prefix path
-    (:func:`tf_jaccard_join`) and the ICWS sketch path
-    (`operators/icws.py`), ONE definition so the threshold algebra and
-    output contract cannot drift (the `count_table_verify`
+    (:func:`tf_jaccard_join`), the ICWS sketch path
+    (`operators/icws.py`), and the incremental cross-side screen
+    (`operators/incremental_icws.py`), ONE definition so the threshold
+    algebra and output contract cannot drift (the `count_table_verify`
     convention). ``cand`` is (doc_a, doc_b) pairs; sizes come from the
-    count table itself. wi_scaled = Σ min(c_a·n_b, c_b·n_a) over the
-    shared support — integer end to end, one IEEE division for the
-    report."""
+    count table(s). SELF-JOIN mode by default (both sides of each pair
+    resolve in ``shc``); pass ``shc_b`` for CROSS-SIDE mode — doc_a
+    rows resolve in ``shc``, doc_b rows in ``shc_b`` (the
+    incremental-refresh shape: batch counts vs the pruned standing
+    corpus counts; ids may overlap across the two tables since each
+    side resolves only in its own). wi_scaled = Σ min(c_a·n_b,
+    c_b·n_a) over the shared support — integer end to end, one IEEE
+    division for the report."""
     num, den = _validated(threshold_num, threshold_den)
-    sizes = shc.groupBy("doc").agg(F.sum("c").cast("bigint").alias("__n"))
+    shc_right = shc_b if shc_b is not None else shc
+    sizes_a = shc.groupBy("doc").agg(F.sum("c").cast("bigint").alias("__n"))
+    sizes_b = (
+        sizes_a
+        if shc_b is None
+        else shc_b.groupBy("doc").agg(
+            F.sum("c").cast("bigint").alias("__n")
+        )
+    )
     sized = (
-        cand.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
+        cand.join(sizes_a.withColumnRenamed("doc", "doc_a"), "doc_a")
         .withColumnRenamed("__n", "n_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b"), "doc_b")
+        .join(sizes_b.withColumnRenamed("doc", "doc_b"), "doc_b")
         .withColumnRenamed("__n", "n_b")
     )
-    # string aliases, not frame refs: both verify sides derive from the
-    # SAME shc plan, and frame-attribute conditions (a["shingle"] ==
+    # string aliases, not frame refs: both verify sides may derive from
+    # the SAME shc plan, and frame-attribute conditions (a["shingle"] ==
     # b["shingle"]) can resolve to one attribute id — trivially true,
     # a silent per-pair cartesian (caught by the brute-force equality
     # test; the incremental_neardup verify convention)
-    sa, sb = shc.alias("sa"), shc.alias("sb")
+    sa, sb = shc.alias("sa"), shc_right.alias("sb")
     inter = (
         sized.join(sa, sized["doc_a"] == F.col("sa.doc"))
         .join(

@@ -1,0 +1,150 @@
+"""r18 declaration previews: the r17 build-ahead operators' future
+declared queries, run against their EXACT intended DuckDB oracle SQL
+through the same compare harness the driver uses — everything but the
+registry entries (which must wait for the r18 window per the rotation
+contract). When r18 declares them, the bodies and oracle strings move
+VERBATIM into a queries/ module and this file is rewritten
+registry-driven (the r10–r17 convention, ENFORCED by
+tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
+— these ``*_preview`` functions fail the build if WINDOW_ROUND reaches
+18 without the declarations landing).
+
+Two component families (the keep-the-bank-small guidance):
+
+- q_incremental_icws — the ICWS maintained-state incremental face
+  (`operators/incremental_icws.py`), completing the
+  incremental-refresh symmetry for REAL weights: a refresh batch
+  probed against a standing corpus' maintained counted-shingle table
+  + ICWS band index, exact TF-weighted verify on candidates only
+  (the shared `tf_count_table_verify`, cross-side mode). Pinned
+  n=3, τ=7/10, r=2 b=16 over the corpus/batch split (doc_id%10,
+  +1e6 injection of corpus%7 docs — the q_incremental_neardup
+  shape): the oracle is the brute-force cross-side count-join SQL,
+  so the hash-match measures the cross-side banding recall at the
+  fixture similarities (measured: zero misses at every verified SF —
+  the injected dups sit at J_tf=1 where banding never misses, the
+  organic pairs at J_tf ≥ 0.7 where the per-pair miss is ≤ 2e-5).
+
+- q_incremental_group_priority — the maintained-state face of the
+  SAMPLING family (`operators/sampling_incremental.py`): per-group
+  weighted bottom-k state refreshed with a raw batch, equal
+  row-for-row to re-sampling corpus ∪ batch from scratch (the
+  mergeable bottom-k identity). Pinned k=7 per lang, weight =
+  n_chars, split doc_id%10: corpus ∪ batch = the WHOLE documents
+  table, so the oracle replays the plain full-table
+  row_number-over-(h/w, id) — the hash-match IS the merge theorem.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from food_panda_etl_spark.operators.weighted_jaccard import (
+    shingle_multiset_cte_sql,
+)
+from food_panda_etl_spark.tables import load_table
+from tests.oracle_compare import compare
+
+_SF01 = "/root/testdata/sf0.01"
+
+_II_NUM, _II_DEN = 7, 10
+_IGP_K = 7
+
+
+@pytest.fixture(params=["sf0.001", "sf0.01"])
+def any_sf(request, sf_dir):
+    return _SF01 if request.param == "sf0.01" else sf_dir
+
+
+def test_incremental_icws_preview(spark, any_sf):
+    """Incremental ICWS real-weight near-dup screen
+    (operators/incremental_icws.py): refresh batch probed against the
+    standing corpus' maintained band index, exact TF-weighted verify
+    on candidates only. Corpus = doc_id%10 <> 0; batch = doc_id%10 = 0
+    plus corpus%7 docs re-id'd at +1e6 (injected J_tf-1 rows,
+    non-vacuous at every SF). The oracle is the brute-force cross-side
+    count-join on the shared multiset replay."""
+    from food_panda_etl_spark.operators.incremental_icws import (
+        incremental_icws_pairs,
+    )
+
+    d = load_table(spark, any_sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    got = incremental_icws_pairs(
+        corpus, batch, "doc_id", "text", n=3,
+        threshold_num=_II_NUM, threshold_den=_II_DEN,
+    )
+    oracle = f"""
+    WITH {shingle_multiset_cte_sql(3)},
+    bsm AS (SELECT doc, shingle, c FROM shm WHERE doc % 10 = 0
+            UNION ALL
+            SELECT doc + 1000000 AS doc, shingle, c FROM shm
+            WHERE doc % 10 <> 0 AND doc % 7 = 0),
+    csm AS (SELECT doc, shingle, c FROM shm WHERE doc % 10 <> 0),
+    bt AS (SELECT doc, CAST(sum(c) AS BIGINT) AS nw FROM bsm GROUP BY doc),
+    ct AS (SELECT doc, CAST(sum(c) AS BIGINT) AS nw FROM csm GROUP BY doc),
+    wi AS (SELECT b.doc AS bdoc, c.doc AS cdoc,
+                  CAST(sum(least(b.c * ct.nw, c.c * bt.nw)) AS BIGINT) AS wi
+           FROM bsm b
+           JOIN csm c ON b.shingle = c.shingle
+           JOIN bt ON b.doc = bt.doc
+           JOIN ct ON c.doc = ct.doc
+           GROUP BY 1, 2)
+    SELECT bdoc AS doc_id, cdoc AS dup_of, wi AS wi_scaled,
+           CAST(wi AS DOUBLE)
+             / CAST(2 * bt.nw * ct.nw - wi AS DOUBLE) AS tf_jaccard
+    FROM wi
+    JOIN bt ON bdoc = bt.doc
+    JOIN ct ON cdoc = ct.doc
+    WHERE wi * {_II_DEN + _II_NUM} >= 2 * {_II_NUM} * bt.nw * ct.nw
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+def test_incremental_group_priority_preview(spark, any_sf):
+    """Incremental group-wise priority sampling
+    (operators/sampling_incremental.py): maintained per-lang weighted
+    bottom-7 state (from the corpus split) refreshed with the batch
+    split — corpus ∪ batch is the whole documents table, so the oracle
+    is the plain full-table replay and the hash-match IS the mergeable
+    bottom-k identity."""
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        incremental_group_priority_sample,
+    )
+
+    d = load_table(spark, any_sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    state = group_priority_sample(corpus, ("lang",), "n_chars", _IGP_K)
+    got = incremental_group_priority_sample(
+        state, batch, ("lang",), "n_chars", _IGP_K
+    )
+    oracle = f"""
+    WITH h AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+                      ((doc_id % 1000003) * 1315423911) % 1000003 AS h
+               FROM documents),
+    p AS (SELECT lang, doc_id, w,
+                 CAST(h AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+          FROM h WHERE w > 0),
+    r AS (SELECT lang, doc_id, w, priority,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY priority, doc_id) AS INT) AS rk
+          FROM p)
+    SELECT lang, doc_id, w AS weight, priority, rk
+    FROM r WHERE rk <= {_IGP_K}
+    """
+    assert compare(got, oracle, any_sf) == []
