@@ -231,10 +231,19 @@ HEADLINE = [
     "q_incremental_embed_neardup",
     "q_containment_join",
     "q_edit_distance_join",
+    # r17 additions: the incremental containment screen (fixed-batch
+    # directional quote gate; state built per run = worst-case
+    # from-raw), the real-weight TF-Jaccard join (the fourth prefix
+    # regime), the grouped Bloom probe, and the trailing-window Bloom
+    # membership (per-day build + OR-merge + probe).
+    "q_incremental_containment",
+    "q_tf_jaccard",
+    "q_bloom_by_group",
+    "q_bloom_window",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 118 of the 170
-# declared keys are timed above. The 52 excluded, by category:
+# Bench coverage accounting (VERDICT r6 task 7): 122 of the 175
+# declared keys are timed above. The 53 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —
 #     q_project q_ceil_div q_case_when q_null_handling q_epoch_cast
@@ -255,7 +264,9 @@ HEADLINE = [
 #     sketches + the exact countDistinct reference in one query;
 #     q_hll_counts/q_hll_windowed time the sketch-build cost), and
 #     q_weighted_minhash_gate joins this family r16 (it runs the timed
-#     q_weighted_jaccard's exact side PLUS the banded path), and
+#     q_weighted_jaccard's exact side PLUS the banded path),
+#     q_icws_gate joins it r17 (it runs the timed q_tf_jaccard's exact
+#     side PLUS the ICWS banded path), and
 #     q_join_advice joins it r15 (three advised pairs whose cost is the
 #     already-timed CMS-build class over ≤ W·D-row frames plus scalar
 #     broadcasts — the timed q_cms_join_size carries the same sketch
