@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from food_panda_etl_spark.operators.dedup import _band_candidates
 from food_panda_etl_spark.operators.tf_jaccard import (
     tf_count_table_verify,
+    tf_weights,
 )
 from food_panda_etl_spark.operators.weighted_jaccard import (
     shingle_multiset_table,
@@ -145,8 +146,11 @@ def icws_lsh_pairs(
     tables (same output contract as `tf_jaccard_join`; equality up to
     candidate recall — a true pair at similarity j is missed with
     probability (1−j^r)^bands, the shared banding bound)."""
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"icws_lsh_pairs: need bands >= 1 dividing num_hashes, got "
+            f"bands={bands}, num_hashes={num_hashes}"
+        )
     num, den = int(threshold_num), int(threshold_den)
     if not (0 < num <= den):
         raise ValueError(
@@ -154,13 +158,8 @@ def icws_lsh_pairs(
         )
     shc = shingle_multiset_table(df, id_col, text_col, n).localCheckpoint(
         eager=False
-    )  # consumers: weights, sizes, verify
-    sizes = shc.groupBy("doc").agg(F.sum("c").cast("bigint").alias("__n"))
-    wt = shc.join(sizes, "doc").select(
-        "doc",
-        "shingle",
-        (F.col("c").cast("double") / F.col("__n").cast("double")).alias("w"),
-    )
+    )  # consumers: weights, verify
+    wt = tf_weights(shc)
     # checkpoint the signature: the band self-join reads it on BOTH
     # sides, and without the pin the ln/hash-heavy ICWS projection —
     # the pipeline's hot loop — runs twice (the minhash_lsh_pairs

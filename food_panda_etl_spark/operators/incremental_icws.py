@@ -56,6 +56,7 @@ from food_panda_etl_spark.operators.dedup import band_rows
 from food_panda_etl_spark.operators.icws import icws_signatures
 from food_panda_etl_spark.operators.tf_jaccard import (
     tf_count_table_verify,
+    tf_weights,
 )
 from food_panda_etl_spark.operators.weighted_jaccard import (
     shingle_multiset_table,
@@ -65,17 +66,6 @@ _GEO_KEYS = ("n", "num_hashes", "bands", "seed", "shingler")
 # bump when shingle_multiset_table's gram semantics change — state
 # built by an older builder must fail the probe's geometry check
 _SHINGLER = "weighted_jaccard.shingle_multiset_table/v1"
-
-
-def _tf_weights(shc: DataFrame) -> DataFrame:
-    """(doc, shingle, w double) TF weights w = c/n from a counted
-    shingle table — the icws_lsh_pairs projection, one definition."""
-    sizes = shc.groupBy("doc").agg(F.sum("c").cast("bigint").alias("__n"))
-    return shc.join(sizes, "doc").select(
-        "doc",
-        "shingle",
-        (F.col("c").cast("double") / F.col("__n").cast("double")).alias("w"),
-    )
 
 
 def build_icws_state(
@@ -94,8 +84,11 @@ def build_icws_state(
     by doc and the index by (band, bh); here they are lazy frames the
     caller may checkpoint. The geometry rides BOTH frames as column
     metadata (see module docstring)."""
-    if num_hashes % bands:
-        raise ValueError("build_icws_state: num_hashes % bands != 0")
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"build_icws_state: need bands >= 1 dividing num_hashes, got "
+            f"bands={bands}, num_hashes={num_hashes}"
+        )
     geo = {
         "n": int(n),
         "num_hashes": int(num_hashes),
@@ -107,7 +100,7 @@ def build_icws_state(
         "shingle", geo
     )
     index = band_rows(
-        icws_signatures(_tf_weights(shc), num_hashes, seed),
+        icws_signatures(tf_weights(shc), num_hashes, seed),
         num_hashes,
         bands,
     ).withMetadata("bh", geo)
@@ -157,8 +150,11 @@ def incremental_icws_pairs(
     index + a candidate-bounded verify. State stamped by
     :func:`build_icws_state` is geometry-validated and a mismatched
     or mixed-build probe raises (module docstring)."""
-    if num_hashes % bands:
-        raise ValueError("incremental_icws_pairs: num_hashes % bands != 0")
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"incremental_icws_pairs: need bands >= 1 dividing "
+            f"num_hashes, got bands={bands}, num_hashes={num_hashes}"
+        )
     num, den = int(threshold_num), int(threshold_den)
     if not (0 < num <= den):
         raise ValueError(
@@ -206,7 +202,7 @@ def incremental_icws_pairs(
             corpus, id_col, text_col, n
         ).localCheckpoint(eager=False)
         corpus_bands = band_rows(
-            icws_signatures(_tf_weights(corpus_counts), num_hashes, seed),
+            icws_signatures(tf_weights(corpus_counts), num_hashes, seed),
             num_hashes,
             bands,
         )
@@ -214,7 +210,7 @@ def incremental_icws_pairs(
         eager=False
     )  # consumers: weights→signatures, verify
     b_bands = band_rows(
-        icws_signatures(_tf_weights(b_shc), num_hashes, seed),
+        icws_signatures(tf_weights(b_shc), num_hashes, seed),
         num_hashes,
         bands,
     )

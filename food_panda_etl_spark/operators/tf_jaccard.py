@@ -64,6 +64,21 @@ def _validated(threshold_num: int, threshold_den: int) -> tuple[int, int]:
     return num, den
 
 
+def tf_weights(shc: DataFrame) -> DataFrame:
+    """(doc, shingle, w double) TF weights w = c/n from a counted
+    shingle table — ONE definition shared by the ICWS sketch path
+    (`operators/icws.py`) and the incremental maintained-state face
+    (`operators/incremental_icws.py`), so the two faces can never
+    drift to answering different similarity questions (review r17;
+    the priority_expr/guarded_weight no-drift rule)."""
+    sizes = shc.groupBy("doc").agg(F.sum("c").cast("bigint").alias("__n"))
+    return shc.join(sizes, "doc").select(
+        "doc",
+        "shingle",
+        (F.col("c").cast("double") / F.col("__n").cast("double")).alias("w"),
+    )
+
+
 def tf_prefix_candidates(
     shc: DataFrame, threshold_num: int, threshold_den: int
 ) -> DataFrame:

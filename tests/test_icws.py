@@ -108,7 +108,11 @@ def test_fixture_recall_and_exactness(spark, sf_dir):
 
 
 def test_validation():
-    with pytest.raises(ValueError, match="divisible by bands"):
+    with pytest.raises(ValueError, match="dividing num_hashes"):
         icws_lsh_pairs(None, "doc_id", "text", num_hashes=30, bands=16)
+    with pytest.raises(ValueError, match="dividing num_hashes"):
+        # bands=0 must raise the geometry ValueError, not a
+        # ZeroDivisionError from the modulo itself (review r17)
+        icws_lsh_pairs(None, "doc_id", "text", bands=0)
     with pytest.raises(ValueError, match="need 0 < num <= den"):
         icws_lsh_pairs(None, "doc_id", "text", threshold_num=0)

@@ -173,11 +173,11 @@ def test_hand_built_state_still_accepted(spark, sf_dir):
     caller's contract (the incremental-family convention)."""
     from food_panda_etl_spark.operators.dedup import band_rows
     from food_panda_etl_spark.operators.icws import icws_signatures
-    from food_panda_etl_spark.operators.incremental_icws import _tf_weights
+    from food_panda_etl_spark.operators.tf_jaccard import tf_weights
 
     corpus, batch = _split(spark, sf_dir)
     counts = shingle_multiset_table(corpus, "doc_id", "text", _N)
-    index = band_rows(icws_signatures(_tf_weights(counts), 32, 42), 32, 16)
+    index = band_rows(icws_signatures(tf_weights(counts), 32, 42), 32, 16)
     got = incremental_icws_pairs(
         None, batch, "doc_id", "text", n=_N,
         threshold_num=_NUM, threshold_den=_DEN,
@@ -188,3 +188,12 @@ def test_hand_built_state_still_accepted(spark, sf_dir):
         threshold_num=_NUM, threshold_den=_DEN,
     ).count()
     assert got == want
+
+
+def test_bands_zero_raises_value_error(spark):
+    """bands=0 must raise the geometry ValueError, not a
+    ZeroDivisionError from the modulo itself (review r17)."""
+    with pytest.raises(ValueError, match="dividing num_hashes"):
+        build_icws_state(None, "doc_id", "text", bands=0)
+    with pytest.raises(ValueError, match="dividing num_hashes"):
+        incremental_icws_pairs(None, None, "doc_id", "text", bands=0)
