@@ -694,3 +694,113 @@ def test_streaming_incremental_containment_equals_batch(spark, out_dir):
     finally:
         c_sh.unpersist()
         c_df.unpersist()
+
+
+def test_streaming_incremental_icws_equals_batch(spark, out_dir):
+    """The streaming face of `operators/incremental_icws.py` (the r17
+    build-ahead): the standing corpus is STATIC state — its counted
+    shingle table and ICWS band index are built ONCE
+    (`build_icws_state`) — and every arriving micro-batch of new
+    documents is screened for TF-weighted near-duplication against
+    that state as it lands (verdicts are per batch-doc — no
+    cross-batch state). The union of the per-batch verdicts must equal
+    the batch composite over the full arrival set AND the brute-force
+    cross-side count-join — the ingestion-time shape gate, versioned
+    per batch_id so replays stay idempotent."""
+    import json as _json
+
+    from food_panda_etl_spark.operators.incremental_icws import (
+        build_icws_state,
+        incremental_icws_pairs,
+    )
+    from tests.test_incremental_icws import _brute_force as _bf_icws
+
+    corpus_rows = [
+        (101, "alpha beta gamma delta epsilon zeta eta theta"),
+        (102, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        (103, "one two three four five six seven eight"),
+    ]
+    batches = [
+        # 7-token prefix of 101: 5 of its 6 trigrams shared, counts all
+        # 1 → wi = 25, J_tf = 25/35 ≈ 0.714 ≥ 7/10 (integer compare
+        # 425 ≥ 420 — a just-over-the-bar pair, deliberately)
+        [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta"},
+         {"doc_id": 2, "text": "totally novel text with no shared grams"}],
+        # full copy of 102 → J_tf = 1
+        [{"doc_id": 3,
+          "text": "lorem ipsum dolor sit amet consectetur adipiscing elit"}],
+        [{"doc_id": 4, "text": "another clean document arriving later here"}],
+    ]
+    src = os.path.join(out_dir, "in_ii")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i:03d}.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    c_cnt, c_idx = build_icws_state(corpus, "doc_id", "text", n=3)
+    c_cnt, c_idx = c_cnt.cache(), c_idx.cache()
+    c_cnt.count(), c_idx.count()
+    verdicts = os.path.join(out_dir, "ii_verdicts")
+
+    def screen_batch(df, batch_id):
+        out = incremental_icws_pairs(
+            None, df, "doc_id", "text", n=3,
+            threshold_num=7, threshold_den=10,
+            corpus_counts=c_cnt, corpus_bands=c_idx,
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(verdicts, f"v{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+        .writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "ii_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("availableNow replay exceeded 180 s")
+    finally:
+        q.stop()
+    try:
+        got = _rows(
+            spark.read.parquet(os.path.join(verdicts, "v*")),
+            ["doc_id", "dup_of", "wi_scaled", "tf_jaccard"],
+        )
+        full = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for b in batches for r in b],
+            "doc_id long, text string",
+        )
+        want_composite = _rows(
+            incremental_icws_pairs(
+                None, full, "doc_id", "text", n=3,
+                threshold_num=7, threshold_den=10,
+                corpus_counts=c_cnt, corpus_bands=c_idx,
+            ),
+            ["doc_id", "dup_of", "wi_scaled", "tf_jaccard"],
+        )
+        assert got == want_composite
+        want_exact = _rows(
+            _bf_icws(corpus, full).select(
+                F.col("doc_a").alias("doc_id"),
+                F.col("doc_b").alias("dup_of"),
+                "wi_scaled",
+                "tf_jaccard",
+            ),
+            ["doc_id", "dup_of", "wi_scaled", "tf_jaccard"],
+        )
+        assert got == want_exact
+        # non-vacuous: doc 1 is the just-over-the-bar prefix pair of
+        # 101, doc 3 the exact copy of 102; docs 2 and 4 are clean
+        assert [(a, b) for a, b, _, _ in got] == [(1, 101), (3, 102)]
+        assert got[1][3] == 1.0
+    finally:
+        c_cnt.unpersist()
+        c_idx.unpersist()
