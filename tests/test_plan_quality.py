@@ -872,3 +872,89 @@ def test_bloom_group_probe_is_one_equi_join(spark, sf_dir):
     plan = explain_formatted(df)
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_bloom_window_merge_never_rescans_fact(spark, sf_dir):
+    """The trailing-window Bloom query (declared r17): per-day build is
+    ONE pass over events, the window merge re-aggregates the
+    ≤ m-row-per-day bit table (keyed on (j, b) — never the fact), and
+    the probe is an equi-join; the only nested-loop nodes are the
+    benign one-row max-day broadcast and the probe-range crossJoin.
+    No Python anywhere."""
+    from food_panda_etl_spark.queries import QUERIES
+
+    df = QUERIES["q_bloom_window"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 2  # 1-row mx broadcast + probe grid
+    plan = explain_formatted(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # the merge agg re-buckets on the bit cells, not on any fact column
+    assert "hashpartitioning(j" in plan or "hashpartitioning(b" in plan
+
+
+def test_incremental_icws_probe_is_equi_and_prune_broadcasts(spark, sf_dir):
+    """The incremental ICWS screen (r18 preview): cross-side band
+    probe and TF-weighted verify are equi-joins end to end, the
+    candidate-doc prune is a BROADCAST semi-join, and the ICWS sampler
+    stays JVM-side (no Python boundary) — a refresh never pays a
+    corpus-wide non-keyed pass."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.incremental_icws import (
+        incremental_icws_pairs,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    df = incremental_icws_pairs(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_num=7,
+        threshold_den=10,
+    )
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.broadcast_joins >= 1  # the candidate-doc semi-join prune
+    plan = explain_formatted(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_incremental_group_priority_rewrites_to_window_group_limit(
+    spark, sf_dir
+):
+    """The incremental grouped priority sample (r18 preview): the
+    refresh re-rank must rewrite to WindowGroupLimit (per-partition
+    partial top-k heaps before the shuffle — ≤ k rows per (group,
+    partition) move, the batch sampler's own gated shape), with no
+    cartesian/nested-loop node and no Python."""
+    from pyspark.sql import functions as F
+
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        incremental_group_priority_sample,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    state = group_priority_sample(
+        d.filter(F.col("doc_id") % 10 != 0), ("lang",), "n_chars", 7
+    )
+    df = incremental_group_priority_sample(
+        state, d.filter(F.col("doc_id") % 10 == 0), ("lang",), "n_chars", 7
+    )
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    plan = explain_formatted(df)
+    assert "WindowGroupLimit" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
