@@ -179,7 +179,18 @@ DECLARED_WINDOW = [
 # batch, completing the incremental symmetry for real weights) and
 # ONE sampling-symmetry candidate (grouped priority-sample refresh or
 # per-group quantile-bucket), per VERDICT r16 task 4's 2-3-family
-# guidance. Remaining slots: oldest-r15 fills.
+# guidance. Remaining slots: oldest-r15 fills. RIDER-BLOCKED
+# CANDIDATES deferred from r17 (window was full at 50): (a) geometry
+# stamps for operators/incremental_neardup.py (the one incremental
+# face still without the metadata-stamp pattern — byte-change rider
+# q_incremental_neardup, r16-era, fits any later window); (b) a CMS
+# geometry stamp closing the advisor's "sketch built NARROWER than
+# requested passes undetected" mode — byte-changing operators/cms.py
+# pulls a LARGE closure (every declared key whose body reaches
+# cms._cell / oracle_dm_sql: the cms family, q_cms_join_size,
+# q_join_advice, ALL bloom keys via bloom.py's imports — recompute
+# from the CALL GRAPH before attempting; q_cms_join_size is r14-era
+# and windows at r18 anyway, but the bloom keys would re-window).
 def _load_all() -> None:
     # Import side effects populate the registries. ORDER MATTERS: the
     # correctness driver records only the first N (~50) registered
