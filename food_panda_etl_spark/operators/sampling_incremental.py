@@ -6,6 +6,11 @@ suites; the dedup/similarity screens in incremental_neardup /
 incremental_embed / incremental_containment / incremental_icws; this
 is the same question for samples: "keep a ≤ k-row weighted sample per
 group CURRENT as batches arrive, without rescanning the corpus").
+The module carries BOTH faces the sketch families have: the
+incremental refresh (:func:`incremental_group_priority_sample`) and
+the re-bucketing combine (:func:`group_priority_rebucket` — per-day
+fine-group samples re-ranked across a dropped dimension, the
+trailing-window question).
 
 Why it works (the mergeable bottom-k identity the batch operator
 already documents and property-tests): priority sampling is weighted
@@ -48,6 +53,62 @@ from pyspark.sql import functions as F
 from food_panda_etl_spark.operators.sampling_group import (
     group_priority_sample,
 )
+
+
+def group_priority_rebucket(
+    state: DataFrame,
+    group_cols: tuple[str, ...],
+    k: int,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Re-rank a `group_priority_sample` state sampled at FINER groups
+    down to ``group_cols`` — the RE-BUCKETING combine completing the
+    family symmetry with the sketches (`cms_merge_groups` sums cells,
+    `hll_merge_groups` maxes registers, `bloom_merge_groups` unions
+    bits, THIS re-ranks priorities): per-day (day, g) samples →
+    "a weighted sample of the last N days per g" after the caller's
+    day filter, at ≤ days·groups·k re-rank cost, NO rescan of the
+    fact. Correct because being among the k smallest priorities of the
+    whole window-group implies being among the k smallest of its own
+    finer group (priorities are row-pure), so the coarse bottom-k is
+    contained in the union of fine bottom-k's — the same identity the
+    incremental refresh rides, across a dropped dimension instead of
+    across time.
+
+    ``state`` must carry ``group_cols``, ``id_col``, ``carry_cols``
+    and the sampler's (weight, priority, rk) columns; EXTRA columns
+    are the dims being dropped (the `check_merge_columns` subset
+    semantics). The state's own per-fine-group k must be ≥ this ``k``
+    (a state truncated below it has already discarded candidate rows —
+    the incremental sampler's same-k contract). Returns the
+    `group_priority_sample` output shape at the coarse grouping."""
+    if int(k) < 1:
+        raise ValueError(
+            f"group_priority_rebucket: k must be >= 1, got {k!r}"
+        )
+    if not group_cols:
+        raise ValueError(
+            "group_priority_rebucket: group_cols must be non-empty — "
+            "re-bucketing to the global sample is priority_sample's job"
+        )
+    want = [*group_cols, id_col, *carry_cols, "weight", "priority", "rk"]
+    missing = sorted(set(want) - set(state.columns))
+    if missing:
+        raise ValueError(
+            f"group_priority_rebucket: state lacks columns {missing} — "
+            "need a group_priority_sample-shaped frame whose group "
+            "dims are a superset of group_cols"
+        )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        "priority", id_col
+    )
+    return (
+        state.select(*[c for c in want if c != "rk"])
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= int(k))
+        .select(*want)
+    )
 
 
 def incremental_group_priority_sample(

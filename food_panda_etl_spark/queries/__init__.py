@@ -179,7 +179,12 @@ DECLARED_WINDOW = [
 # batch, completing the incremental symmetry for real weights) and
 # ONE sampling-symmetry candidate (grouped priority-sample refresh or
 # per-group quantile-bucket), per VERDICT r16 task 4's 2-3-family
-# guidance. Remaining slots: oldest-r15 fills. RIDER-BLOCKED
+# guidance — the sampling family banks BOTH faces, so r18 declares
+# THREE: q_incremental_icws, q_incremental_group_priority, and
+# q_group_priority_window (the trailing-window sample via
+# group_priority_rebucket — the q_bloom_window convention applied to
+# sampling; all three preview-verified sf0.001/0.01/0.1).
+# Remaining slots: oldest-r15 fills. RIDER-BLOCKED
 # CANDIDATES deferred from r17 (window was full at 50): (a) geometry
 # stamps for operators/incremental_neardup.py (the one incremental
 # face still without the metadata-stamp pattern — byte-change rider

@@ -958,3 +958,31 @@ def test_incremental_group_priority_rewrites_to_window_group_limit(
     assert "WindowGroupLimit" in plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_group_priority_rebucket_rewrites_to_window_group_limit(
+    spark, sf_dir
+):
+    """The re-bucketing combine (r18 preview): the coarse re-rank must
+    rewrite to WindowGroupLimit over the ≤ fine-groups·k state rows —
+    no cartesian/nested-loop, no Python; the timed input is the
+    prebuilt state, so the cost is geometry-bounded (days·groups·k),
+    never fact-sized."""
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        group_priority_rebucket,
+    )
+    from food_panda_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fine = group_priority_sample(d, ("lang", "source"), "n_chars", 7)
+    df = group_priority_rebucket(fine, ("lang",), 7)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    plan = explain_formatted(df)
+    assert "WindowGroupLimit" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan

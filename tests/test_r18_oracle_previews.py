@@ -9,7 +9,9 @@ tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
 — these ``*_preview`` functions fail the build if WINDOW_ROUND reaches
 18 without the declarations landing).
 
-Two component families (the keep-the-bank-small guidance):
+Two component families (the keep-the-bank-small guidance — the
+sampling family banks BOTH its faces, incremental and windowed, the
+way the sketch families carry theirs):
 
 - q_incremental_icws — the ICWS maintained-state incremental face
   (`operators/incremental_icws.py`), completing the
@@ -33,6 +35,18 @@ Two component families (the keep-the-bank-small guidance):
   n_chars, split doc_id%10: corpus ∪ batch = the WHOLE documents
   table, so the oracle replays the plain full-table
   row_number-over-(h/w, id) — the hash-match IS the merge theorem.
+
+- q_group_priority_window — the WINDOWED face of the same family
+  (`group_priority_rebucket`, the re-bucketing combine): "a weighted
+  sample of the last 7 days' events per type" from per-(day, type)
+  bottom-k states, day-filtered and re-ranked across the dropped day
+  dimension — the q_cms_windowed/q_hll_windowed/q_bloom_window
+  convention applied to SAMPLING. Pinned k=5 per event_type, weight
+  = CAST(round(value·100) AS BIGINT)+1 (the registry's integer-grid
+  rounding convention — identical half-away-from-zero in both
+  engines on positive values), window 7 days. The oracle replays the
+  direct row_number over the window's raw rows, so the hash-match IS
+  the dropped-dimension identity.
 """
 
 from __future__ import annotations
@@ -51,6 +65,8 @@ _SF01 = "/root/testdata/sf0.01"
 
 _II_NUM, _II_DEN = 7, 10
 _IGP_K = 7
+_GPW_K, _GPW_WIN = 5, 7
+_DAY_US = 86_400_000_000
 
 
 @pytest.fixture(params=["sf0.001", "sf0.01"])
@@ -146,5 +162,72 @@ def test_incremental_group_priority_preview(spark, any_sf):
           FROM p)
     SELECT lang, doc_id, w AS weight, priority, rk
     FROM r WHERE rk <= {_IGP_K}
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+def test_group_priority_window_preview(spark, any_sf):
+    """Trailing-window group-wise priority sampling
+    (operators/sampling_incremental.py::group_priority_rebucket): a
+    weighted sample of the last 7 days' events per event_type from
+    per-(day, type) bottom-k states, re-ranked across the dropped day
+    dimension. The oracle replays the direct bottom-k over the
+    window's raw rows — the hash-match IS the dropped-dimension
+    identity."""
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        group_priority_rebucket,
+    )
+
+    ev = (
+        load_table(spark, any_sf, "events")
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            "event_id",
+            (F.round(F.col("value") * 100).cast("bigint") + 1).alias("w"),
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_DAY_US}"
+            ).alias("day"),
+        )
+    )
+    by_day = group_priority_sample(
+        ev, ("event_type", "day"), "w", _GPW_K, id_col="event_id"
+    ).localCheckpoint(eager=False)
+    mx = by_day.agg(F.max("day").alias("md"))
+    recent = (
+        by_day.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.col("md") - _GPW_WIN)
+        .drop("md")
+    )
+    got = group_priority_rebucket(
+        recent, ("event_type",), _GPW_K, id_col="event_id"
+    )
+    oracle = f"""
+    WITH ev AS (SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) + 1 AS w,
+                       epoch_us(ts) // {_DAY_US} AS day
+                FROM events
+                WHERE event_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL),
+    mx AS (SELECT max(day) AS md FROM ev),
+    win AS (SELECT event_type, event_id, w FROM ev CROSS JOIN mx
+            WHERE day > md - {_GPW_WIN}),
+    p AS (SELECT event_type, event_id, w,
+                 CAST(((event_id % 1000003) * 1315423911) % 1000003
+                      AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+          FROM win WHERE w > 0),
+    r AS (SELECT event_type, event_id, w, priority,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                      ORDER BY priority, event_id) AS INT) AS rk
+          FROM p)
+    SELECT event_type, event_id, w AS weight, priority, rk
+    FROM r WHERE rk <= {_GPW_K}
     """
     assert compare(got, oracle, any_sf) == []

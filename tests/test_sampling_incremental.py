@@ -116,3 +116,73 @@ def test_merge_identity_random(spark, rows, cut, k):
     got = incremental_group_priority_sample(state, batch, ("g",), "w", k)
     want = group_priority_sample(df, ("g",), "w", k)
     assert _rows(got) == _rows(want)
+
+
+def test_rebucket_equals_direct_coarse_sample(spark, sf_dir):
+    """The re-bucketing combine: per-(lang, source) fine samples
+    re-ranked to per-lang must equal sampling per-lang directly (the
+    dropped-dimension identity — coarse bottom-k ⊆ union of fine
+    bottom-k's while fine k >= coarse k)."""
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        group_priority_rebucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fine = group_priority_sample(d, ("lang", "source"), "n_chars", _K)
+    got = group_priority_rebucket(fine, ("lang",), _K)
+    want = group_priority_sample(d, ("lang",), "n_chars", _K)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_rebucket_validation(spark, sf_dir):
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        group_priority_rebucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fine = group_priority_sample(d, ("lang", "source"), "n_chars", _K)
+    with pytest.raises(ValueError, match="k must be"):
+        group_priority_rebucket(fine, ("lang",), 0)
+    with pytest.raises(ValueError, match="group_cols must be"):
+        group_priority_rebucket(fine, (), _K)
+    with pytest.raises(ValueError, match="state lacks columns"):
+        group_priority_rebucket(fine.drop("priority"), ("lang",), _K)
+    with pytest.raises(ValueError, match="state lacks columns"):
+        group_priority_rebucket(fine, ("nonexistent",), _K)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # id
+            st.sampled_from(["a", "b"]),  # coarse group
+            st.integers(min_value=0, max_value=6),  # fine dim (day)
+            st.integers(min_value=0, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_rebucket_identity_random(spark, rows, k):
+    """Re-bucketing (g, day) → g equals the direct per-g sample for
+    random weights/days, including zero weights and groups existing in
+    one day only — the dropped-dimension identity in full."""
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        group_priority_rebucket,
+    )
+
+    uniq = {r[0]: r for r in rows}.values()
+    df = spark.createDataFrame(
+        list(uniq), "doc_id long, g string, day long, w long"
+    )
+    fine = group_priority_sample(df, ("g", "day"), "w", k)
+    got = group_priority_rebucket(fine, ("g",), k)
+    want = group_priority_sample(df, ("g",), "w", k)
+    assert _rows(got) == _rows(want)
