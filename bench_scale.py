@@ -1269,6 +1269,11 @@ def r18_curves(spark, sizes) -> dict:
       (64 groups, k=32) PREBUILT from the growing corpus (cached,
       untimed), refreshed with a FIXED 4096-row batch — expected FLAT:
       the refresh re-ranks ≤ k·groups + batch rows, never the corpus.
+    - Grouped priority rebucket (the windowed face): per-(day, group)
+      states (16 days × 64 groups × k=32) PREBUILT from the growing
+      corpus (cached, untimed), re-ranked to per-group — expected FLAT
+      by construction: the timed input is the geometry-bounded state
+      (days·groups·k rows regardless of corpus size).
     """
     from food_panda_etl_spark.operators.incremental_icws import (
         build_icws_state,
@@ -1278,12 +1283,14 @@ def r18_curves(spark, sizes) -> dict:
         group_priority_sample,
     )
     from food_panda_etl_spark.operators.sampling_incremental import (
+        group_priority_rebucket,
         incremental_group_priority_sample,
     )
 
     curves: dict[str, dict[int, float]] = {
         "incremental_icws": {},
         "incremental_group_priority": {},
+        "group_priority_rebucket": {},
     }
 
     def corpus_doc_text(id_col, tokens=8):
@@ -1360,6 +1367,28 @@ def r18_curves(spark, sizes) -> dict:
         finally:
             state.unpersist()
             batch.unpersist()
+
+    days = 16
+    for n in sizes:
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(groups)).cast("string").alias("g"),
+            F.pmod(F.col("id"), F.lit(days)).alias("day"),
+            (F.pmod(F.col("id"), F.lit(100)) + 1).alias("w"),
+        )
+        fine = group_priority_sample(
+            corpus, ("g", "day"), "w", kk, id_col="doc_id"
+        ).cache()
+        try:
+            fine.count()  # materialize the per-day state, untimed
+            run_rb = lambda: group_priority_rebucket(  # noqa: E731
+                fine, ("g",), kk, id_col="doc_id"
+            ).write.format("noop").mode("overwrite").save()
+            curves["group_priority_rebucket"][n] = min(
+                timed(run_rb), timed(run_rb)
+            )
+        finally:
+            fine.unpersist()
     return curves
 
 
