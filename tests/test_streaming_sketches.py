@@ -804,3 +804,83 @@ def test_streaming_incremental_icws_equals_batch(spark, out_dir):
     finally:
         c_cnt.unpersist()
         c_idx.unpersist()
+
+
+def test_streaming_sample_state_equals_batch(spark, out_dir):
+    """The SAMPLING family's streamed state maintenance (the r17
+    build-ahead faces composed): a per-(day, cohort) weighted
+    bottom-k sample maintained across micro-batches via
+    `incremental_group_priority_sample` — re-delivered (day, user)
+    rows anti-joined away first, the batch sampler's documented
+    over-SETS merge contract — must equal sampling ALL events at once,
+    and the trailing-2-day per-cohort answer derived FROM STATE ALONE
+    (`group_priority_rebucket` across the dropped day) must match the
+    batch pipeline. Sample state is ≤ days·cohorts·k rows — the
+    sketch-state regime applied to rows."""
+    from food_panda_etl_spark.operators.sampling_group import (
+        group_priority_sample,
+    )
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        group_priority_rebucket,
+        incremental_group_priority_sample,
+    )
+
+    k = 2
+    batches = [
+        [_event(1, "2024-01-01 10:00:00", user=1),
+         _event(2, "2024-01-01 11:00:00", user=2),
+         _event(3, "2024-01-02 09:00:00", user=1)],
+        [_event(4, "2024-01-02 10:00:00", user=3),
+         _event(5, "2024-01-03 10:00:00", user=1),
+         _event(6, "2024-01-03 11:00:00", user=4)],
+        [_event(7, "2024-01-04 08:00:00", user=4),
+         _event(8, "2024-01-04 09:00:00", user=2),
+         # re-delivery of (2024-01-01, user=1) — must not double-rank
+         _event(9, "2024-01-01 23:00:00", user=1),
+         _event(10, "2024-01-03 12:00:00", user=6)],
+    ]
+    src = _write_files(out_dir, batches)
+
+    def rows_of(ev):
+        return ev.select(
+            "day",
+            F.pmod(F.col("k"), F.lit(2)).cast("string").alias("g"),
+            F.col("k").alias("uid"),
+            (F.pmod(F.col("k"), F.lit(10)) + 1).alias("w"),
+        ).dropDuplicates(["day", "g", "uid"])
+
+    def step(ev, prev):
+        rows = rows_of(ev)
+        if prev is None:
+            part = group_priority_sample(
+                rows, ("day", "g"), "w", k, id_col="uid"
+            )
+        else:
+            state = prev("sample")
+            fresh = rows.join(
+                state.select("day", "g", "uid"), ["day", "g", "uid"], "anti"
+            )
+            part = incremental_group_priority_sample(
+                state, fresh, ("day", "g"), "w", k, id_col="uid"
+            )
+        return {"sample": part}
+
+    final = _run_versioned_merge(spark, out_dir, src, "sample", step)
+    state = final("sample")
+
+    full = rows_of(_keyed(spark.read.schema(EVENTS_STREAM_SCHEMA).json(src)))
+    want = group_priority_sample(full, ("day", "g"), "w", k, id_col="uid")
+    cols = ["day", "g", "uid", "weight", "priority", "rk"]
+    assert _rows(state, cols) == _rows(want, cols)
+
+    # trailing-window answer FROM STATE ONLY == batch pipeline
+    win = F.col("day") >= "2024-01-03"
+    got_win = group_priority_rebucket(
+        state.filter(win), ("g",), k, id_col="uid"
+    )
+    want_win = group_priority_sample(
+        full.filter(win), ("g",), "w", k, id_col="uid"
+    )
+    wcols = ["g", "uid", "weight", "priority", "rk"]
+    assert _rows(got_win, wcols) == _rows(want_win, wcols)
+    assert got_win.count() > 0
