@@ -1370,10 +1370,15 @@ def r18_curves(spark, sizes) -> dict:
 
     days = 16
     for n in sizes:
+        # day decorrelated from g (id div groups, NOT id % days — 16
+        # divides 64, so the % form would pin each coarse group to ONE
+        # day and the re-rank would merge nothing; review r17)
         corpus = spark.range(n).select(
             F.col("id").alias("doc_id"),
             F.pmod(F.col("id"), F.lit(groups)).cast("string").alias("g"),
-            F.pmod(F.col("id"), F.lit(days)).alias("day"),
+            F.pmod(F.col("id") / groups, F.lit(days)).cast("long").alias(
+                "day"
+            ),
             (F.pmod(F.col("id"), F.lit(100)) + 1).alias("w"),
         )
         fine = group_priority_sample(

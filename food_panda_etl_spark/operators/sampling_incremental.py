@@ -78,11 +78,27 @@ def group_priority_rebucket(
 
     ``state`` must carry ``group_cols``, ``id_col``, ``carry_cols``
     and the sampler's (weight, priority, rk) columns; EXTRA columns
-    are the dims being dropped (the `check_merge_columns` subset
-    semantics). The state's own per-fine-group k must be ≥ this ``k``
-    (a state truncated below it has already discarded candidate rows —
-    the incremental sampler's same-k contract). Returns the
-    `group_priority_sample` output shape at the coarse grouping."""
+    are the dims being dropped (checked via the family's shared
+    `check_merge_columns` — subset semantics plus the
+    duplicated-column guard). The state's own per-fine-group k must be
+    ≥ this ``k`` (a state truncated below it has already discarded
+    candidate rows — the incremental sampler's same-k contract), and
+    ids must be unique per COARSE group: dropping a dimension
+    re-introduces duplicate ids by construction whenever the same id
+    was sampled in several fine groups, and while (weight, priority)
+    are row-pure (identical for every copy), copies differing in
+    ``carry_cols`` tie exactly on (priority, id) and their relative
+    rank — including which survives at the k boundary — would be
+    partitioning-dependent (review r17). Dedup
+    ``dropDuplicates([*group_cols, id_col])`` first when the dropped
+    dimension can repeat ids with distinct carries; with no
+    carry_cols the copies are identical rows and any one surviving is
+    the same answer. Returns the `group_priority_sample` output shape
+    at the coarse grouping."""
+    from food_panda_etl_spark.operators.sketch_checks import (
+        check_merge_columns,
+    )
+
     if int(k) < 1:
         raise ValueError(
             f"group_priority_rebucket: k must be >= 1, got {k!r}"
@@ -93,13 +109,7 @@ def group_priority_rebucket(
             "re-bucketing to the global sample is priority_sample's job"
         )
     want = [*group_cols, id_col, *carry_cols, "weight", "priority", "rk"]
-    missing = sorted(set(want) - set(state.columns))
-    if missing:
-        raise ValueError(
-            f"group_priority_rebucket: state lacks columns {missing} — "
-            "need a group_priority_sample-shaped frame whose group "
-            "dims are a superset of group_cols"
-        )
+    check_merge_columns("group_priority_rebucket", set(want), [state])
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         "priority", id_col
     )

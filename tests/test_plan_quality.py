@@ -883,6 +883,8 @@ def test_bloom_window_merge_never_rescans_fact(spark, sf_dir):
     No Python anywhere."""
     from food_panda_etl_spark.queries import QUERIES
 
+    import re
+
     df = QUERIES["q_bloom_window"](spark, sf_dir)
     s = plan_summary(df)
     assert s.cartesian_products == 0
@@ -890,8 +892,16 @@ def test_bloom_window_merge_never_rescans_fact(spark, sf_dir):
     plan = explain_formatted(df)
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
-    # the merge agg re-buckets on the bit cells, not on any fact column
-    assert "hashpartitioning(j" in plan or "hashpartitioning(b" in plan
+    # every visible exchange keys on the bit cells (the window merge,
+    # (j, b)) or the bounded probe ids (k) — NEVER a fact column; the
+    # per-day build agg sits behind the checkpoint boundary. Exact
+    # key-set check, not a prefix match (review r17: 'hashpartitioning
+    # (b' would match any b-prefixed fact column).
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected at least the merge and probe exchanges"
+    for p in parts:
+        keys = [c.strip().split("#")[0] for c in p.split(",")[:-1]]
+        assert keys in (["j", "b"], ["k"]), f"fact-keyed exchange: {p}"
 
 
 def test_incremental_icws_probe_is_equi_and_prune_broadcasts(spark, sf_dir):

@@ -197,10 +197,16 @@ def test_group_priority_window_preview(spark, any_sf):
             ).alias("day"),
         )
     )
+    ev = ev.localCheckpoint(eager=False)  # consumers: sampler, max-day
     by_day = group_priority_sample(
         ev, ("event_type", "day"), "w", _GPW_K, id_col="event_id"
-    ).localCheckpoint(eager=False)
-    mx = by_day.agg(F.max("day").alias("md"))
+    )
+    # anchor the window on the RAW events' max day, exactly as the
+    # oracle's mx CTE does — anchoring on the sampled state would
+    # diverge if the newest day held only zero-weight rows (review
+    # r17; impossible on this fixture where w = round(value·100)+1 ≥ 2
+    # since value > 0, but the preview is the r18 declaration's spec)
+    mx = ev.agg(F.max("day").alias("md"))
     recent = (
         by_day.crossJoin(F.broadcast(mx))
         .filter(F.col("day") > F.col("md") - _GPW_WIN)

@@ -146,9 +146,9 @@ def test_rebucket_validation(spark, sf_dir):
         group_priority_rebucket(fine, ("lang",), 0)
     with pytest.raises(ValueError, match="group_cols must be"):
         group_priority_rebucket(fine, (), _K)
-    with pytest.raises(ValueError, match="state lacks columns"):
+    with pytest.raises(ValueError, match="lacks columns"):
         group_priority_rebucket(fine.drop("priority"), ("lang",), _K)
-    with pytest.raises(ValueError, match="state lacks columns"):
+    with pytest.raises(ValueError, match="lacks columns"):
         group_priority_rebucket(fine, ("nonexistent",), _K)
 
 

@@ -344,6 +344,11 @@ def test_streaming_decontamination_equals_batch(spark, out_dir):
 
     q = (
         spark.readStream.schema("doc_id long, text string")
+        # one file = one micro-batch — without this, availableNow
+        # drains every file in ONE batch and the "union of per-batch
+        # verdicts" claim is vacuous (review r17; the
+        # read_events_stream default applied to the raw sources)
+        .option("maxFilesPerTrigger", 1)
         .json(src)
         .writeStream.foreachBatch(screen_batch)
         .option("checkpointLocation", os.path.join(out_dir, "dc_ckpt"))
@@ -439,6 +444,11 @@ def test_streaming_incremental_neardup_equals_batch(spark, out_dir):
 
     q = (
         spark.readStream.schema("doc_id long, text string")
+        # one file = one micro-batch — without this, availableNow
+        # drains every file in ONE batch and the "union of per-batch
+        # verdicts" claim is vacuous (review r17; the
+        # read_events_stream default applied to the raw sources)
+        .option("maxFilesPerTrigger", 1)
         .json(src)
         .writeStream.foreachBatch(screen_batch)
         .option("checkpointLocation", os.path.join(out_dir, "nd_ckpt"))
@@ -654,6 +664,11 @@ def test_streaming_incremental_containment_equals_batch(spark, out_dir):
 
     q = (
         spark.readStream.schema("doc_id long, text string")
+        # one file = one micro-batch — without this, availableNow
+        # drains every file in ONE batch and the "union of per-batch
+        # verdicts" claim is vacuous (review r17; the
+        # read_events_stream default applied to the raw sources)
+        .option("maxFilesPerTrigger", 1)
         .json(src)
         .writeStream.foreachBatch(screen_batch)
         .option("checkpointLocation", os.path.join(out_dir, "ic_ckpt"))
@@ -758,6 +773,11 @@ def test_streaming_incremental_icws_equals_batch(spark, out_dir):
 
     q = (
         spark.readStream.schema("doc_id long, text string")
+        # one file = one micro-batch — without this, availableNow
+        # drains every file in ONE batch and the "union of per-batch
+        # verdicts" claim is vacuous (review r17; the
+        # read_events_stream default applied to the raw sources)
+        .option("maxFilesPerTrigger", 1)
         .json(src)
         .writeStream.foreachBatch(screen_batch)
         .option("checkpointLocation", os.path.join(out_dir, "ii_ckpt"))
