@@ -1274,6 +1274,10 @@ def r18_curves(spark, sizes) -> dict:
       corpus (cached, untimed), re-ranked to per-group — expected FLAT
       by construction: the timed input is the geometry-bounded state
       (days·groups·k rows regardless of corpus size).
+    - Bloom AND (set algebra): two m=2^16 sketches PREBUILT from
+      growing disjoint-half key sets (cached, untimed), timed
+      AND-combine + 4096-probe verdict — expected FLAT: the combine
+      shuffles ≤ 2m geometry-bounded rows, never the facts.
     """
     from food_panda_etl_spark.operators.incremental_icws import (
         build_icws_state,
@@ -1291,6 +1295,7 @@ def r18_curves(spark, sizes) -> dict:
         "incremental_icws": {},
         "incremental_group_priority": {},
         "group_priority_rebucket": {},
+        "bloom_intersect": {},
     }
 
     def corpus_doc_text(id_col, tokens=8):
@@ -1394,6 +1399,33 @@ def r18_curves(spark, sizes) -> dict:
             )
         finally:
             fine.unpersist()
+
+    from food_panda_etl_spark.operators.bloom import bloom_probe, bloom_sketch
+    from food_panda_etl_spark.operators.bloom_algebra import bloom_intersect
+
+    m_bi = 1 << 16
+    for n in sizes:
+        # overlapping halves: [0, 0.6n) and [0.4n, n) — ~n/5 shared keys
+        sk_a = bloom_sketch(
+            spark.range(0, (6 * n) // 10).select(F.col("id").alias("k")),
+            "k", m_bits=m_bi, k_hashes=4,
+        ).cache()
+        sk_b = bloom_sketch(
+            spark.range((4 * n) // 10, n).select(F.col("id").alias("k")),
+            "k", m_bits=m_bi, k_hashes=4,
+        ).cache()
+        probes = spark.range(4096).select(F.col("id").alias("k")).cache()
+        try:
+            sk_a.count(), sk_b.count(), probes.count()  # untimed
+            run_bi = lambda: bloom_probe(  # noqa: E731
+                bloom_intersect(sk_a, sk_b), probes, "k",
+                m_bits=m_bi, k_hashes=4,
+            ).write.format("noop").mode("overwrite").save()
+            curves["bloom_intersect"][n] = min(timed(run_bi), timed(run_bi))
+        finally:
+            sk_a.unpersist()
+            sk_b.unpersist()
+            probes.unpersist()
     return curves
 
 

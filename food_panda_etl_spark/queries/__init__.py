@@ -179,11 +179,15 @@ DECLARED_WINDOW = [
 # batch, completing the incremental symmetry for real weights) and
 # ONE sampling-symmetry candidate (grouped priority-sample refresh or
 # per-group quantile-bucket), per VERDICT r16 task 4's 2-3-family
-# guidance — the sampling family banks BOTH faces, so r18 declares
-# THREE: q_incremental_icws, q_incremental_group_priority, and
-# q_group_priority_window (the trailing-window sample via
-# group_priority_rebucket — the q_bloom_window convention applied to
-# sampling; all three preview-verified sf0.001/0.01/0.1).
+# guidance — the sampling family banks BOTH faces (one component),
+# so r18 declares FOUR across THREE families: q_incremental_icws,
+# q_incremental_group_priority + q_group_priority_window (the
+# trailing-window sample via group_priority_rebucket — the
+# q_bloom_window convention applied to sampling), and
+# q_bloom_intersect (Bloom set algebra — the AND combine completing
+# the membership family's cross-sketch symmetry with
+# q_hll_intersect_gate/q_cms_join_size, operators/bloom_algebra.py;
+# all four preview-verified sf0.001/0.01/0.1).
 # Remaining slots: oldest-r15 fills. RIDER-BLOCKED
 # CANDIDATES deferred from r17 (window was full at 50): (a) geometry
 # stamps for operators/incremental_neardup.py (the one incremental

@@ -9,9 +9,10 @@ tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
 — these ``*_preview`` functions fail the build if WINDOW_ROUND reaches
 18 without the declarations landing).
 
-Two component families (the keep-the-bank-small guidance — the
-sampling family banks BOTH its faces, incremental and windowed, the
-way the sketch families carry theirs):
+Three component families, four declarations (the keep-the-bank-small
+guidance's upper edge — the sampling family banks BOTH its faces,
+incremental and windowed, the way the sketch families carry theirs,
+so its two queries are ONE component):
 
 - q_incremental_icws — the ICWS maintained-state incremental face
   (`operators/incremental_icws.py`), completing the
@@ -47,6 +48,20 @@ way the sketch families carry theirs):
   engines on positive values), window 7 days. The oracle replays the
   direct row_number over the window's raw rows, so the hash-match IS
   the dropped-dimension identity.
+
+- q_bloom_intersect — Bloom SET ALGEBRA (`operators/bloom_algebra.py`,
+  the AND combine): "seen in BOTH halves of the month?" answered from
+  two per-half Bloom sketches bitwise-ANDed (row-set intersection of
+  the (j, b) relations — no false negatives for the key-set
+  intersection, Broder-Mitzenmacher 2004 §5), probed on a fixed id
+  range. Completes the membership family's cross-sketch symmetry with
+  `q_hll_intersect_gate` (cardinality) and `q_cms_join_size`
+  (frequency) — and unlike those ESTIMATE gates, the Bloom AND is
+  bit-deterministic, so the WHOLE verdict table hash-matches: the
+  oracle replays both halves' bit tables, ANDs them in SQL, and
+  reproduces maybe_present, the exact truly_present (distinct users
+  in both halves), and the no-false-negatives audit. m=2^16, k=4,
+  probes [0, 3000), split at max(day) − 15.
 """
 
 from __future__ import annotations
@@ -67,6 +82,9 @@ _II_NUM, _II_DEN = 7, 10
 _IGP_K = 7
 _GPW_K, _GPW_WIN = 5, 7
 _DAY_US = 86_400_000_000
+
+_BI_M, _BI_K, _BI_PROBES, _BI_SPLIT = 1 << 16, 4, 3000, 15
+_BI_WIDTH = _BI_M // _BI_K
 
 
 @pytest.fixture(params=["sf0.001", "sf0.01"])
@@ -235,5 +253,96 @@ def test_group_priority_window_preview(spark, any_sf):
           FROM p)
     SELECT event_type, event_id, w AS weight, priority, rk
     FROM r WHERE rk <= {_GPW_K}
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+def test_bloom_intersect_preview(spark, any_sf):
+    """Bloom set algebra (operators/bloom_algebra.py): "seen in BOTH
+    halves of the month?" from two per-half sketches bitwise-ANDed,
+    probed on a fixed id range spanning shared, one-sided, and absent
+    users. The oracle replays both halves' bit tables and ANDs them in
+    SQL — deterministic affine cells, so maybe_present, the exact
+    truly_present, and the never_miss audit hash-match bit-for-bit."""
+    from food_panda_etl_spark.operators.bloom import (
+        bloom_probe,
+        bloom_sketch,
+        oracle_bloom_dm_sql,
+    )
+    from food_panda_etl_spark.operators.bloom_algebra import bloom_intersect
+    from food_panda_etl_spark.operators.cms import _P
+
+    ev = (
+        load_table(spark, any_sf, "events")
+        .select(
+            F.col("user_id").alias("k"),
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_DAY_US}"
+            ).alias("day"),
+        )
+        .filter(F.col("k").isNotNull() & F.col("day").isNotNull())
+        .localCheckpoint(eager=False)  # consumers: split, truth, max-day
+    )
+    mx = ev.agg(F.max("day").alias("md"))
+    withmx = ev.crossJoin(F.broadcast(mx))
+    first = withmx.filter(F.col("day") <= F.col("md") - _BI_SPLIT)
+    second = withmx.filter(F.col("day") > F.col("md") - _BI_SPLIT)
+    sk_a = bloom_sketch(first, "k", m_bits=_BI_M, k_hashes=_BI_K)
+    sk_b = bloom_sketch(second, "k", m_bits=_BI_M, k_hashes=_BI_K)
+    both = bloom_intersect(sk_a, sk_b)
+    probes = spark.range(_BI_PROBES).select(F.col("id").alias("k"))
+    mp = bloom_probe(both, probes, "k", m_bits=_BI_M, k_hashes=_BI_K)
+    truth = (
+        first.select("k")
+        .distinct()
+        .join(second.select("k").distinct(), "k", "semi")
+        .withColumn("__t", F.lit(1))
+    )
+    got = mp.join(truth, ["k"], "left").select(
+        F.col("k").cast("bigint").alias("k"),
+        "maybe_present",
+        F.coalesce(F.col("__t"), F.lit(0)).cast("int").alias(
+            "truly_present"
+        ),
+        (F.col("maybe_present") >= F.coalesce(F.col("__t"), F.lit(0)))
+        .cast("int")
+        .alias("never_miss"),
+    )
+    oracle = f"""
+    WITH dm AS {oracle_bloom_dm_sql(_BI_K)},
+    ev AS (SELECT user_id AS k, epoch_us(ts) // {_DAY_US} AS day
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    mx AS (SELECT max(day) AS md FROM ev),
+    ka AS (SELECT DISTINCT k AS key FROM ev CROSS JOIN mx
+           WHERE day <= md - {_BI_SPLIT}),
+    kb AS (SELECT DISTINCT k AS key FROM ev CROSS JOIN mx
+           WHERE day > md - {_BI_SPLIT}),
+    ba AS MATERIALIZED (
+        SELECT DISTINCT j,
+               (((key % {_P}) + {_P}) % {_P} * a + c) % {_P} % {_BI_WIDTH} AS b
+        FROM ka CROSS JOIN dm),
+    bb AS MATERIALIZED (
+        SELECT DISTINCT j,
+               (((key % {_P}) + {_P}) % {_P} * a + c) % {_P} % {_BI_WIDTH} AS b
+        FROM kb CROSS JOIN dm),
+    bits AS (SELECT ba.j, ba.b, 1 AS st FROM ba JOIN bb
+             ON ba.j = bb.j AND ba.b = bb.b),
+    pr AS (SELECT unnest(generate_series(0, {_BI_PROBES - 1})) AS k),
+    pc AS (SELECT k, j,
+                  (((k % {_P}) + {_P}) % {_P} * a + c) % {_P} % {_BI_WIDTH} AS b
+           FROM pr CROSS JOIN dm),
+    hit AS (SELECT k,
+                   CAST(sum(coalesce(st, 0)) = {_BI_K} AS INT)
+                     AS maybe_present
+            FROM pc LEFT JOIN bits USING (j, b) GROUP BY k),
+    tr AS (SELECT pr.k,
+                  CAST(ka.key IS NOT NULL AND kb.key IS NOT NULL AS INT)
+                    AS truly_present
+           FROM pr LEFT JOIN ka ON pr.k = ka.key
+           LEFT JOIN kb ON pr.k = kb.key)
+    SELECT CAST(hit.k AS BIGINT) AS k, hit.maybe_present,
+           tr.truly_present,
+           CAST(hit.maybe_present >= tr.truly_present AS INT) AS never_miss
+    FROM hit JOIN tr ON hit.k = tr.k
     """
     assert compare(got, oracle, any_sf) == []
