@@ -67,139 +67,131 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order matches it, so a planned rotation that fails to land in code
 # fails loudly instead of silently (round 8 shipped zero commits because
 # the plan lived only in a comment).
-WINDOW_ROUND = 17
+WINDOW_ROUND = 18
 
 DECLARED_WINDOW = [
-    # 1-4 NEW in r17: the four r16 build-ahead components' first
-    # driver evidence — bodies and oracle strings moved VERBATIM from
-    # tests/test_r17_oracle_previews.py (now registry-driven, the
-    # r10..r16 convention) into queries/weighted_ops.py, where they
-    # were pre-verified at sf0.001/0.01/0.1 through the driver's own
-    # compare harness.
+    # 1-4 NEW in r18: the three r17 build-ahead component families'
+    # first driver evidence — bodies and oracle strings moved VERBATIM
+    # from tests/test_r18_oracle_previews.py (now registry-driven, the
+    # r10..r17 convention) into queries/state_ops.py, where they were
+    # pre-verified at sf0.001/0.01/0.1 through the driver's own
+    # compare harness. The sampling family declares BOTH its faces
+    # (incremental + windowed) — ONE component, the sketch-family
+    # convention.
+    "q_incremental_icws",
+    "q_incremental_group_priority",
+    "q_group_priority_window",
+    "q_bloom_intersect",
+    # 5 the incremental_neardup geometry-stamp rider (VERDICT r17 task
+    # 3 / registry rider-blocked candidate (a)): stamping the
+    # maintained band-index state byte-changes
+    # operators/incremental_neardup.py, whose only query-body caller
+    # is incremental_ops.py:144.
+    "q_incremental_neardup",
+    # 6-7 the shared state-geometry helper extraction riders (ADVICE
+    # r17 #1): the stamp/validate block duplicated across
+    # incremental_embed.py / incremental_containment.py /
+    # incremental_icws.py moves to ONE definition in
+    # operators/state_geometry.py (a NEW module — sketch_checks.py
+    # must NOT byte-change, its importers include hll_windowed.py
+    # whose key q_hll_windowed is r15-era and outside this window), so
+    # all three faces' files byte-change; q_incremental_icws is #1
+    # above, these are the other two riders.
     "q_incremental_containment",
-    "q_tf_jaccard",
-    "q_icws_gate",
-    "q_bloom_by_group",
-    # 5 NEW in r17: the trailing-window Bloom membership query
-    # (VERDICT r16 task 3 / registry r18-bank head, pulled forward) —
-    # "seen in the last N days?" answered from per-day Bloom state
-    # OR-merged via bloom_merge_groups, the q_cms_windowed /
-    # q_hll_windowed convention applied to the membership family
-    # (queries/weighted_ops.py, oracle replays the OR-merged bit
-    # table).
-    "q_bloom_window",
-    # 6-7 ADVICE-r17 byte-change riders: operators/edit_join.py (the
-    # eager-collect guard skip) and operators/join_advisor.py (the
-    # deterministic driver-side grid check) byte-change this round, so
-    # their declared keys re-record (file-granular evidence rule; call
-    # graph: incremental_ops.py:312 and scale_ops.py:218 are their
-    # only query-body callers).
-    "q_edit_distance_join",
+    "q_incremental_embed_neardup",
+    # 8-16 the CMS + Bloom geometry-stamp closure (VERDICT r17 task 4,
+    # taken NOW because the recount shows it fits: byte-changing
+    # operators/cms.py pulls every declared key whose body reaches
+    # cms._cell — q_cms_counts (sketch.py), q_cms_windowed
+    # (sketch_extras.py), q_cms_join_size (cross_sketches.py, already
+    # in the r14 block below), q_join_advice (scale_ops.py via
+    # join_advisor.py), and ALL bloom keys (bloom.py imports
+    # _MULTS/_P/_cell) — which also makes the Bloom geometry stamp
+    # (ADVICE r17 #4) and the join-advisor check_grid escape hatch
+    # (ADVICE r17 #2) free this round. Call graph recomputed from
+    # imports, not the plan comment (the r15 lesson).
+    "q_cms_counts",
+    "q_cms_windowed",
     "q_join_advice",
-    # 8-11 the bloom.py `_exploded_cells` consolidation riders
-    # (VERDICT r15/r16 deferred item, taken NOW because q_bloom_window
-    # lands in the same family): operators/bloom.py and
-    # operators/bloom_group.py byte-change, so every declared key
-    # whose body calls bloom.py functions re-records — the three
-    # scale_sketches.py keys plus q_decontaminate_bloom
-    # (decontam_bloom.py imports bloom_sketch/bloom_prefilter) plus
-    # q_bloom_by_group (already #4; bloom_group.py calls _validate).
-    # test_matches_flat_probe_per_group's pin retires with the
-    # consolidation.
     "q_bloom_filter",
     "q_bloom_prefilter",
     "q_bloom_fpr_gate",
     "q_decontaminate_bloom",
-    # 12-44 the FULL remaining 33-key r13 block (recounted against the
-    # CORRECTNESS r01-r16 union this round — exactly these 33 carry
-    # r13-latest evidence post-r16), defusing the r18 age wall
-    # entirely (VERDICT r16 task 2). No byte-changes to their files —
-    # evidence refresh only.
-    "q_binary_meta",
-    "q_bpe_encode",
-    "q_bpe_train",
-    "q_corpus_stats",
-    "q_curriculum_mix",
-    "q_domain_drift",
-    "q_dsir_weight",
-    "q_funnel",
-    "q_heavy_hitters",
-    "q_hll_counts",
-    "q_kmeans",
-    "q_labelprop",
-    "q_langid",
-    "q_lm_score",
-    "q_nfc_normalize",
-    "q_padding_waste",
-    "q_pii_redact",
-    "q_pmi",
-    "q_pps_stratified",
-    "q_quality_classifier",
-    "q_quality_score",
-    "q_repetition",
-    "q_retention",
-    "q_select_pipeline",
-    "q_select_stratified",
-    "q_semantic_dedup",
-    "q_sessionize",
-    "q_text_clean",
-    "q_tfidf",
-    "q_token_count_bpe",
-    "q_token_fertility",
-    "q_triangle_count",
-    "q_vendor_enrich",
-    # 45-50 oldest-r14 fills (no byte-change — evidence refresh toward
-    # the r19 wall; cheap keys so the driver window stays fast).
-    "q_array_size",
-    "q_map_funcs",
-    "q_vector_norm",
-    "q_train_split",
-    "q_shuffle_order",
-    "q_pps_sample",
+    "q_bloom_by_group",
+    "q_bloom_window",
+    # 17-49 the FULL remaining 33-key r14 block (recounted against the
+    # CORRECTNESS r01-r17 union this round — exactly these 33 carry
+    # r14-latest evidence post-r17), defusing the r19 age wall
+    # entirely (VERDICT r17 task 2). No byte-changes to their files —
+    # evidence refresh only (q_cms_join_size's operator file DOES
+    # byte-change via the cms stamp; it is in this block anyway).
+    "q_ann_recall",
+    "q_approx_distinct_gate",
+    "q_bm25",
+    "q_chunk_text",
+    "q_cms_join_size",
+    "q_cosine_lsh_gate",
+    "q_cosine_topk",
+    "q_cosine_topk_lsh",
+    "q_embed_centroid",
+    "q_embed_lsh_gate",
+    "q_embed_neardup",
+    "q_embed_neardup_lsh",
+    "q_embed_outlier",
+    "q_hll_intersect_gate",
+    "q_hybrid_rrf",
+    "q_image_decode",
+    "q_image_resize",
+    "q_incremental_agg",
+    "q_ivf_gate",
+    "q_ivf_topk",
+    "q_jpeg_decode",
+    "q_mix_to_target",
+    "q_pack_chunks",
+    "q_partition_prune",
+    "q_png_decode",
+    "q_quantize_embed",
+    "q_snapshot_diff",
+    "q_stratified_sample",
+    "q_temperature_mix",
+    "q_to_json",
+    "q_udaf",
+    "q_upsert",
+    "q_zorder",
+    # 50 one r15 fill (evidence refresh toward the r20 wall; cheap).
+    "q_scan_count",
 ]
 
-# R18 ROTATION PLAN (arithmetic on the ACTUAL post-r17 evidence ages:
+# R19 ROTATION PLAN (arithmetic on the ACTUAL post-r18 evidence ages:
 # after this window re-records, the oldest standing evidence is the
-# 33 remaining r14-era keys — wall at r19 — then 48 r15-era — wall at
-# r20). NOTHING is age-mandatory at r18 itself, but the 33-key r14
-# remainder SHOULD be windowed at r18 to defuse the r19 wall:
-# q_ann_recall q_approx_distinct_gate q_bm25 q_chunk_text
-# q_cms_join_size q_cosine_lsh_gate q_cosine_topk q_cosine_topk_lsh
-# q_embed_centroid q_embed_lsh_gate q_embed_neardup
-# q_embed_neardup_lsh q_embed_outlier q_hll_intersect_gate
-# q_hybrid_rrf q_image_decode q_image_resize q_incremental_agg
-# q_ivf_gate q_ivf_topk q_jpeg_decode q_mix_to_target q_pack_chunks
-# q_partition_prune q_png_decode q_quantize_embed q_snapshot_diff
-# q_stratified_sample q_temperature_mix q_to_json q_train_split*
-# q_udaf q_upsert q_zorder (* minus whatever r17 refreshed — recount
-# against the union before pinning; see test_evidence_age).
-# MANDATORY = whatever r17 banks in tests/test_r18_oracle_previews.py
-# (guard-enforced): the ICWS maintained-state incremental face
-# (q_incremental_icws — band index as state probed by a refresh
-# batch, completing the incremental symmetry for real weights) and
-# ONE sampling-symmetry candidate (grouped priority-sample refresh or
-# per-group quantile-bucket), per VERDICT r16 task 4's 2-3-family
-# guidance — the sampling family banks BOTH faces (one component),
-# so r18 declares FOUR across THREE families: q_incremental_icws,
-# q_incremental_group_priority + q_group_priority_window (the
-# trailing-window sample via group_priority_rebucket — the
-# q_bloom_window convention applied to sampling), and
-# q_bloom_intersect (Bloom set algebra — the AND combine completing
-# the membership family's cross-sketch symmetry with
-# q_hll_intersect_gate/q_cms_join_size, operators/bloom_algebra.py;
-# all four preview-verified sf0.001/0.01/0.1).
-# Remaining slots: oldest-r15 fills. RIDER-BLOCKED
-# CANDIDATES deferred from r17 (window was full at 50): (a) geometry
-# stamps for operators/incremental_neardup.py (the one incremental
-# face still without the metadata-stamp pattern — byte-change rider
-# q_incremental_neardup, r16-era, fits any later window); (b) a CMS
-# geometry stamp closing the advisor's "sketch built NARROWER than
-# requested passes undetected" mode — byte-changing operators/cms.py
-# pulls a LARGE closure (every declared key whose body reaches
-# cms._cell / oracle_dm_sql: the cms family, q_cms_join_size,
-# q_join_advice, ALL bloom keys via bloom.py's imports — recompute
-# from the CALL GRAPH before attempting; q_cms_join_size is r14-era
-# and windows at r18 anyway, but the bloom keys would re-window).
+# 44 remaining r15-era keys — wall at r20 — then the r16 block — wall
+# at r21, beyond the final round). NOTHING is age-mandatory at r19,
+# but the r15 remainder (44 keys = the 45-key r15 list minus
+# q_scan_count, refreshed here) SHOULD be windowed at r19 so the r20
+# wall never binds:
+# q_approx_distinct q_approx_quantile_gate q_batch_number q_case_when
+# q_ceil_div q_count_distinct q_date_parts q_decontaminate q_dedup
+# q_dedup_components q_dedup_components_lsh q_dedup_keep_rep
+# q_dedup_keep_rep_lsh q_epoch_cast q_filter_range q_group_pct
+# q_group_priority_sample q_groupby_agg q_hll_windowed
+# q_incremental_dedup q_inner_join q_jaccard_prefix_join
+# q_json_extract q_kcore q_left_join q_limit_offset q_llm_prep
+# q_minhash_gate q_minhash_neardup q_ngram_jaccard q_null_handling
+# q_overlap_join q_project q_scalar_subquery q_simhash_gate
+# q_simhash_neardup q_sort_multi q_string_funcs q_substring_dedup
+# q_topk_global q_tpch_q1 q_tpch_q6 q_vocab_topp q_weighted_jaccard
+# (recount against the union before pinning; see test_evidence_age).
+# 44 + r19's banked declarations (tests/test_r19_oracle_previews.py,
+# guard-enforced) fits the 50-key window with a few slots of slack
+# for ADVICE riders. NOTE byte-change hazards for r19: touching
+# sketch_checks.py pulls q_hll_windowed + q_cms_windowed +
+# q_bloom_* + sampling keys (hll_windowed/cms_windowed/bloom/
+# bloom_algebra/sampling_incremental all import it) — q_hll_windowed
+# IS in the r19 window, so a sketch_checks.py change fits at r19 if
+# the bloom/cms riders (r18-era) take ~10 extra slots — tight; defer
+# to r20 unless needed.
+
+
 def _load_all() -> None:
     # Import side effects populate the registries. ORDER MATTERS: the
     # correctness driver records only the first N (~50) registered
@@ -237,6 +229,7 @@ def _load_all() -> None:
         scale_ops,
         incremental_ops,
         weighted_ops,
+        state_ops,
     )
 
     # (r15: q_jaccard_prefix_join's oracle now lives in its decorator —
