@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from food_panda_etl_spark.operators.dedup import shingle_table
-
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    check_state_pair,
+)
 
 _GEO_KEYS = ("n", "shingler")
 # bump when shingle_table's gram semantics change — state built by an
@@ -84,20 +87,6 @@ def build_containment_state(
         .withMetadata("shingle", geo)
     )
     return sh, df_tbl
-
-
-def _state_geometry(df: DataFrame) -> dict | None:
-    """The geometry dict stamped by :func:`build_containment_state`,
-    or None for hand-built state (older checkpoints, ad-hoc frames —
-    matching n is then the caller's contract, documented on
-    :func:`incremental_containment_pairs`)."""
-    try:
-        meta = df.schema["shingle"].metadata
-    except KeyError:
-        return None
-    if not meta or any(k not in meta for k in _GEO_KEYS):
-        return None
-    return {k: meta[k] for k in _GEO_KEYS}
 
 
 def containment_probe_candidates(
@@ -188,25 +177,20 @@ def incremental_containment_pairs(
             "and corpus_df (the build_containment_state pair) or neither"
         )
     if corpus_shingles is not None:
-        geo_s = _state_geometry(corpus_shingles)
-        geo_d = _state_geometry(corpus_df)
-        if geo_s is not None and geo_d is not None and geo_s != geo_d:
-            raise ValueError(
-                "incremental_containment_pairs: corpus_shingles and "
-                f"corpus_df carry different geometries ({geo_s} vs "
-                f"{geo_d}) — they are not the same "
-                "build_containment_state pair"
-            )
-        geo = geo_s or geo_d
-        if geo is not None:
-            asked = {"n": int(n), "shingler": _SHINGLER}
-            if asked != geo:
-                raise ValueError(
-                    f"incremental_containment_pairs: probe geometry "
-                    f"{asked} does not match the supplied state's "
-                    f"{geo} — intersections would be counted across "
-                    "different gram sizes (rebuild the state or match n)"
-                )
+        geo = check_state_pair(
+            "incremental_containment_pairs",
+            "build_containment_state",
+            _GEO_KEYS,
+            ("corpus_shingles", corpus_shingles, "shingle"),
+            ("corpus_df", corpus_df, "shingle"),
+        )
+        check_probe_geometry(
+            "incremental_containment_pairs",
+            {"n": int(n), "shingler": _SHINGLER},
+            geo,
+            "intersections would be counted across different gram "
+            "sizes (rebuild the state or match n)",
+        )
     if corpus_shingles is None:
         if corpus is None:
             raise ValueError(

@@ -51,6 +51,10 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    check_state_pair,
+)
 from food_panda_etl_spark.operators.similarity import (
     _band_values_arrow,
     _infer_dim,
@@ -157,18 +161,6 @@ def build_embed_state(
 _GEO_KEYS = ("threshold", "dim", "seed", "target_miss")
 
 
-def _state_geometry(df: DataFrame, col: str) -> dict | None:
-    """The geometry dict stamped by :func:`build_embed_state`, or None
-    for hand-built state (older checkpoints, ad-hoc frames)."""
-    try:
-        meta = df.schema[col].metadata
-    except KeyError:
-        return None
-    if not meta or any(k not in meta for k in _GEO_KEYS):
-        return None
-    return {k: meta[k] for k in _GEO_KEYS}
-
-
 def incremental_embed_neardup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -216,29 +208,26 @@ def incremental_embed_neardup(
         # prebuilt state: the state's geometry is the source of truth,
         # never the batch (ADVICE r16 — dim inferred from the batch
         # silently mis-probes state built at another geometry)
-        geo_v = _state_geometry(corpus_vectors, "vec")
-        geo_b = _state_geometry(corpus_bands, "band")
-        if geo_v is not None and geo_b is not None and geo_v != geo_b:
-            raise ValueError(
-                "incremental_embed_neardup: corpus_vectors and "
-                f"corpus_bands carry different geometries ({geo_v} vs "
-                f"{geo_b}) — they are not the same build_embed_state pair"
-            )
-        geo = geo_v or geo_b
+        geo = check_state_pair(
+            "incremental_embed_neardup",
+            "build_embed_state",
+            _GEO_KEYS,
+            ("corpus_vectors", corpus_vectors, "vec"),
+            ("corpus_bands", corpus_bands, "band"),
+        )
         if geo is not None:
-            asked = {
-                "threshold": float(threshold),
-                "dim": int(dim) if dim is not None else int(geo["dim"]),
-                "seed": int(seed),
-                "target_miss": float(target_miss),
-            }
-            if asked != geo:
-                raise ValueError(
-                    "incremental_embed_neardup: probe geometry "
-                    f"{asked} does not match the supplied state's "
-                    f"{geo} — band values would be incomparable "
-                    "(rebuild the state or match the parameters)"
-                )
+            check_probe_geometry(
+                "incremental_embed_neardup",
+                {
+                    "threshold": float(threshold),
+                    "dim": int(dim) if dim is not None else int(geo["dim"]),
+                    "seed": int(seed),
+                    "target_miss": float(target_miss),
+                },
+                geo,
+                "band values would be incomparable "
+                "(rebuild the state or match the parameters)",
+            )
             state_dim = int(geo["dim"])
         else:
             state_dim = _infer_dim(corpus_vectors, "vec")

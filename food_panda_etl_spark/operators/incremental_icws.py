@@ -54,6 +54,10 @@ from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.dedup import band_rows
 from food_panda_etl_spark.operators.icws import icws_signatures
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    check_state_pair,
+)
 from food_panda_etl_spark.operators.tf_jaccard import (
     tf_count_table_verify,
     tf_weights,
@@ -107,19 +111,6 @@ def build_icws_state(
     return shc, index
 
 
-def _state_geometry(df: DataFrame, col: str) -> dict | None:
-    """The geometry dict stamped by :func:`build_icws_state`, or None
-    for hand-built state (matching geometry is then the caller's
-    contract)."""
-    try:
-        meta = df.schema[col].metadata
-    except KeyError:
-        return None
-    if not meta or any(k not in meta for k in _GEO_KEYS):
-        return None
-    return {k: meta[k] for k in _GEO_KEYS}
-
-
 def incremental_icws_pairs(
     corpus: DataFrame,
     batch: DataFrame,
@@ -166,30 +157,26 @@ def incremental_icws_pairs(
             "corpus_bands (the build_icws_state pair) or neither"
         )
     if corpus_counts is not None:
-        geo_c = _state_geometry(corpus_counts, "shingle")
-        geo_b = _state_geometry(corpus_bands, "bh")
-        if geo_c is not None and geo_b is not None and geo_c != geo_b:
-            raise ValueError(
-                "incremental_icws_pairs: corpus_counts and corpus_bands "
-                f"carry different geometries ({geo_c} vs {geo_b}) — "
-                "they are not the same build_icws_state pair"
-            )
-        geo = geo_c or geo_b
-        if geo is not None:
-            asked = {
+        geo = check_state_pair(
+            "incremental_icws_pairs",
+            "build_icws_state",
+            _GEO_KEYS,
+            ("corpus_counts", corpus_counts, "shingle"),
+            ("corpus_bands", corpus_bands, "bh"),
+        )
+        check_probe_geometry(
+            "incremental_icws_pairs",
+            {
                 "n": int(n),
                 "num_hashes": int(num_hashes),
                 "bands": int(bands),
                 "seed": int(seed),
                 "shingler": _SHINGLER,
-            }
-            if asked != geo:
-                raise ValueError(
-                    f"incremental_icws_pairs: probe geometry {asked} "
-                    f"does not match the supplied state's {geo} — "
-                    "signatures/intersections would be incomparable "
-                    "(rebuild the state or match the parameters)"
-                )
+            },
+            geo,
+            "signatures/intersections would be incomparable "
+            "(rebuild the state or match the parameters)",
+        )
     if corpus_counts is None:
         if corpus is None:
             raise ValueError(

@@ -46,6 +46,16 @@ from food_panda_etl_spark.operators.dedup import (
     minhash_from_shingles,
     shingle_table,
 )
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    check_state_pair,
+)
+
+_GEO_KEYS = ("n", "num_hashes", "bands", "seed", "shingler")
+# bump when shingle_table's gram semantics or the minhash coefficient
+# family change — state built by an older builder must fail the
+# probe's geometry check, not silently band-join incomparable hashes
+_SHINGLER = "dedup.shingle_table+minhash_from_shingles/v1"
 
 
 def build_neardup_state(
@@ -61,11 +71,31 @@ def build_neardup_state(
     state: ``shingles`` is the (doc, shingle) table the verify stage
     probes, ``band_index`` the (doc, band, bh) rows the candidate
     stage probes. At scale both persist partitioned/bucketed (shingles
-    by doc, band_index by (band, bh)); here they are lazy frames the
-    caller may checkpoint."""
-    sh = shingle_table(corpus, id_col, text_col, n)
-    return sh, band_rows(minhash_from_shingles(sh, num_hashes, seed),
-                         num_hashes, bands)
+    by doc, band_index by (band, bb)); here they are lazy frames the
+    caller may checkpoint.
+
+    The geometry (n, num_hashes, bands, seed, builder version) rides
+    BOTH frames as column metadata (`operators/state_geometry.py` —
+    it survives select/join/checkpoint AND a parquet round-trip): a
+    probe at a different geometry would band-join incomparable hashes
+    (near-zero recall) or verify across different gram sizes (wrong
+    Jaccard values), silently — so
+    :func:`incremental_neardup_pairs` validates the stamp and raises
+    loudly on mismatch (ADVICE r17 / VERDICT r17 task 3, the last
+    incremental face to join the pattern)."""
+    geo = {
+        "n": int(n),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "seed": int(seed),
+        "shingler": _SHINGLER,
+    }
+    sh = shingle_table(corpus, id_col, text_col, n).withMetadata(
+        "shingle", geo
+    )
+    return sh, band_rows(
+        minhash_from_shingles(sh, num_hashes, seed), num_hashes, bands
+    ).withMetadata("bh", geo)
 
 
 def incremental_neardup_pairs(
@@ -90,7 +120,16 @@ def incremental_neardup_pairs(
     :func:`build_neardup_state` (same n/num_hashes/bands/seed); when
     supplied the standing corpus is NOT rescanned — the refresh cost
     is batch-sized plus the candidate-bounded verify. Omitted, the
-    state is built here with one pass over the corpus."""
+    state is built here with one pass over the corpus.
+
+    Geometry safety (the incremental-family contract,
+    `operators/state_geometry.py`): state stamped by
+    :func:`build_neardup_state` carries (n, num_hashes, bands, seed,
+    builder version) as column metadata and a probe at a different
+    geometry raises — cross-side band joins of incomparable hash
+    families are silently near-zero-recall, never an error.
+    Hand-built state (no stamp) is accepted with matching geometry as
+    the CALLER's contract."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     if (corpus_shingles is None) != (corpus_bands is None):
@@ -99,6 +138,27 @@ def incremental_neardup_pairs(
         raise ValueError(
             "incremental_neardup_pairs: supply BOTH corpus_shingles and "
             "corpus_bands (the build_neardup_state pair) or neither"
+        )
+    if corpus_shingles is not None:
+        geo = check_state_pair(
+            "incremental_neardup_pairs",
+            "build_neardup_state",
+            _GEO_KEYS,
+            ("corpus_shingles", corpus_shingles, "shingle"),
+            ("corpus_bands", corpus_bands, "bh"),
+        )
+        check_probe_geometry(
+            "incremental_neardup_pairs",
+            {
+                "n": int(n),
+                "num_hashes": int(num_hashes),
+                "bands": int(bands),
+                "seed": int(seed),
+                "shingler": _SHINGLER,
+            },
+            geo,
+            "cross-side band values / gram sizes would be "
+            "incomparable (rebuild the state or match the parameters)",
         )
     if corpus_shingles is None:
         if corpus is None:

@@ -53,6 +53,57 @@ from pyspark.sql import functions as F
 from food_panda_etl_spark.operators.sampling_group import (
     group_priority_sample,
 )
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    state_geometry,
+)
+
+_GEO_KEYS = ("k", "group_cols", "id_col", "sampler")
+# bump when the sampler's hash/priority semantics change — state from
+# an older sampler must fail the refresh's geometry check
+_SAMPLER = "sampling_group.group_priority_sample/v1"
+
+
+def _sample_geo(
+    k: int, group_cols: tuple[str, ...], id_col: str
+) -> dict:
+    """The sampling family's geometry stamp (ADVICE r17: the same-k
+    contract was docstring-only — a state truncated at a smaller k
+    silently yields a wrong sample). group_cols ride as ONE
+    comma-joined string: metadata survives a json round-trip and a
+    flat string dodges list-vs-tuple type drift across it."""
+    return {
+        "k": int(k),
+        "group_cols": ",".join(group_cols),
+        "id_col": str(id_col),
+        "sampler": _SAMPLER,
+    }
+
+
+def build_group_priority_state(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """`group_priority_sample` with the sampling geometry (k,
+    group_cols, id_col, sampler version) stamped as column metadata on
+    ``priority`` (the sampler-owned column — the stamp survives
+    select/checkpoint/parquet, `operators/state_geometry.py`) — the
+    ``build_*_state`` face of the sampling family: state built here
+    and probed by :func:`incremental_group_priority_sample` or
+    :func:`group_priority_rebucket` at a mismatched geometry fails
+    loudly instead of silently yielding a wrong sample (a state
+    truncated at a smaller k has already discarded rows; a different
+    id_col or grouping re-ranks a different population). Hand-built
+    `group_priority_sample` output (no stamp) stays accepted with
+    matching geometry as the CALLER's contract, as everywhere in the
+    incremental family."""
+    return group_priority_sample(
+        df, group_cols, weight_col, k, id_col, carry_cols
+    ).withMetadata("priority", _sample_geo(k, group_cols, id_col))
 
 
 def group_priority_rebucket(
@@ -82,7 +133,9 @@ def group_priority_rebucket(
     `check_merge_columns` — subset semantics plus the
     duplicated-column guard). The state's own per-fine-group k must be
     ≥ this ``k`` (a state truncated below it has already discarded
-    candidate rows — the incremental sampler's same-k contract), and
+    candidate rows — validated against the stamp when the state came
+    from :func:`build_group_priority_state` or a refresh, ADVICE r17;
+    the caller's contract when hand-built), and
     ids must be unique per COARSE group: dropping a dimension
     re-introduces duplicate ids by construction whenever the same id
     was sampled in several fine groups, and while (weight, priority)
@@ -110,6 +163,35 @@ def group_priority_rebucket(
         )
     want = [*group_cols, id_col, *carry_cols, "weight", "priority", "rk"]
     check_merge_columns("group_priority_rebucket", set(want), [state])
+    geo = state_geometry(state, "priority", _GEO_KEYS)
+    if geo is not None:
+        fine_groups = set(str(geo["group_cols"]).split(","))
+        problems = []
+        if int(geo["k"]) < int(k):
+            problems.append(
+                f"state was truncated at k={geo['k']} < requested "
+                f"k={k} — rows ranked {int(geo['k']) + 1}..{k} were "
+                "already discarded and a sample cannot be widened"
+            )
+        if not set(group_cols) <= fine_groups:
+            problems.append(
+                f"requested groups {sorted(group_cols)} are not a "
+                f"subset of the state's fine groups "
+                f"{sorted(fine_groups)} — re-bucketing only DROPS "
+                "dimensions"
+            )
+        if str(geo["id_col"]) != str(id_col) or geo["sampler"] != _SAMPLER:
+            problems.append(
+                f"state rows were ranked by ({geo['id_col']}, "
+                f"{geo['sampler']}), probe asks ({id_col}, {_SAMPLER})"
+            )
+        if problems:
+            raise ValueError(
+                "group_priority_rebucket: probe geometry does not "
+                f"match the supplied state's {geo}: "
+                + "; ".join(problems)
+                + " (rebuild the state or match the parameters)"
+            )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         "priority", id_col
     )
@@ -118,6 +200,7 @@ def group_priority_rebucket(
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= int(k))
         .select(*want)
+        .withMetadata("priority", _sample_geo(k, group_cols, id_col))
     )
 
 
@@ -139,9 +222,13 @@ def incremental_group_priority_sample(
 
     ``state`` must be a `group_priority_sample`-shaped frame at the
     SAME (group_cols, id_col, carry_cols, k) — shape is validated
-    here; same k is the caller's contract (a state truncated at a
-    SMALLER k has already discarded rows rank k'+1..k and cannot be
-    widened — rebuild instead). ``batch`` is raw rows carrying
+    here, and state stamped by :func:`build_group_priority_state` (or
+    a prior refresh — the output carries the stamp forward) is
+    geometry-validated: a state truncated at a SMALLER k has already
+    discarded rows rank k'+1..k and cannot be widened, so a mismatched
+    k/grouping/id raises (ADVICE r17 — previously docstring-only).
+    Unstamped state is accepted with matching geometry as the caller's
+    contract. ``batch`` is raw rows carrying
     ``weight_col``; ids must be unique per group across state ∪ batch
     (the batch sampler's documented merge contract)."""
     if int(k) < 1:
@@ -161,6 +248,15 @@ def incremental_group_priority_sample(
             "group_priority_sample output shape at the same "
             "(group_cols, id_col, carry_cols)"
         )
+    check_probe_geometry(
+        "incremental_group_priority_sample",
+        _sample_geo(k, group_cols, id_col),
+        state_geometry(state, "priority", _GEO_KEYS),
+        "a state truncated at a smaller k has already discarded rows "
+        "and cannot be widened, and a different grouping/id ranks a "
+        "different population (rebuild the state or match the "
+        "parameters)",
+    )
     # the merge identity's right-hand side: pre-truncate the batch to
     # its own ≤ k per group before the union (batch-sized work, and a
     # huge batch contributes ≤ k rows per group downstream)
@@ -175,4 +271,5 @@ def incremental_group_priority_sample(
         merged.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= int(k))
         .select(*want)
+        .withMetadata("priority", _sample_geo(k, group_cols, id_col))
     )

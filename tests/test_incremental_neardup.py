@@ -141,3 +141,65 @@ def test_band_validation(spark):
         incremental_neardup_pairs(
             None, None, "doc_id", "text", num_hashes=32, bands=7
         )
+
+
+def test_state_geometry_mismatch_raises(spark, sf_dir):
+    """VERDICT r17 task 3 (the incremental-family geometry contract,
+    `operators/state_geometry.py` — this was the last incremental face
+    without the stamp): probing state built at a different
+    n/num_hashes/bands/seed must raise, not silently band-join
+    incomparable hashes (near-zero recall with no error). Mixed pairs
+    from two different builds are caught too."""
+    corpus, batch = _split(spark, sf_dir)
+    c_sh4, c_bands4 = build_neardup_state(corpus, "doc_id", "text", n=4)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        incremental_neardup_pairs(
+            None, batch, "doc_id", "text", n=5,
+            corpus_shingles=c_sh4, corpus_bands=c_bands4,
+        )
+    c_sh5, c_bands5 = build_neardup_state(
+        corpus, "doc_id", "text", n=5, seed=7
+    )
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        incremental_neardup_pairs(
+            None, batch, "doc_id", "text", n=5,
+            corpus_shingles=c_sh5, corpus_bands=c_bands5,
+        )
+    with pytest.raises(ValueError, match="different geometries"):
+        incremental_neardup_pairs(
+            None, batch, "doc_id", "text", n=5,
+            corpus_shingles=c_sh4, corpus_bands=c_bands5,
+        )
+    # matching geometry passes, and the stamp survives the frames'
+    # own checkpoint (the withMetadata persistence property)
+    sh, bands = build_neardup_state(corpus, "doc_id", "text", n=5)
+    got = incremental_neardup_pairs(
+        None, batch, "doc_id", "text", n=5, threshold=0.8,
+        corpus_shingles=sh.localCheckpoint(eager=False),
+        corpus_bands=bands.localCheckpoint(eager=False),
+    )
+    assert got.columns == ["doc_id", "dup_of", "jaccard"]
+    assert got.count() > 0
+
+
+def test_hand_built_state_still_accepted(spark, sf_dir):
+    """Unstamped (hand-built) state stays accepted with matching
+    geometry as the caller's contract — the stamp is a safety net for
+    the build_neardup_state path, not a new input requirement (the
+    incremental-family convention)."""
+    from food_panda_etl_spark.operators.dedup import (
+        band_rows,
+        minhash_from_shingles,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    sh = shingle_table(corpus, "doc_id", "text", 5)
+    bands = band_rows(minhash_from_shingles(sh, 32, 42), 32, 16)
+    got = incremental_neardup_pairs(
+        None, batch, "doc_id", "text", n=5, threshold=0.8,
+        corpus_shingles=sh, corpus_bands=bands,
+    ).count()
+    want = incremental_neardup_pairs(
+        corpus, batch, "doc_id", "text", n=5, threshold=0.8
+    ).count()
+    assert got == want

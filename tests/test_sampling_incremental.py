@@ -186,3 +186,100 @@ def test_rebucket_identity_random(spark, rows, k):
     got = group_priority_rebucket(fine, ("g",), k)
     want = group_priority_sample(df, ("g",), "w", k)
     assert _rows(got) == _rows(want)
+
+
+def test_state_geometry_mismatch_raises(spark, sf_dir):
+    """ADVICE r17 (the incremental-family geometry contract,
+    `operators/state_geometry.py`): the same-k contract was
+    docstring-only — a state truncated at a smaller k silently yields
+    a wrong sample. State stamped by `build_group_priority_state` now
+    raises on a mismatched refresh/rebucket probe."""
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        build_group_priority_state,
+        group_priority_rebucket,
+        incremental_group_priority_sample,
+    )
+
+    d, corpus, batch = _split(spark, sf_dir)
+    state3 = build_group_priority_state(corpus, ("lang",), "n_chars", 3)
+    # refresh at a WIDER k than the state was truncated at
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        incremental_group_priority_sample(
+            state3, batch, ("lang",), "n_chars", _K
+        )
+    # refresh with a different id ranking
+    state_k = build_group_priority_state(
+        corpus.withColumn("alt_id", F.col("doc_id")),
+        ("lang",), "n_chars", _K, id_col="alt_id",
+    ).withColumnRenamed("alt_id", "doc_id")
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        incremental_group_priority_sample(
+            state_k, batch, ("lang",), "n_chars", _K
+        )
+    # rebucket widening the per-fine-group k
+    fine = build_group_priority_state(
+        d, ("lang", "source"), "n_chars", 3
+    )
+    with pytest.raises(ValueError, match="cannot be widened"):
+        group_priority_rebucket(fine, ("lang",), _K)
+    # rebucket to a non-subset grouping: the shape check would pass if
+    # the column exists on the state via carry, so build one that does
+    fine2 = build_group_priority_state(
+        d, ("lang",), "n_chars", _K, carry_cols=("source",)
+    )
+    with pytest.raises(ValueError, match="not a\\s+subset"):
+        group_priority_rebucket(
+            fine2.select(
+                "source", "doc_id", "lang", "weight", "priority", "rk"
+            ),
+            ("source",), _K, carry_cols=("lang",),
+        )
+
+
+def test_stamped_state_matching_geometry_passes(spark, sf_dir):
+    """The stamp rides chained refreshes (the output IS the next
+    state, stamp included) and rebuckets at narrower-or-equal k; the
+    matched path stays row-identical to the unstamped path."""
+    from food_panda_etl_spark.operators.sampling_incremental import (
+        build_group_priority_state,
+        group_priority_rebucket,
+        incremental_group_priority_sample,
+    )
+
+    d, corpus, batch = _split(spark, sf_dir)
+    state = build_group_priority_state(corpus, ("lang",), "n_chars", _K)
+    s1 = incremental_group_priority_sample(
+        state, batch.filter(F.col("doc_id") % 20 == 0),
+        ("lang",), "n_chars", _K,
+    )
+    # the refreshed output carries the stamp forward — a mismatched
+    # SECOND refresh still raises
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        incremental_group_priority_sample(
+            s1, batch, ("lang",), "n_chars", _K + 1
+        )
+    s2 = incremental_group_priority_sample(
+        s1, batch.filter(F.col("doc_id") % 20 != 0),
+        ("lang",), "n_chars", _K,
+    )
+    want = group_priority_sample(d, ("lang",), "n_chars", _K)
+    assert _rows(s2.select(*want.columns)) == _rows(want)
+    # rebucket: fine (lang, source) k=7 → lang at k=3 passes (7 ≥ 3)
+    fine = build_group_priority_state(d, ("lang", "source"), "n_chars", _K)
+    mx = group_priority_rebucket(fine, ("lang",), 3)
+    direct = group_priority_sample(d, ("lang",), "n_chars", 3)
+    assert _rows(mx) == _rows(direct)
+
+
+def test_hand_built_state_still_accepted(spark, sf_dir):
+    """Unstamped (plain `group_priority_sample`) state stays accepted
+    with matching geometry as the caller's contract — the stamp is a
+    safety net for the build_group_priority_state path, not a new
+    input requirement (the incremental-family convention)."""
+    d, corpus, batch = _split(spark, sf_dir)
+    state = group_priority_sample(corpus, ("lang",), "n_chars", _K)
+    got = incremental_group_priority_sample(
+        state, batch, ("lang",), "n_chars", _K
+    )
+    want = group_priority_sample(d, ("lang",), "n_chars", _K)
+    assert _rows(got) == _rows(want)
