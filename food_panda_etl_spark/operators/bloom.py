@@ -52,6 +52,31 @@ from food_panda_etl_spark.operators.cms import (
     oracle_dm_sql,
 )
 from food_panda_etl_spark.operators.sketch_checks import check_merge_columns
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    check_uniform_geometry,
+    state_geometry,
+)
+
+#: The sketch-geometry stamp keys (the CMS_GEO_KEYS sibling, ADVICE
+#: r17 #4): (m_bits, k_hashes) ride `bloom_sketch` output as column
+#: metadata so probes/merges/intersections at another geometry fail
+#: LOUDLY — two same-SHAPED sketches built at different widths AND to
+#: a meaningless near-empty bit table with no error otherwise.
+#: "family" versions the hash constants (the CMS affine family).
+BLOOM_GEO_KEYS = ("m_bits", "k_hashes", "family")
+_FAMILY = "bloom.cms-affine/v1"
+
+
+def bloom_geometry(m_bits: int, k_hashes: int) -> dict:
+    """The metadata dict `bloom_sketch` stamps and every consumer
+    validates (unstamped sketches stay accepted with matching geometry
+    as the CALLER's contract — the incremental-state convention)."""
+    return {
+        "m_bits": int(m_bits),
+        "k_hashes": int(k_hashes),
+        "family": _FAMILY,
+    }
 
 
 def _exploded_cells(
@@ -115,6 +140,7 @@ def bloom_sketch(
         )
         .groupBy(*group_cols, "j", "b")
         .agg(F.lit(1).cast("int").alias("set"))
+        .withMetadata("set", bloom_geometry(m_bits, k_hashes))
     )
 
 
@@ -163,13 +189,23 @@ def bloom_merge_groups(
     check_merge_columns(
         "bloom_merge_groups", {*group_cols, "j", "b", "set"}, sketches
     )
+    geo = check_uniform_geometry(
+        "bloom_merge_groups",
+        BLOOM_GEO_KEYS,
+        [(f"sketch #{i}", s, "set") for i, s in enumerate(sketches)],
+        "bits from different (m_bits, k_hashes) cell spaces would OR "
+        "into garbage",
+    )
     parts = [s.select(*group_cols, "j", "b", "set") for s in sketches]
     out = parts[0]
     for s in parts[1:]:
         out = out.unionByName(s)
-    return out.groupBy(*group_cols, "j", "b").agg(
+    merged = out.groupBy(*group_cols, "j", "b").agg(
         F.max("set").alias("set")
     )
+    if geo is not None:
+        merged = merged.withMetadata("set", geo)
+    return merged
 
 
 def bloom_probe(
@@ -195,6 +231,15 @@ def bloom_probe(
     broadcast-sized join on (j, b) + one per-key agg — never a shuffle
     of the sketch."""
     width = _validate(m_bits, k_hashes)
+    check_probe_geometry(
+        "bloom_probe",
+        bloom_geometry(m_bits, k_hashes),
+        state_geometry(sketch, "set", BLOOM_GEO_KEYS),
+        "probe cells would be read from a different bit space — "
+        "absent keys could read present and, with a mismatched "
+        "k_hashes, present keys could read absent (rebuild the sketch "
+        "or match m_bits/k_hashes)",
+    )
     if sorted(sketch.columns) != ["b", "j", "set"]:
         raise ValueError(
             f"bloom_probe: sketch has columns {list(sketch.columns)}, "
@@ -252,6 +297,13 @@ def bloom_prefilter(
     element_at raises on missing map keys, and a missing key is the
     filter's entire point."""
     width = _validate(m_bits, k_hashes)
+    check_probe_geometry(
+        "bloom_prefilter",
+        bloom_geometry(m_bits, k_hashes),
+        state_geometry(sketch, "set", BLOOM_GEO_KEYS),
+        "fact rows would be screened against a different bit space "
+        "(rebuild the sketch or match m_bits/k_hashes)",
+    )
     if sorted(sketch.columns) != ["b", "j", "set"]:
         raise ValueError(
             f"bloom_prefilter: sketch has columns {list(sketch.columns)},"

@@ -38,7 +38,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from food_panda_etl_spark.operators.bloom import BLOOM_GEO_KEYS
 from food_panda_etl_spark.operators.sketch_checks import check_merge_columns
+from food_panda_etl_spark.operators.state_geometry import (
+    check_uniform_geometry,
+)
 
 
 def bloom_intersect(
@@ -48,7 +52,9 @@ def bloom_intersect(
     set-bit rows present in ALL of them — ≥ the direct sketch of the
     key-set intersection (no false negatives; see module docstring).
     Same caller contracts as `bloom_merge_groups`: identical (m_bits,
-    k_hashes) geometry, shape checked via the shared
+    k_hashes) geometry — validated EXACTLY when the inputs carry the
+    r18 geometry stamp (`BLOOM_GEO_KEYS`, ADVICE r17; unstamped inputs
+    remain the caller's contract), shape checked via the shared
     `check_merge_columns` (subset semantics — extra columns are dims
     being dropped; duplicated needed columns rejected loudly). With
     ``group_cols``, bits AND within each group INDEPENDENTLY (a group
@@ -64,6 +70,18 @@ def bloom_intersect(
     check_merge_columns(
         "bloom_intersect", {*group_cols, "j", "b", "set"}, sketches
     )
+    # geometry stamps (ADVICE r17 #4 — THE bloom_intersect failure
+    # mode: two same-SHAPED sketches built at different widths AND to
+    # a meaningless near-empty bit table with no error): every stamped
+    # input must agree; the common stamp rides the output so the
+    # downstream probe stays validated
+    geo = check_uniform_geometry(
+        "bloom_intersect",
+        BLOOM_GEO_KEYS,
+        [(f"sketch #{i}", s, "set") for i, s in enumerate(sketches)],
+        "bits from different (m_bits, k_hashes) cell spaces would AND "
+        "into a meaningless near-empty table",
+    )
     # DISTINCT per input first: naively-unioned shard sketches carry
     # duplicate (j, b) rows whose counts would fake an all-inputs hit
     # (the bloom_prefilter distinct lesson applied to counting)
@@ -73,9 +91,12 @@ def bloom_intersect(
     out = parts[0]
     for s in parts[1:]:
         out = out.unionByName(s)
-    return (
+    anded = (
         out.groupBy(*group_cols, "j", "b")
         .agg(F.count("*").alias("__n"), F.max("set").alias("set"))
         .filter(F.col("__n") == len(sketches))
         .drop("__n")
     )
+    if geo is not None:
+        anded = anded.withMetadata("set", geo)
+    return anded

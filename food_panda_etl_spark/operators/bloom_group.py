@@ -37,7 +37,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.bloom import _exploded_cells, _validate
+from food_panda_etl_spark.operators.bloom import (
+    BLOOM_GEO_KEYS,
+    _exploded_cells,
+    _validate,
+    bloom_geometry,
+)
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    state_geometry,
+)
 
 
 def bloom_probe_by_group(
@@ -53,11 +62,20 @@ def bloom_probe_by_group(
     distinct probe row (the flat `bloom_probe` contract with the group
     threaded through the join and the agg). ``probes`` must carry the
     ``group_cols`` and the key ``col``; (m_bits, k_hashes) MUST match
-    the build (the family's caller contract). NULL keys probe 0 (a
+    the build — validated against the sketch's geometry stamp when
+    present (`BLOOM_GEO_KEYS`; unstamped sketches are the family's
+    caller contract). NULL keys probe 0 (a
     NULL never matches the equi-join a filter guards); NULL GROUP
     keys match the build's NULL group via the null-safe join keys —
     identical grouping semantics to `bloom_sketch`."""
     width = _validate(m_bits, k_hashes)
+    check_probe_geometry(
+        "bloom_probe_by_group",
+        bloom_geometry(m_bits, k_hashes),
+        state_geometry(sketch, "set", BLOOM_GEO_KEYS),
+        "probe cells would be read from a different bit space "
+        "(rebuild the sketch or match m_bits/k_hashes)",
+    )
     if not group_cols:
         raise ValueError(
             "bloom_probe_by_group: group_cols is empty — use bloom_probe "

@@ -40,6 +40,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    state_geometry,
+)
+
 #: Per-depth odd multipliers on the 1000003 grid (the repo's portable
 #: multiplicative-hash family; pairwise-distinct, all coprime to 2^64).
 _MULTS = (1315423911, 2654435761, 2246822519, 3266489917,
@@ -56,6 +61,26 @@ _ADDS = (402653189, 805306457, 201326611, 100663319,
          50331653, 25165843, 12582917, 6291469)
 
 _P = 1000003
+
+#: The sketch-geometry stamp keys (`operators/state_geometry.py` —
+#: VERDICT r17 task 4): (width, depth) ride `cms_sketch` output as
+#: column metadata so a consumer at another geometry fails LOUDLY.
+#: This closes the mode the best-effort bounds checks could not: a
+#: sketch built NARROWER than requested has every cell inside the
+#: requested bounds and is indistinguishable from sparsity — but not
+#: from its stamp. "family" versions the hash constants: cells from a
+#: different (A_d, B_d) family occupy the same grid but count
+#: different keys.
+CMS_GEO_KEYS = ("width", "depth", "family")
+_FAMILY = "cms.affine/v1"
+
+
+def cms_geometry(width: int, depth: int) -> dict:
+    """The metadata dict `cms_sketch`/`cms_sketch_by_group` stamp and
+    every consumer validates (unstamped sketches stay accepted with
+    matching geometry as the CALLER's contract — the incremental-state
+    convention)."""
+    return {"width": int(width), "depth": int(depth), "family": _FAMILY}
 
 
 def oracle_dm_sql(depth: int, dim: str = "d") -> str:
@@ -123,6 +148,7 @@ def cms_sketch(
         .select(F.explode(cells).alias("__c"))
         .groupBy(F.col("__c.d").alias("d"), F.col("__c.b").alias("b"))
         .agg(F.count("*").alias("cnt"))
+        .withMetadata("cnt", cms_geometry(width, depth))
     )
 
 
@@ -134,7 +160,9 @@ def cms_estimate(
     depth: int = 4,
 ) -> DataFrame:
     """Point-frequency estimates for ``probes[col]`` against a sketch
-    built with the SAME (width, depth). Returns (col, est bigint);
+    built with the SAME (width, depth) — validated against the
+    sketch's geometry stamp when present (`CMS_GEO_KEYS`; unstamped
+    sketches are the caller's contract). Returns (col, est bigint);
     est >= the true count always (one-sided error), with absent cells
     counting 0 (a key hashing only to untouched cells genuinely never
     occurred).
@@ -144,6 +172,14 @@ def cms_estimate(
     NULL-key contract), so a NULL estimate would read as "never
     occurred" while NULL mass may dominate the sketched column; count
     NULLs separately if they matter."""
+    check_probe_geometry(
+        "cms_estimate",
+        cms_geometry(width, depth),
+        state_geometry(sketch, "cnt", CMS_GEO_KEYS),
+        "probe cells would be read from a different cell grid — "
+        "estimates silently wrong, never an error (rebuild the sketch "
+        "or match width/depth)",
+    )
     probes = probes.filter(F.col(col).isNotNull())
     k = F.col(col)
     cells = F.array(*[

@@ -35,6 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from food_panda_etl_spark.operators.cms import CMS_GEO_KEYS
+from food_panda_etl_spark.operators.state_geometry import (
+    check_uniform_geometry,
+)
+
 _MAX_PRODUCT = 4 * 10**18
 
 
@@ -58,6 +63,18 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
                 f"cms_inner_product: {name} has columns {list(s.columns)},"
                 " expected [d, b, cnt] from cms_sketch"
             )
+    # geometry stamps (VERDICT r17 task 4): with both inputs stamped
+    # this is the EXACT same-(width, depth) check the in-plan depth-set
+    # guard below can only approximate (depth is cheaply observable on
+    # the cell rows; width is not — a NARROWER build passes every
+    # bounds check, but not the stamp comparison)
+    check_uniform_geometry(
+        "cms_inner_product",
+        CMS_GEO_KEYS,
+        [("sk_a", sk_a, "cnt"), ("sk_b", sk_b, "cnt")],
+        "the inner product would pair cells from different cell "
+        "spaces (rebuild one side or match width/depth)",
+    )
     a = sk_a.select("d", "b", F.col("cnt").alias("__ca"))
     b = sk_b.select("d", "b", F.col("cnt").alias("__cb"))
     # in-plan overflow guard: totals are per-sketch row counts N_A, N_B

@@ -36,8 +36,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.cms import _MULTS, _P, _cell
+from food_panda_etl_spark.operators.cms import (
+    CMS_GEO_KEYS,
+    _MULTS,
+    _P,
+    _cell,
+    cms_geometry,
+)
 from food_panda_etl_spark.operators.sketch_checks import check_merge_columns
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    check_uniform_geometry,
+)
 
 
 def cms_sketch_by_group(
@@ -73,6 +83,7 @@ def cms_sketch_by_group(
             *group_cols, F.col("__c.d").alias("d"), F.col("__c.b").alias("b")
         )
         .agg(F.count("*").alias("cnt"))
+        .withMetadata("cnt", cms_geometry(width, depth))
     )
 
 
@@ -108,6 +119,28 @@ def cms_merge_groups(
     check_merge_columns(
         "cms_merge_groups", {*group_cols, "d", "b", "cnt"}, sketches
     )
+    # geometry stamps (VERDICT r17 task 4 — the EXACT check the
+    # docstring's best-effort bounds could not give): every stamped
+    # input must agree with the others AND with the declared
+    # width/depth when passed; the common stamp rides the output so
+    # chained merges and the downstream estimate stay validated
+    geo = check_uniform_geometry(
+        "cms_merge_groups",
+        CMS_GEO_KEYS,
+        [(f"sketch #{i}", s, "cnt") for i, s in enumerate(sketches)],
+        "cells from different cell spaces would sum into garbage",
+    )
+    if geo is not None and (width is not None or depth is not None):
+        check_probe_geometry(
+            "cms_merge_groups",
+            cms_geometry(
+                width if width is not None else geo["width"],
+                depth if depth is not None else geo["depth"],
+            ),
+            geo,
+            "cells from different cell spaces would sum into garbage "
+            "(rebuild the inputs or match width/depth)",
+        )
     cnt = F.col("cnt")
     if width is not None or depth is not None:
         ok = F.lit(True)
@@ -131,6 +164,9 @@ def cms_merge_groups(
     out = parts[0]
     for s in parts[1:]:
         out = out.unionByName(s)
-    return out.groupBy(*group_cols, "d", "b").agg(
+    merged = out.groupBy(*group_cols, "d", "b").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
+    if geo is not None:
+        merged = merged.withMetadata("cnt", geo)
+    return merged

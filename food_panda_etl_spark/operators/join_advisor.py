@@ -50,9 +50,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from food_panda_etl_spark.operators.cms import cms_sketch
+from food_panda_etl_spark.operators.cms import (
+    CMS_GEO_KEYS,
+    cms_geometry,
+    cms_sketch,
+)
 from food_panda_etl_spark.operators.cms_inner import cms_inner_product
 from food_panda_etl_spark.operators.heavy import heavy_hitters
+from food_panda_etl_spark.operators.state_geometry import (
+    check_probe_geometry,
+    state_geometry,
+)
 
 #: Broadcast row-count proxy. Spark's real gate is BYTES
 #: (autoBroadcastJoinThreshold); a planner integrating this advisor
@@ -141,6 +149,7 @@ def join_advice(
     sketch_b: DataFrame | None = None,
     top_a: DataFrame | None = None,
     top_b: DataFrame | None = None,
+    check_grid: bool = True,
 ) -> DataFrame:
     """ONE row (join_id, n_a, n_b, est_join_size, top_cnt_a,
     top_cnt_b, advice) for the planned equi-join a.key_a == b.key_b.
@@ -152,14 +161,26 @@ def join_advice(
     frame at fraction 1/64) are optional MAINTAINED summaries: when
     all four are supplied neither fact is scanned at all (the
     zero-rescan mode — ADVICE r15); any omitted summary is built here
-    with one pass over its side. Supplied sketches are grid-checked
-    against (width, depth) with ONE bounded 2-number driver-side
-    collect per supplied sketch at plan-construction time — an EAGER
-    action over the ≤ width·depth-row sketch, never a fact scan
-    (ADVICE r16/r17: a sketch at another geometry would make
-    `cms_inner_product` and the d=0 row counts silently wrong, and
-    the deterministic driver-side form cannot be optimized away the
-    way the r16 in-plan assert could)."""
+    with one pass over its side. Supplied sketches are geometry-checked
+    against (width, depth):
+
+    - STAMPED sketches (`cms_sketch` output since the r18 stamp —
+      `CMS_GEO_KEYS` column metadata) are checked EXACTLY and lazily
+      at plan-construction time, including the one mode the
+      observational check cannot see: a sketch built NARROWER than
+      requested has every cell inside the requested bounds —
+      indistinguishable from sparsity, but not from its stamp
+      (VERDICT r17 task 4);
+    - UNSTAMPED sketches (older checkpoints, ad-hoc frames) fall back
+      to the observational grid check — ONE bounded 2-number
+      driver-side collect per sketch, an EAGER action over the
+      ≤ width·depth-row summary, never a fact scan (ADVICE r16/r17:
+      the deterministic driver-side form cannot be optimized away the
+      way the r16 in-plan assert could). ``check_grid=False`` skips
+      THIS eager fallback for plan-only callers needing full laziness
+      (ADVICE r17, the edit_join degenerate_factor=0 convention) —
+      same-geometry then reverts to the caller's contract; stamped
+      sketches are still validated (free, no action)."""
     if not (0 < skew_num <= skew_den):
         raise ValueError(
             f"join_advice: need 0 < skew_num <= skew_den, "
@@ -189,14 +210,30 @@ def join_advice(
         if sketch_b is not None
         else cms_sketch(b, key_b, width=width, depth=depth)
     ).localCheckpoint(eager=False)
-    # grid guards for SUPPLIED sketches only (built ones match by
+    # geometry guards for SUPPLIED sketches only (built ones match by
     # construction, and the no-summaries plan stays fully lazy and
-    # byte-identical); the collect also materializes the checkpoint
-    # the downstream estimate reuses
-    if sketch_a is not None:
-        _grid_check(sk_a, width, depth, "sketch_a")
-    if sketch_b is not None:
-        _grid_check(sk_b, width, depth, "sketch_b")
+    # byte-identical): the stamp check is exact and lazy; the eager
+    # driver-side collect is the fallback for unstamped sketches (its
+    # collect also materializes the checkpoint the downstream estimate
+    # reuses), skippable via check_grid=False for plan-only callers
+    for label, supplied, sk in (
+        ("sketch_a", sketch_a, sk_a),
+        ("sketch_b", sketch_b, sk_b),
+    ):
+        if supplied is None:
+            continue
+        geo = state_geometry(supplied, "cnt", CMS_GEO_KEYS)
+        if geo is not None:
+            check_probe_geometry(
+                f"join_advice: {label}",
+                cms_geometry(width, depth),
+                geo,
+                "cms_inner_product and the d=0 row counts would be "
+                "silently wrong (rebuild the sketch at this geometry "
+                "or pass its own width/depth)",
+            )
+        elif check_grid:
+            _grid_check(sk, width, depth, label)
     est = cms_inner_product(sk_a, sk_b)
     na = _n_from_sketch(sk_a)
     nb = _n_from_sketch(sk_b)

@@ -71,6 +71,35 @@ def check_state_pair(
     return geo_a or geo_b
 
 
+def check_uniform_geometry(
+    op_name: str,
+    keys: tuple[str, ...],
+    inputs: list[tuple[str, DataFrame, str]],
+    combine_desc: str,
+) -> dict | None:
+    """Validate that every STAMPED input of an n-ary combine
+    (merge/intersect/inner-product) carries the same geometry and
+    return it — None when no input is stamped (same-geometry is then
+    the caller's contract, as everywhere). Inputs are (caller-facing
+    name, frame, stamped column); unstamped inputs are skipped, so a
+    mixed stamped/unstamped batch validates the stamped subset only.
+    ``combine_desc`` names what would silently go wrong."""
+    found: dict | None = None
+    found_name = ""
+    for name, df, col in inputs:
+        geo = state_geometry(df, col, keys)
+        if geo is None:
+            continue
+        if found is not None and geo != found:
+            raise ValueError(
+                f"{op_name}: {found_name} and {name} carry different "
+                f"geometries ({found} vs {geo}) — {combine_desc}"
+            )
+        if found is None:
+            found, found_name = geo, name
+    return found
+
+
 def check_probe_geometry(
     op_name: str, asked: dict, geo: dict | None, consequence: str
 ) -> None:

@@ -259,3 +259,32 @@ def test_merge_groups_rebuckets_and_windows(spark):
     dup = by_day.select("day", "j", "b", "set", "set")
     with pytest.raises(ValueError, match="duplicated columns"):
         bloom_merge_groups(dup, group_cols=("day",))
+
+
+def test_geometry_stamp_validated_everywhere(spark):
+    """ADVICE r17 #4: (m_bits, k_hashes) ride bloom_sketch output as
+    column metadata (the CMS/incremental-family stamp) and every
+    consumer validates — probe, prefilter, merge; mixed-geometry
+    merges raise against EACH OTHER; stripped stamps (hand-built
+    state) stay accepted as the caller's contract."""
+    keys = spark.range(500).select(F.col("id").alias("k"))
+    probes = spark.range(20).select(F.col("id").alias("k"))
+    sk = bloom_sketch(keys, "k", m_bits=4096, k_hashes=4)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        bloom_probe(sk, probes, "k", m_bits=2048, k_hashes=4)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        bloom_prefilter(sk, probes, "k", m_bits=4096, k_hashes=2)
+    sk_other = bloom_sketch(keys, "k", m_bits=2048, k_hashes=4)
+    with pytest.raises(ValueError, match="different geometries"):
+        bloom_merge(sk, sk_other)
+    # the merged output carries the stamp forward
+    merged = bloom_merge(
+        sk, bloom_sketch(probes, "k", m_bits=4096, k_hashes=4)
+    )
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        bloom_probe(merged, probes, "k", m_bits=4096, k_hashes=2)
+    # stripped stamp: the caller's contract — accepted and correct
+    # when the geometry actually matches
+    bare = sk.withMetadata("set", {})
+    got = bloom_probe(bare, probes, "k", m_bits=4096, k_hashes=4)
+    assert got.filter(F.col("maybe_present") == 1).count() == 20

@@ -104,3 +104,45 @@ def test_validation(spark):
         bloom_intersect(a)
     with pytest.raises(ValueError, match="lacks columns"):
         bloom_intersect(a, a.drop("set"))
+
+
+def test_geometry_stamp_mismatch_raises(spark):
+    """ADVICE r17 #4 — THE bloom_intersect failure mode: two
+    same-SHAPED sketches built at different widths AND to a
+    meaningless near-empty bit table with no error. The r18 geometry
+    stamp (`bloom.BLOOM_GEO_KEYS`) catches it exactly and eagerly;
+    stripped stamps (hand-built state) revert to the caller's
+    contract, the family convention."""
+    a = bloom_sketch(_keys(spark, 0, 600), "k", m_bits=_M, k_hashes=_K)
+    b_wrong = bloom_sketch(
+        _keys(spark, 400, 1000), "k", m_bits=_M // 2, k_hashes=_K
+    )
+    with pytest.raises(ValueError, match="different geometries"):
+        bloom_intersect(a, b_wrong)
+    # k_hashes mismatch at equal m_bits is the same silent class
+    b_wrong_k = bloom_sketch(
+        _keys(spark, 400, 1000), "k", m_bits=_M, k_hashes=2
+    )
+    with pytest.raises(ValueError, match="different geometries"):
+        bloom_intersect(a, b_wrong_k)
+    # stripped stamps: accepted (the caller's contract — hand-built
+    # state keeps working, the test_hand_built convention)
+    out = bloom_intersect(
+        a.withMetadata("set", {}), b_wrong.withMetadata("set", {})
+    )
+    assert sorted(out.columns) == ["b", "j", "set"]
+
+
+def test_intersect_output_carries_the_stamp(spark):
+    """The AND's output is itself a same-geometry sketch — the stamp
+    rides it so the downstream probe stays validated: probing the
+    intersected table at a different geometry raises."""
+    a = bloom_sketch(_keys(spark, 0, 600), "k", m_bits=_M, k_hashes=_K)
+    b = bloom_sketch(_keys(spark, 400, 1000), "k", m_bits=_M, k_hashes=_K)
+    both = bloom_intersect(a, b)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        bloom_probe(both, _keys(spark, 0, 10), "k",
+                    m_bits=_M // 2, k_hashes=_K)
+    ok = bloom_probe(both, _keys(spark, 0, 10), "k",
+                     m_bits=_M, k_hashes=_K)
+    assert ok.count() == 10

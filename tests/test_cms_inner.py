@@ -108,17 +108,37 @@ def test_shape_guard(spark):
 
 
 def test_depth_mismatch_raises_in_plan(spark):
-    # geometry contract violation: sk_b built at depth 2 vs sk_a's 4 —
-    # the min must not silently run over sk_a's depth rows only
-    # (ADVICE r13); like __ok the guard rides the result expression
+    # geometry contract violation: sk_b built at depth 2 vs sk_a's 4.
+    # STAMPED sketches (cms_sketch output since r18) raise EXACTLY and
+    # eagerly from the geometry stamp; with the stamps stripped
+    # (hand-built state) the in-plan depth-set guard still catches it
+    # at execution — the min must not silently run over sk_a's depth
+    # rows only (ADVICE r13); like __ok that guard rides the result
+    # expression
     a = spark.range(20).select(F.col("id").alias("k"))
     sk4 = cms_sketch(a, "k", width=_W, depth=4)
     sk2 = cms_sketch(a, "k", width=_W, depth=2)
+    with pytest.raises(ValueError, match="different geometries"):
+        cms_inner_product(sk4, sk2)
+    bare4, bare2 = sk4.withMetadata("cnt", {}), sk2.withMetadata("cnt", {})
     with pytest.raises(Exception, match="disagree on 2 depth rows"):
-        cms_inner_product(sk4, sk2).collect()
+        cms_inner_product(bare4, bare2).collect()
     # and symmetrically when sk_b has the EXTRA depths
     with pytest.raises(Exception, match="disagree on 2 depth rows"):
-        cms_inner_product(sk2, sk4).collect()
+        cms_inner_product(bare2, bare4).collect()
+
+
+def test_width_mismatch_raises_from_stamp(spark):
+    """The mode no bounds check could see (VERDICT r17 task 4): a
+    NARROWER-width build occupies only valid cells of the wider grid —
+    indistinguishable from sparsity — but the r18 geometry stamp
+    catches it exactly, eagerly, at plan-construction time."""
+    a = spark.range(20).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="different geometries"):
+        cms_inner_product(
+            cms_sketch(a, "k", width=_W, depth=_D),
+            cms_sketch(a, "k", width=_W // 2, depth=_D),
+        )
 
 
 def test_overflow_guard_raises_in_plan(spark):

@@ -129,23 +129,38 @@ def test_null_contracts_and_validation(spark):
 
 
 def test_merge_geometry_guard_fires_and_is_best_effort(spark):
-    """The declared-geometry check's raise path (ADVICE r10 guard,
-    untested until r12): merging a sketch built with a LARGER width
-    under smaller declared bounds raises in-plan once an out-of-bounds
-    cell is read. And the documented limit (ADVICE r11): a SMALLER-
-    geometry input fits the declared bounds and merges without error —
-    detection is best-effort, same-geometry stays a caller contract."""
+    """The declared-geometry check's raise paths. STAMPED inputs
+    (cms_sketch_by_group output since r18) are checked EXACTLY and
+    eagerly against the declared (width, depth) — including the
+    NARROWER build that the in-plan bounds check provably cannot see
+    (it fits the declared bounds; VERDICT r17 task 4 closed that
+    mode). With the stamp stripped (hand-built state) the legacy
+    behavior remains: larger width raises in-plan once an
+    out-of-bounds cell is read; smaller width merges without error —
+    best-effort, same-geometry the caller's contract (ADVICE r11)."""
     df = spark.createDataFrame(
         [(0, i) for i in range(200)], "g long, k long"
     )
     big = cms_sketch_by_group(df, "k", ("g",), width=4 * W, depth=D)
-    with pytest.raises(Exception, match="outside the declared"):
-        cms_merge_groups(big, group_cols=("g",), width=W, depth=D).collect()
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        cms_merge_groups(big, group_cols=("g",), width=W, depth=D)
     small = cms_sketch_by_group(df, "k", ("g",), width=W // 2, depth=D)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        cms_merge_groups(small, group_cols=("g",), width=W, depth=D)
+    # mixed-geometry INPUTS are caught against each other even with no
+    # declared width/depth at all
+    ok = cms_sketch_by_group(df, "k", ("g",), width=W, depth=D)
+    with pytest.raises(ValueError, match="different geometries"):
+        cms_merge_groups(ok, small, group_cols=("g",))
+    # stripped stamps: the legacy best-effort paths
+    with pytest.raises(Exception, match="outside the declared"):
+        cms_merge_groups(
+            big.withMetadata("cnt", {}), group_cols=("g",), width=W, depth=D
+        ).collect()
     rows = cms_merge_groups(
-        small, group_cols=("g",), width=W, depth=D
+        small.withMetadata("cnt", {}), group_cols=("g",), width=W, depth=D
     ).collect()
-    assert rows  # passes the bounds check — undetectable by design
+    assert rows  # fits the bounds — undetectable without the stamp
 
 
 def test_merge_groups_rejects_duplicate_columns(spark):

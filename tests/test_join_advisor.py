@@ -143,32 +143,84 @@ def test_skew_bar_finer_than_hh_fraction_raises(spark):
 
 
 def test_maintained_sketch_grid_mismatch_raises(spark):
-    """ADVICE r16/r17: a maintained sketch built at a different
-    (width, depth) must throw, not silently mis-estimate
-    cms_inner_product and the d=0 row counts. Since r17 the guard is a
-    deterministic DRIVER-SIDE check at plan-construction time (the
-    r16 in-plan assert survived only while Catalyst couldn't prune the
-    crossJoin feeding it). The expected type stays the broad Exception
-    on purpose — the message is the stable contract, not where in the
-    lifecycle it fires."""
+    """ADVICE r16/r17 + VERDICT r17 task 4: a maintained sketch built
+    at a different (width, depth) must throw, not silently
+    mis-estimate cms_inner_product and the d=0 row counts. STAMPED
+    sketches (cms_sketch output since r18) raise from the exact, lazy
+    stamp comparison — including the NARROWER build the observational
+    screen provably cannot see; with the stamp stripped (hand-built
+    state) the r17 driver-side grid check remains the fallback. The
+    expected type stays the broad Exception on purpose — the message
+    is the stable contract, not where in the lifecycle it fires."""
     from food_panda_etl_spark.operators.cms import cms_sketch
 
     a, b = _uniform(spark, 50000), _uniform(spark, 50000)
     # depth mismatch: built at depth=2, requested depth=4
     sk_wrong_d = cms_sketch(a, "k", width=1024, depth=2)
-    with pytest.raises(Exception, match="grid mismatch"):
+    with pytest.raises(Exception, match="does not match the supplied"):
         join_advice(
             a, "k", b, "k", sketch_a=sk_wrong_d,
             width=1024, depth=4,
         ).collect()
-    # width mismatch: built WIDER (2048) than requested (1024) — the
-    # one-sided max(b) screen is certain to catch it at 50k keys
+    # width mismatch: built WIDER (2048) than requested (1024)
     sk_wrong_w = cms_sketch(a, "k", width=2048, depth=4)
-    with pytest.raises(Exception, match="grid mismatch"):
+    with pytest.raises(Exception, match="does not match the supplied"):
         join_advice(
             a, "k", b, "k", sketch_a=sk_wrong_w,
             width=1024, depth=4,
         ).collect()
+    # width mismatch: built NARROWER (512) than requested — every cell
+    # fits the requested bounds, indistinguishable from sparsity for
+    # the observational check; ONLY the stamp catches it (the mode
+    # VERDICT r17 task 4 existed to close)
+    sk_narrow = cms_sketch(a, "k", width=512, depth=4)
+    with pytest.raises(Exception, match="does not match the supplied"):
+        join_advice(
+            a, "k", b, "k", sketch_a=sk_narrow,
+            width=1024, depth=4,
+        ).collect()
+    # stripped stamps: the r17 driver-side observational fallback
+    with pytest.raises(Exception, match="grid mismatch"):
+        join_advice(
+            a, "k", b, "k",
+            sketch_a=sk_wrong_d.withMetadata("cnt", {}),
+            width=1024, depth=4,
+        ).collect()
+    with pytest.raises(Exception, match="grid mismatch"):
+        join_advice(
+            a, "k", b, "k",
+            sketch_a=sk_wrong_w.withMetadata("cnt", {}),
+            width=1024, depth=4,
+        ).collect()
+
+
+def test_check_grid_escape_hatch(spark):
+    """ADVICE r17 #2 (the edit_join degenerate_factor=0 convention):
+    check_grid=False skips the EAGER driver-side fallback for
+    plan-only callers — an unstamped wrong-grid sketch then reverts to
+    the caller's contract (documented) and the call stays fully lazy;
+    STAMPED sketches are still validated (the check is free and
+    lazy)."""
+    from food_panda_etl_spark.operators.cms import cms_sketch
+
+    a, b = _uniform(spark, 5000), _uniform(spark, 5000)
+    bare_wrong = cms_sketch(a, "k", width=2048, depth=4).withMetadata(
+        "cnt", {}
+    )
+    # plan-only: constructing the advice frame performs NO eager
+    # action and no raise — the caller owns the geometry contract
+    df = join_advice(
+        a, "k", b, "k", sketch_a=bare_wrong,
+        width=1024, depth=4, check_grid=False,
+    )
+    assert df.columns[0] == "join_id"
+    # a STAMPED wrong sketch still raises even with check_grid=False
+    sk_wrong = cms_sketch(a, "k", width=2048, depth=4)
+    with pytest.raises(Exception, match="does not match the supplied"):
+        join_advice(
+            a, "k", b, "k", sketch_a=sk_wrong,
+            width=1024, depth=4, check_grid=False,
+        )
 
 
 def test_maintained_empty_sketch_passes_grid_check(spark):
