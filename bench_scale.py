@@ -1429,6 +1429,96 @@ def r18_curves(spark, sizes) -> dict:
     return curves
 
 
+def r19_curves(spark, sizes) -> dict:
+    """r19 build-ahead curves, runnable alone via `--r19` (min-of-two
+    per point):
+
+    - Incremental heavy refresh: the exact-then-truncate MG state
+      (k=256) PREBUILT from the growing corpus (cached, untimed — the
+      maintained-state regime), refreshed with a FIXED 4096-row
+      batch — expected FLAT: the refresh hash-aggregates the batch and
+      merges ≤ k + batch-distinct summary rows, never the corpus.
+    - Windowed heavy merge + screen: per-day summaries (16 days, k=64)
+      PREBUILT from the growing corpus (cached, untimed), day-filtered
+      and merged across the dropped day dimension, then screened at
+      1/16 — expected FLAT by construction: the timed input is the
+      geometry-bounded state (days·k rows regardless of corpus size).
+    - Per-group quantile buckets: the bank's one full-data operator
+      (no maintained state to hide behind) — ONE exchange + per-group
+      sort over the growing input; expected ~LINEAR, the honest curve
+      for a rank-everything primitive.
+    """
+    from food_panda_etl_spark.operators.heavy_incremental import (
+        heavy_candidates,
+        incremental_heavy_refresh,
+        mg_merge_groups,
+        mg_summary,
+    )
+    from food_panda_etl_spark.operators.quantile_bucket_group import (
+        group_rank_quantile_buckets,
+    )
+
+    curves: dict[str, dict[int, float]] = {
+        "incremental_heavy_refresh": {},
+        "heavy_window_merge": {},
+        "group_quantile_buckets": {},
+    }
+    for n in sizes:
+        corpus = spark.range(n).select(
+            (F.col("id") % (n // 8)).alias("k"),
+            (F.col("id") % 16).alias("day"),
+        )
+        batch = spark.range(4096).select(
+            ((F.col("id") * 9973) % (n // 8)).alias("k")
+        )
+        c0, t0 = mg_summary(corpus.select("k"), "k", 256)
+        c0, t0 = c0.cache(), t0.cache()
+        cd, td = mg_summary(corpus, "k", 64, group_cols=("day",))
+        cd, td = cd.cache(), td.cache()
+        try:
+            c0.count(), t0.count(), cd.count(), td.count()  # untimed
+
+            def run_refresh():
+                c1, t1 = incremental_heavy_refresh(
+                    c0, t0, batch, "k", 256
+                )
+                c1.write.format("noop").mode("overwrite").save()
+                t1.write.format("noop").mode("overwrite").save()
+
+            curves["incremental_heavy_refresh"][n] = min(
+                timed(run_refresh), timed(run_refresh)
+            )
+
+            def run_window():
+                mc, mt = mg_merge_groups(
+                    [(cd.filter(F.col("day") >= 9),
+                      td.filter(F.col("day") >= 9))],
+                    "k", 64,
+                )
+                heavy_candidates(mc, mt, "k", 1, 16, 64).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            curves["heavy_window_merge"][n] = min(
+                timed(run_window), timed(run_window)
+            )
+        finally:
+            c0.unpersist(), t0.unpersist(), cd.unpersist(), td.unpersist()
+
+        scored = spark.range(n).select(
+            (F.col("id") % 64).alias("g"),
+            ((F.col("id") * 2654435761) % 1000003).alias("s"),
+            F.col("id"),
+        )
+        run_qb = lambda: group_rank_quantile_buckets(  # noqa: E731
+            scored, ("g",), "s", 4, ("id",)
+        ).write.format("noop").mode("overwrite").save()
+        curves["group_quantile_buckets"][n] = min(
+            timed(run_qb), timed(run_qb)
+        )
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -1502,6 +1592,13 @@ def main() -> None:
     if "--r18" in sys.argv:  # r18 curves (incr ICWS / incr grouped priority)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r18_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r19" in sys.argv:  # r19 curves (incr heavy / group quantile buckets)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r19_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))
