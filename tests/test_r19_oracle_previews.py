@@ -91,7 +91,12 @@ def test_incremental_heavy_preview(spark, any_sf):
         .localCheckpoint(eager=False)  # consumers: refresh + recount
     )
     c, t = mg_summary(corpus_t, "token", _IH_K)
+    # pin the refreshed state (the maintained-state regime: state IS a
+    # materialized table between refreshes; un-pinned, the summary
+    # subtrees re-expand once per downstream consumer)
     c, t = incremental_heavy_refresh(c, t, batch_t, "token", _IH_K)
+    c = c.localCheckpoint(eager=False)
+    t = t.localCheckpoint(eager=False)
     cand = heavy_candidates(c, t, "token", _IH_NUM, _IH_DEN, _IH_K)
     got = (
         corpus_t.unionByName(batch_t)
@@ -139,6 +144,9 @@ def test_heavy_window_preview(spark, any_sf):
     by_day_c, by_day_t = mg_summary(
         ev, "event_type", _HW_K, group_cols=("day",)
     )
+    # pin the per-day state (materialized between days in real use)
+    by_day_c = by_day_c.localCheckpoint(eager=False)
+    by_day_t = by_day_t.localCheckpoint(eager=False)
     mx = ev.agg(F.max("day").alias("md"))
     c_f = (
         by_day_c.crossJoin(F.broadcast(mx))
@@ -151,6 +159,7 @@ def test_heavy_window_preview(spark, any_sf):
         .drop("md")
     )
     mc, mt = mg_merge_groups([(c_f, t_f)], "event_type", _HW_K)
+    mt = mt.localCheckpoint(eager=False)  # consumers: screen + threshold n
     cand = heavy_candidates(mc, mt, "event_type", _HW_NUM, _HW_DEN, _HW_K)
     win = ev.crossJoin(F.broadcast(mx)).filter(
         F.col("day") > F.col("md") - _HW_WIN
