@@ -169,12 +169,7 @@ def mg_summary(
     n_tbl = df.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("n")
     )
-    on = list(group_cols)
-    joined = (
-        n_tbl.join(deltas, on, "left")
-        if on
-        else n_tbl.crossJoin(F.broadcast(deltas))
-    )
+    joined = _join_totals(n_tbl, deltas, group_cols)
     totals = joined.select(
         *group_cols,
         "n",
@@ -183,6 +178,38 @@ def mg_summary(
         ),
     ).withMetadata("n", geo)
     return counters, totals
+
+
+def _join_totals(
+    n_tbl: DataFrame, deltas: DataFrame, group_cols: tuple[str, ...]
+) -> DataFrame:
+    """(*group_cols, n, [prior deficit,] __delta) — NULL-SAFE left
+    join on the group keys (review r18: a plain string-list join
+    drops the NULL group's delta row, so its deficit would record 0
+    and the screen's superset guarantee would silently break for that
+    group — the documented 'NULL GROUP keys form their own group'
+    contract demands eqNullSafe, the heavy_group.py convention).
+    String aliases, never frame refs (the self-join attribute-id
+    gotcha — both sides derive from the same source plan)."""
+    if not group_cols:
+        return n_tbl.crossJoin(F.broadcast(deltas))
+    keep = [c for c in n_tbl.columns if c not in group_cols]
+    return (
+        n_tbl.alias("nt")
+        .join(
+            deltas.alias("dl"),
+            [
+                F.col(f"nt.{c}").eqNullSafe(F.col(f"dl.{c}"))
+                for c in group_cols
+            ],
+            "left",
+        )
+        .select(
+            *[F.col(f"nt.{c}") for c in group_cols],
+            *[F.col(f"nt.{c}") for c in keep],
+            F.col("dl.__delta"),
+        )
+    )
 
 
 def _check_state(
@@ -301,12 +328,7 @@ def _merge_summaries(
         F.sum("n").cast("bigint").alias("n"),
         F.sum("deficit").cast("bigint").alias("deficit"),
     )
-    on = list(out_groups)
-    joined = (
-        base.join(deltas, on, "left")
-        if on
-        else base.crossJoin(F.broadcast(deltas))
-    )
+    joined = _join_totals(base, deltas, out_groups)
     totals = joined.select(
         *out_groups,
         "n",
@@ -344,16 +366,34 @@ def heavy_candidates(
             f"heavy_candidates: k={k} is too small for the "
             f"{num}/{den} threshold — the deficit bound n/(k+1) must "
             f"stay under half the threshold mass (need k >= "
-            f"{2 * den // max(num, 1)}) or the screen can lose a true "
+            f"{-(-2 * den // num)}) or the screen can lose a true "
             "heavy hitter"
         )
     _check_state("heavy_candidates", counters, totals, key_col, k)
-    on = list(group_cols)
-    joined = (
-        counters.join(totals, on)
-        if on
-        else counters.crossJoin(F.broadcast(totals))
-    )
+    if group_cols:
+        # null-safe on the group keys (review r18 — a plain key-list
+        # join would drop the NULL group's counters, silently voiding
+        # the superset guarantee for that group); string aliases per
+        # the self-join convention
+        joined = (
+            counters.alias("ct")
+            .join(
+                totals.alias("tt"),
+                [
+                    F.col(f"ct.{c}").eqNullSafe(F.col(f"tt.{c}"))
+                    for c in group_cols
+                ],
+            )
+            .select(
+                *[F.col(f"ct.{c}") for c in group_cols],
+                F.col(f"ct.{key_col}"),
+                F.col("ct.cnt"),
+                F.col("tt.n"),
+                F.col("tt.deficit"),
+            )
+        )
+    else:
+        joined = counters.crossJoin(F.broadcast(totals))
     return joined.filter(
         (F.col("cnt") + F.col("deficit")) * den > F.col("n") * num
     ).select(*group_cols, key_col)

@@ -71,7 +71,7 @@ def build_neardup_state(
     state: ``shingles`` is the (doc, shingle) table the verify stage
     probes, ``band_index`` the (doc, band, bh) rows the candidate
     stage probes. At scale both persist partitioned/bucketed (shingles
-    by doc, band_index by (band, bb)); here they are lazy frames the
+    by doc, band_index by (band, bh)); here they are lazy frames the
     caller may checkpoint.
 
     The geometry (n, num_hashes, bands, seed, builder version) rides

@@ -195,13 +195,21 @@ def group_priority_rebucket(
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         "priority", id_col
     )
-    return (
+    out = (
         state.select(*[c for c in want if c != "rk"])
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= int(k))
         .select(*want)
-        .withMetadata("priority", _sample_geo(k, group_cols, id_col))
     )
+    # propagate the stamp only when the INPUT carried one (review r18:
+    # stamping hand-built state would fabricate builder provenance —
+    # the exact false confidence the stamp exists to prevent; the
+    # bloom/cms combines' convention)
+    if geo is not None:
+        out = out.withMetadata(
+            "priority", _sample_geo(k, group_cols, id_col)
+        )
+    return out
 
 
 def incremental_group_priority_sample(
@@ -248,10 +256,11 @@ def incremental_group_priority_sample(
             "group_priority_sample output shape at the same "
             "(group_cols, id_col, carry_cols)"
         )
+    geo = state_geometry(state, "priority", _GEO_KEYS)
     check_probe_geometry(
         "incremental_group_priority_sample",
         _sample_geo(k, group_cols, id_col),
-        state_geometry(state, "priority", _GEO_KEYS),
+        geo,
         "a state truncated at a smaller k has already discarded rows "
         "and cannot be widened, and a different grouping/id ranks a "
         "different population (rebuild the state or match the "
@@ -267,9 +276,13 @@ def incremental_group_priority_sample(
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         "priority", id_col
     )
-    return (
+    out = (
         merged.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= int(k))
         .select(*want)
-        .withMetadata("priority", _sample_geo(k, group_cols, id_col))
     )
+    if geo is not None:  # propagate, never fabricate (review r18)
+        out = out.withMetadata(
+            "priority", _sample_geo(k, group_cols, id_col)
+        )
+    return out

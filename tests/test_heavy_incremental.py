@@ -141,7 +141,7 @@ def test_deficit_bound_and_superset_random(spark):
         tot = tt.collect()[0]
         assert tot.n == n_total
         assert tot.deficit <= n_total // (k + 1) + 1
-        num, den = 1, max(3, 2 * (k // 2))
+        num, den = 1, max(3, k // 2)
         if k * num >= 2 * den:
             union = a.unionByName(b).unionByName(c_)
             cand = {
@@ -262,3 +262,29 @@ def test_window_screen_superset_random(spark, rows, k):
     want = _brute_heavies(win.select(F.col("u").alias("token")), num, den)
     assert want <= cand
     assert mt.collect()[0].n == win.count()
+
+
+def test_null_group_keys_form_their_own_group(spark):
+    """Review r18: the NULL group's deficit and candidates must
+    survive the totals/screen joins (eqNullSafe on the group keys —
+    the heavy_group.py convention; a plain key-list join drops the
+    NULL group's delta row AND its counter rows, silently voiding the
+    superset guarantee for exactly that group)."""
+    rows = (
+        [(None, f"k{i}") for i in range(6) for _ in range(4)]  # truncates
+        + [(None, "hot")] * 30
+        + [("g1", "hot")] * 9
+        + [("g1", "cold")]
+    )
+    df = spark.createDataFrame(rows, "g string, token string")
+    c, t = mg_summary(df, "token", 5, group_cols=("g",))
+    tots = {r.g: (r.n, r.deficit) for r in t.collect()}
+    # NULL group: 54 rows; the truncate at k=5 over 7 keys fires —
+    # delta is the 6th-largest count (4), deficit records it
+    assert tots[None] == (54, 4)
+    assert tots["g1"] == (10, 0)
+    cand = heavy_candidates(c, t, "token", 1, 2, 5, group_cols=("g",))
+    got = {(r.g, r.token) for r in cand.collect()}
+    # "hot" holds 30/54 of the NULL group and 9/10 of g1 — both must
+    # surface despite the NULL group key
+    assert (None, "hot") in got and ("g1", "hot") in got
