@@ -240,9 +240,18 @@ HEADLINE = [
     "q_tf_jaccard",
     "q_bloom_by_group",
     "q_bloom_window",
+    # r18 additions: the incremental ICWS screen (fixed-batch
+    # real-weight near-dup refresh; state built per run = worst-case
+    # from-raw), both faces of the incremental sampling component
+    # (per-group bottom-k refresh + the trailing-window rebucket), and
+    # the Bloom AND combine with its exact-truth audit side.
+    "q_incremental_icws",
+    "q_incremental_group_priority",
+    "q_group_priority_window",
+    "q_bloom_intersect",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 122 of the 175
+# Bench coverage accounting (VERDICT r6 task 7): 126 of the 179
 # declared keys are timed above. The 53 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —
