@@ -1447,12 +1447,27 @@ def r19_curves(spark, sizes) -> dict:
       (no maintained state to hide behind) — ONE exchange + per-group
       sort over the growing input; expected ~LINEAR, the honest curve
       for a rank-everything primitive.
+    - Incremental histogram refresh (the late-r18 bank addition,
+      `operators/histogram_state.py`): per-group equi-width histogram
+      state PREBUILT from the growing corpus (cached, untimed),
+      refreshed with a FIXED 4096-row batch — expected FLAT: one
+      batch-sized hash agg + a ≤ groups·n_buckets-row union-sum.
+    - Windowed histogram merge + quantile read: per-day histograms
+      (16 days) PREBUILT, day-filtered, merged across the dropped day
+      dimension, read at median + p90 — FLAT by construction (the
+      timed input is days·n_buckets state rows regardless of corpus).
     """
     from food_panda_etl_spark.operators.heavy_incremental import (
         heavy_candidates,
         incremental_heavy_refresh,
         mg_merge_groups,
         mg_summary,
+    )
+    from food_panda_etl_spark.operators.histogram_state import (
+        hist_merge_groups,
+        hist_quantiles,
+        hist_summary,
+        incremental_hist_refresh,
     )
     from food_panda_etl_spark.operators.quantile_bucket_group import (
         group_rank_quantile_buckets,
@@ -1462,6 +1477,8 @@ def r19_curves(spark, sizes) -> dict:
         "incremental_heavy_refresh": {},
         "heavy_window_merge": {},
         "group_quantile_buckets": {},
+        "incremental_hist_refresh": {},
+        "hist_window_quantiles": {},
     }
     for n in sizes:
         corpus = spark.range(n).select(
@@ -1504,6 +1521,43 @@ def r19_curves(spark, sizes) -> dict:
             )
         finally:
             c0.unpersist(), t0.unpersist(), cd.unpersist(), td.unpersist()
+
+        # histogram state: values on a [0, 4096) grid (step 16, 256
+        # buckets), 16 day-groups — same corpus/batch discipline as the
+        # heavy curves (state cached untimed, fixed batch timed)
+        hv = corpus.select(
+            "day", (F.col("k") % 4096).alias("v")
+        )
+        h0 = hist_summary(hv, "v", 0, 16, 256, ("day",)).cache()
+        # the refresh batch lands on one (the newest) day
+        hb = batch.select(
+            F.lit(15).alias("day"), (F.col("k") % 4096).alias("v")
+        )
+        try:
+            h0.count()  # untimed
+
+            def run_hist_refresh():
+                incremental_hist_refresh(
+                    h0, hb, "v", 0, 16, 256, ("day",)
+                ).write.format("noop").mode("overwrite").save()
+
+            curves["incremental_hist_refresh"][n] = min(
+                timed(run_hist_refresh), timed(run_hist_refresh)
+            )
+
+            def run_hist_window():
+                m = hist_merge_groups(
+                    [h0.filter(F.col("day") >= 9)], 0, 16, 256, "v"
+                )
+                hist_quantiles(
+                    m, [(1, 2), (9, 10)], "v", 0, 16, 256
+                ).write.format("noop").mode("overwrite").save()
+
+            curves["hist_window_quantiles"][n] = min(
+                timed(run_hist_window), timed(run_hist_window)
+            )
+        finally:
+            h0.unpersist()
 
         scored = spark.range(n).select(
             (F.col("id") % 64).alias("g"),

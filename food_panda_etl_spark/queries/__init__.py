@@ -181,13 +181,19 @@ DECLARED_WINDOW = [
 # q_simhash_neardup q_sort_multi q_string_funcs q_substring_dedup
 # q_topk_global q_tpch_q1 q_tpch_q6 q_vocab_topp q_weighted_jaccard
 # (recount against the union before pinning; see test_evidence_age).
-# 44 + r19's THREE banked declarations (tests/test_r19_oracle_
+# 44 + r19's FIVE banked declarations (tests/test_r19_oracle_
 # previews.py, guard-enforced: q_incremental_heavy + q_heavy_window —
 # the FREQUENT-ITEMS family's maintained-state faces, ONE component,
-# operators/heavy_incremental.py — and q_quantile_bucket_by_group,
-# operators/quantile_bucket_group.py; all three preview-verified
-# sf0.001/0.01/0.1, plan shapes + curves in SCALE.md) = 47, leaving
-# 3 slots of slack for ADVICE riders. NOTE byte-change hazards for r19: touching
+# operators/heavy_incremental.py; q_quantile_bucket_by_group,
+# operators/quantile_bucket_group.py; and the late-r18 bank addition
+# q_incremental_quantile + q_quantile_window — the RANK/QUANTILE
+# family's maintained-state/windowed faces, ONE component,
+# operators/histogram_state.py, mergeable equi-width histograms with
+# exact-rank audit sides; all five preview-verified sf0.001/0.01/0.1,
+# plan shapes + curves in SCALE.md) = 49, leaving ONE slot of slack.
+# If r19 ADVICE riders need more, defer the cheapest r15 keys (e.g.
+# q_case_when / q_project) to r20 — their wall binds AT r20, so the
+# final round can window them alongside its own declarations. NOTE byte-change hazards for r19: touching
 # sketch_checks.py pulls q_hll_windowed + q_cms_windowed +
 # q_bloom_* + sampling keys (hll_windowed/cms_windowed/bloom/
 # bloom_algebra/sampling_incremental all import it) — q_hll_windowed

@@ -9,7 +9,7 @@ tests/test_registry_rotation.py::test_preview_verified_queries_get_declared
 — these ``*_preview`` functions fail the build if WINDOW_ROUND reaches
 19 without the declarations landing).
 
-Two component families, three declarations:
+Three component families, five declarations:
 
 - q_incremental_heavy — the maintained-state refresh face of the
   exact-FREQUENT-ITEMS family (`operators/heavy_incremental.py`): a
@@ -42,6 +42,27 @@ Two component families, three declarations:
   NULLS FIRST pin. ONE exchange + one sort (plan-gated in
   tests/test_quantile_bucket_group.py) vs the flat operator's
   two-phase global rank; the oracle is the direct window replay.
+
+- q_incremental_quantile — the maintained-state refresh face of the
+  SAME rank/quantile family (`operators/histogram_state.py`): a
+  mergeable equi-width histogram of per-language n_chars (grid
+  lo=0 step=16 n_buckets=40, ≤ 40 rows of state per language),
+  refreshed with the doc_id%10 batch split — histograms are LINEAR,
+  so the refreshed state is IDENTICAL to the from-scratch histogram
+  of corpus ∪ batch (no deficit bookkeeping, no repair pass) and the
+  hash-match IS the linearity identity. Output: per-language
+  quartile upper-edge estimates PLUS the exact integer-rank
+  quantiles as the audit side — the ⌈q·n⌉ rank rule on both sides,
+  est − step ≤ exact < est row-for-row by the in-bucket guarantee.
+
+- q_quantile_window — the WINDOWED face of the same family ("the
+  value quantiles of the last 7 days" from per-day histograms,
+  day-filtered and merged across the dropped day dimension via
+  `hist_merge_groups` — the q_cms_windowed / q_heavy_window
+  convention applied to QUANTILES). Grid lo=0.0 step=8.0
+  n_buckets=80 (power-of-two step: the double division is an exact
+  scaling, so every cell is bit-identical cross-engine); reads
+  median + p90 with the exact window quantiles as the audit side.
 """
 
 from __future__ import annotations
@@ -212,5 +233,221 @@ def test_quantile_bucket_by_group_preview(spark, any_sf):
                                doc_id ASC NULLS FIRST) - 1) * {_QB_B})
                 // (count(*) OVER (PARTITION BY lang)) AS INT) AS bucket
     FROM documents
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+_IQ_LO, _IQ_STEP, _IQ_NB = 0, 16, 40
+_QW_LO, _QW_STEP, _QW_NB, _QW_WIN = 0.0, 8.0, 80, 7
+
+
+def test_incremental_quantile_preview(spark, any_sf):
+    """Incremental per-language quantiles from maintained equi-width
+    histogram state (operators/histogram_state.py): corpus-state +
+    batch refresh → quartile reads over corpus ∪ batch (= the whole
+    documents table, by linearity), with the exact integer-rank
+    quantiles as the audit side."""
+    from pyspark.sql import Window
+
+    from food_panda_etl_spark.operators.histogram_state import (
+        hist_quantiles,
+        hist_summary,
+        incremental_hist_refresh,
+    )
+
+    d = (
+        load_table(spark, any_sf, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("lang", "doc_id", "n_chars")
+        .localCheckpoint(eager=False)  # consumers: state build + audit
+    )
+    st = hist_summary(
+        d.filter(F.col("doc_id") % 10 != 0),
+        "n_chars", _IQ_LO, _IQ_STEP, _IQ_NB, ("lang",),
+    )
+    # pin the refreshed state (the maintained-state regime: state IS a
+    # materialized table between refreshes)
+    st = incremental_hist_refresh(
+        st, d.filter(F.col("doc_id") % 10 == 0),
+        "n_chars", _IQ_LO, _IQ_STEP, _IQ_NB, ("lang",),
+    ).localCheckpoint(eager=False)
+    est = hist_quantiles(
+        st, [(1, 4), (2, 4), (3, 4)],
+        "n_chars", _IQ_LO, _IQ_STEP, _IQ_NB, ("lang",),
+    ).select(
+        "lang", "q_num", F.col("est").cast("bigint").alias("est_chars")
+    )
+    # exact audit side: min value whose cumulative row count reaches
+    # rank ceil(q·n) — integer comparison cum·4 >= q_num·n, the same
+    # rank rule the histogram read implements
+    vc = d.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    q_arr = F.array(*[
+        F.struct(F.lit(q).alias("q_num")) for q in (1, 2, 3)
+    ])
+    exact = (
+        vc.select(
+            "lang",
+            "n_chars",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        .select("lang", "n_chars", "cum", "n", F.explode(q_arr).alias("__q"))
+        .filter(F.col("cum") * 4 >= F.col("__q.q_num") * F.col("n"))
+        .groupBy("lang", F.col("__q.q_num").alias("q_num"))
+        .agg(F.min("n_chars").cast("bigint").alias("exact_chars"))
+    )
+    got = est.join(exact, ["lang", "q_num"])
+    oracle = f"""
+    WITH d AS (SELECT lang, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
+    h AS (SELECT lang,
+                 LEAST({_IQ_NB - 1}, CAST(floor(
+                     (LEAST({_IQ_LO + _IQ_NB * _IQ_STEP}.0, GREATEST(
+                          {_IQ_LO}.0, CAST(n_chars AS DOUBLE)))
+                      - {_IQ_LO}.0) / {_IQ_STEP}.0) AS BIGINT)) AS bucket,
+                 count(*) AS cnt
+          FROM d GROUP BY 1, 2),
+    c AS (SELECT lang, bucket,
+                 sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+                 sum(cnt) OVER (PARTITION BY lang) AS n
+          FROM h),
+    q AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(qn)),
+    est AS (SELECT lang, qn AS q_num,
+                   CAST({_IQ_STEP} * (min(bucket) + 1) AS BIGINT)
+                       AS est_chars
+            FROM c CROSS JOIN q
+            WHERE cum * 4 >= qn * n
+            GROUP BY lang, qn),
+    vc AS (SELECT lang, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+    vv AS (SELECT lang, n_chars,
+                  sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+                  sum(c) OVER (PARTITION BY lang) AS n
+           FROM vc),
+    ex AS (SELECT lang, qn AS q_num,
+                  CAST(min(n_chars) AS BIGINT) AS exact_chars
+           FROM vv CROSS JOIN q
+           WHERE cum * 4 >= qn * n
+           GROUP BY lang, qn)
+    SELECT est.lang, est.q_num, est.est_chars, ex.exact_chars
+    FROM est JOIN ex USING (lang, q_num)
+    """
+    assert compare(got, oracle, any_sf) == []
+
+
+def test_quantile_window_preview(spark, any_sf):
+    """Trailing-window value quantiles from per-day histogram state
+    (operators/histogram_state.py::hist_merge_groups): day-filtered
+    state merged across the dropped day dimension, read at median +
+    p90, with the exact window quantiles as the audit side. The
+    oracle replays the window's histogram directly — equal BY
+    LINEARITY to the engine's sum-of-day-states."""
+    from pyspark.sql import Window
+
+    from food_panda_etl_spark.operators.histogram_state import (
+        hist_merge_groups,
+        hist_quantiles,
+        hist_summary,
+    )
+
+    ev = (
+        load_table(spark, any_sf, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "value",
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_DAY_US}"
+            ).alias("day"),
+        )
+        .localCheckpoint(eager=False)  # consumers: state, max-day, audit
+    )
+    by_day = hist_summary(
+        ev, "value", _QW_LO, _QW_STEP, _QW_NB, ("day",)
+    ).localCheckpoint(eager=False)  # per-day state (materialized in real use)
+    mx = ev.agg(F.max("day").alias("md"))
+    filt = (
+        by_day.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.col("md") - _QW_WIN)
+        .drop("md")
+    )
+    merged = hist_merge_groups([filt], _QW_LO, _QW_STEP, _QW_NB, "value")
+    est = hist_quantiles(
+        merged, [(1, 2), (9, 10)], "value", _QW_LO, _QW_STEP, _QW_NB
+    ).withColumnRenamed("est", "est_value")
+    win = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.col("md") - _QW_WIN)
+        .select("value")
+    )
+    vc = win.groupBy("value").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(F.lit(0))
+    q_arr = F.array(
+        F.struct(F.lit(1).alias("q_num"), F.lit(2).alias("q_den")),
+        F.struct(F.lit(9).alias("q_num"), F.lit(10).alias("q_den")),
+    )
+    exact = (
+        vc.select(
+            "value",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        .select("value", "cum", "n", F.explode(q_arr).alias("__q"))
+        .filter(
+            F.col("cum") * F.col("__q.q_den")
+            >= F.col("__q.q_num") * F.col("n")
+        )
+        .groupBy(
+            F.col("__q.q_num").alias("q_num"),
+            F.col("__q.q_den").alias("q_den"),
+        )
+        .agg(F.min("value").alias("exact_value"))
+    )
+    got = est.join(exact, ["q_num", "q_den"])
+    oracle = f"""
+    WITH ev AS (SELECT value, epoch_us(ts) // {_DAY_US} AS day
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL),
+    mx AS (SELECT max(day) AS md FROM ev),
+    win AS (SELECT value FROM ev CROSS JOIN mx
+            WHERE day > md - {_QW_WIN}),
+    h AS (SELECT LEAST({_QW_NB - 1}, CAST(floor(
+                     (LEAST({_QW_LO + _QW_NB * _QW_STEP}, GREATEST(
+                          {_QW_LO}, value)) - {_QW_LO}) / {_QW_STEP})
+                     AS BIGINT)) AS bucket,
+                 count(*) AS cnt
+          FROM win GROUP BY 1),
+    c AS (SELECT bucket,
+                 sum(cnt) OVER (ORDER BY bucket) AS cum,
+                 sum(cnt) OVER () AS n
+          FROM h),
+    q AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS t(qn, qd)),
+    est AS (SELECT qn AS q_num, qd AS q_den, min(bucket) AS bucket
+            FROM c CROSS JOIN q
+            WHERE cum * qd >= qn * n
+            GROUP BY qn, qd),
+    vc AS (SELECT value, count(*) AS c FROM win GROUP BY 1),
+    vv AS (SELECT value,
+                  sum(c) OVER (ORDER BY value) AS cum,
+                  sum(c) OVER () AS n
+           FROM vc),
+    ex AS (SELECT qn AS q_num, qd AS q_den, min(value) AS exact_value
+           FROM vv CROSS JOIN q
+           WHERE cum * qd >= qn * n
+           GROUP BY qn, qd)
+    SELECT est.q_num, est.q_den, est.bucket,
+           CAST({_QW_LO} + {_QW_STEP} * (est.bucket + 1) AS DOUBLE)
+               AS est_value,
+           ex.exact_value
+    FROM est JOIN ex USING (q_num, q_den)
     """
     assert compare(got, oracle, any_sf) == []
