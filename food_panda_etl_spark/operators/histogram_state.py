@@ -18,8 +18,11 @@ non-negative and floor == truncation in every engine, and out-of-range
 mass lands in the edge buckets (documented contract: the in-bucket
 guarantee below holds for in-range data; clamped tails degrade the
 edge estimates to the grid boundary, never crash). NULL values are
-skipped (the heavy_hitters NULL contract — count NULL mass separately
-if it matters); NULL GROUP keys form their own group (SQL GROUP BY
+skipped, and NaN on float/double columns with them — greatest/least
+would otherwise propagate NaN into the TOP bucket in both engines,
+silently drifting the upper quantiles (the heavy_hitters NULL
+contract, extended: count NULL/NaN mass separately if it matters);
+NULL GROUP keys form their own group (SQL GROUP BY
 semantics — no joins anywhere in this module, so there is no
 eqNullSafe hazard to carry).
 
@@ -133,9 +136,14 @@ def hist_summary(
 ) -> DataFrame:
     """The (*group_cols, bucket, cnt) state — ≤ n_buckets rows per
     group, one hash aggregation over the input (the fact shuffles only
-    (*group, bucket) tuples). NULL values are skipped; NULL group keys
-    form their own group. The grid rides the output as column metadata
-    and every consumer validates it."""
+    (*group, bucket) tuples). NULL values are skipped, and so are NaN
+    values on float/double columns (review r18: greatest/least
+    propagate NaN to the TOP bucket in both engines, so un-skipped
+    NaNs would silently drift every upper-quantile estimate to the hi
+    edge — count NULL/NaN mass separately if it matters, the
+    heavy_hitters contract); NULL group keys form their own group.
+    The grid rides the output as column metadata and every consumer
+    validates it."""
     _check_grid("hist_summary", lo, step, n_buckets)
     clash = sorted({"bucket", "cnt"} & {*group_cols, value_col})
     if clash:
@@ -143,8 +151,11 @@ def hist_summary(
             f"hist_summary: column(s) {clash} collide with the state's "
             "output columns — rename them first"
         )
+    keep = F.col(value_col).isNotNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        keep = keep & ~F.isnan(F.col(value_col))
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(keep)
         .groupBy(
             *group_cols,
             _bucket(value_col, lo, step, n_buckets).alias("bucket"),
@@ -157,6 +168,12 @@ def hist_summary(
 def _check_state(
     op: str, state: DataFrame, lo, step, n_buckets: int, value_col: str
 ) -> None:
+    # validate the declared grid UNCONDITIONALLY (review r18: without
+    # this, a degenerate grid probed against hand-built unstamped
+    # state — step 0, n_buckets 0 — would read wrong-but-plausible
+    # estimates instead of raising, the exact mode these guards exist
+    # to prevent; stamped state only caught it via the stamp compare)
+    _check_grid(op, lo, step, n_buckets)
     check_probe_geometry(
         op,
         hist_geometry(lo, step, n_buckets, value_col),

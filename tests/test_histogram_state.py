@@ -111,11 +111,11 @@ def test_chained_refreshes_random(spark):
     clamped out-of-range values land in edge buckets."""
     rnd = random.Random(11)
     for _ in range(3):
-        n = rnd.randint(30, 200)
+        n = rnd.randint(30, 200)  # n >= 3: every 3-way split non-empty
         vals = [(rnd.randint(-50, 700),) for _ in range(n)]
         cut1, cut2 = n // 3, 2 * n // 3
         mk = lambda rows: spark.createDataFrame(  # noqa: E731
-            rows or [(0,)], "v bigint"
+            rows, "v bigint"
         )
         full = mk(vals)
         st = hist_summary(mk(vals[:cut1]), "v", _LO, _STEP, _NB)
@@ -129,7 +129,7 @@ def test_chained_refreshes_random(spark):
         assert _rows(st, ["bucket", "cnt"]) == _rows(
             direct, ["bucket", "cnt"]
         )
-        raw = [v for (v,) in vals] or [0]
+        raw = [v for (v,) in vals]
         hi = _LO + _NB * _STEP
         out = hist_quantiles(st, [(1, 2)], "v", _LO, _STEP, _NB)
         row = out.collect()[0]
@@ -257,3 +257,24 @@ def test_fractional_float_grid(spark):
     st = hist_summary(df, "v", 0.0, 8.0, 80)
     got = dict(_rows(st, ["bucket", "cnt"]))
     assert got == {0: 2, 1: 2, 79: 1}
+
+
+def test_nan_skipped_like_null(spark):
+    """NaN on a float column is skipped with NULL (review r18:
+    greatest/least propagate NaN to the TOP bucket in both engines —
+    un-skipped, every upper-quantile estimate would silently drift to
+    the hi edge)."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,)], "v double"
+    )
+    st = hist_summary(df, "v", 0.0, 10.0, 4)
+    assert _rows(st, ["bucket", "cnt"]) == [(0, 1)]
+
+
+def test_negative_lo_grid(spark):
+    """A grid starting below zero: the clamp keeps the numerator
+    non-negative, so buckets stay floor-exact for negative values."""
+    df = spark.createDataFrame([(-20,), (-1,), (0,), (19,)], "v bigint")
+    st = hist_summary(df, "v", -20, 10, 4)
+    got = dict(_rows(st, ["bucket", "cnt"]))
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}

@@ -357,7 +357,13 @@ def test_quantile_window_preview(spark, any_sf):
 
     ev = (
         load_table(spark, any_sf, "events")
-        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        # NaN filtered with NULL, mirroring hist_summary's skip (the
+        # audit side must see the same row set as the state build)
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & F.col("ts").isNotNull()
+        )
         .select(
             "value",
             F.expr(
@@ -416,7 +422,8 @@ def test_quantile_window_preview(spark, any_sf):
     oracle = f"""
     WITH ev AS (SELECT value, epoch_us(ts) // {_DAY_US} AS day
                 FROM events
-                WHERE value IS NOT NULL AND ts IS NOT NULL),
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                  AND ts IS NOT NULL),
     mx AS (SELECT max(day) AS md FROM ev),
     win AS (SELECT value FROM ev CROSS JOIN mx
             WHERE day > md - {_QW_WIN}),
