@@ -1573,6 +1573,65 @@ def r19_curves(spark, sizes) -> dict:
     return curves
 
 
+def r20_curves(spark, sizes) -> dict:
+    """r20 build-ahead curves, runnable alone via `--r20` (min-of-two
+    per point):
+
+    - Incremental CMS refresh: the 4x1024 cell state PREBUILT from the
+      growing corpus (cached, untimed -- the maintained-state regime),
+      refreshed with a FIXED 4096-row batch -- expected FLAT: one
+      batch-sized (d, b) hash agg + a <= 2*width*depth cell union-sum.
+    - Incremental HLL refresh: the stamped m=256 register state
+      PREBUILT likewise, refreshed with the same fixed batch --
+      expected FLAT: one batch-sized register agg + a <= 2*m-row max.
+    """
+    from food_panda_etl_spark.operators.cms import cms_sketch
+    from food_panda_etl_spark.operators.cms_incremental import (
+        incremental_cms_refresh,
+    )
+    from food_panda_etl_spark.operators.hll_incremental import (
+        build_hll_state,
+        incremental_hll_refresh,
+    )
+
+    curves: dict[str, dict[int, float]] = {
+        "incremental_cms_refresh": {},
+        "incremental_hll_refresh": {},
+    }
+    for n in sizes:
+        corpus = spark.range(n).select(
+            ((F.col("id") * 2654435761) % (n // 2)).alias("k")
+        )
+        batch = spark.range(4096).select(
+            ((F.col("id") * 9973) % (n // 2)).alias("k")
+        )
+        c0 = cms_sketch(corpus, "k", 1024, 4).cache()
+        h0 = build_hll_state(corpus, "k").cache()
+        try:
+            c0.count(), h0.count()  # untimed
+
+            def run_cms():
+                incremental_cms_refresh(
+                    c0, batch, "k", 1024, 4
+                ).write.format("noop").mode("overwrite").save()
+
+            curves["incremental_cms_refresh"][n] = min(
+                timed(run_cms), timed(run_cms)
+            )
+
+            def run_hll():
+                incremental_hll_refresh(
+                    h0, batch, "k"
+                ).write.format("noop").mode("overwrite").save()
+
+            curves["incremental_hll_refresh"][n] = min(
+                timed(run_hll), timed(run_hll)
+            )
+        finally:
+            c0.unpersist(), h0.unpersist()
+    return curves
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -1653,6 +1712,13 @@ def main() -> None:
     if "--r19" in sys.argv:  # r19 curves (incr heavy / group quantile buckets)
         sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
         curves = r19_curves(spark, sizes)
+        print(json.dumps(
+            {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
+        ))
+        return
+    if "--r20" in sys.argv:  # r20 curves (incremental CMS / HLL refresh)
+        sizes = [20_000, 80_000] + ([] if quick else [320_000, 1_280_000])
+        curves = r20_curves(spark, sizes)
         print(json.dumps(
             {"cpus": cpus, "curves": curves, "exponents": fit_exponents(curves)}
         ))

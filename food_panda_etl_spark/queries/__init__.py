@@ -193,7 +193,14 @@ DECLARED_WINDOW = [
 # plan shapes + curves in SCALE.md) = 49, leaving ONE slot of slack.
 # If r19 ADVICE riders need more, defer the cheapest r15 keys (e.g.
 # q_case_when / q_project) to r20 — their wall binds AT r20, so the
-# final round can window them alongside its own declarations. NOTE byte-change hazards for r19: touching
+# final round can window them alongside its own declarations.
+# R20 BANK ALREADY EXISTS (late-r18): q_incremental_cms +
+# q_incremental_hll (operators/cms_incremental.py,
+# operators/hll_incremental.py — the last two incremental-matrix
+# gaps) pre-verified sf0.001/0.01/0.1 in
+# tests/test_r20_oracle_previews.py; the promotion guard arms only
+# at WINDOW_ROUND=20, so these do NOT bind the r19 window — r19
+# need not bank further build-aheads unless a new family gap opens. NOTE byte-change hazards for r19: touching
 # sketch_checks.py pulls q_hll_windowed + q_cms_windowed +
 # q_bloom_* + sampling keys (hll_windowed/cms_windowed/bloom/
 # bloom_algebra/sampling_incremental all import it) — q_hll_windowed
