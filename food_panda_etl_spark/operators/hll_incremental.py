@@ -38,7 +38,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from food_panda_etl_spark.operators.hll import HLL_M, hll_merge, hll_sketch
+from food_panda_etl_spark.operators.hll import (
+    HLL_M,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
 from food_panda_etl_spark.operators.state_geometry import (
     check_probe_geometry,
     state_geometry,
@@ -102,3 +107,30 @@ def incremental_hll_refresh(
     return hll_merge(state, b, group_cols=group_cols).withMetadata(
         "rho", hll_state_geometry(m, mixer)
     )
+
+
+def hll_state_estimate(
+    state: DataFrame,
+    m: int = HLL_M,
+    group_cols: tuple[str, ...] = (),
+    mixer: str = "portable",
+) -> DataFrame:
+    """`hll.hll_estimate` with the stamp validated first (review r18:
+    the refresh path alone validating the stamp leaves the estimate
+    open to the exact mode the stamp exists to close — stamped m=256
+    state read at m=128 passes the rank-range guard, since a smaller
+    m has a LARGER cap on the portable grid, and yields a
+    plausibly-positive but wrong estimate: wrong alpha, wrong m², and
+    a wrong absent-register term). All estimator semantics are the
+    ONE `hll_estimate`'s; this adds only the check — use it whenever
+    the input is maintained state, `hll_estimate` directly for
+    throwaway sketches you just built."""
+    check_probe_geometry(
+        "hll_state_estimate",
+        hll_state_geometry(m, mixer),
+        state_geometry(state, "rho", HLL_STATE_GEO_KEYS),
+        "the estimator's alpha/m²/absent-register arithmetic would run "
+        "on a different register space — plausibly-positive but wrong, "
+        "never an error (match m/mixer to the state's stamp)",
+    )
+    return hll_estimate(state, m, group_cols, mixer)

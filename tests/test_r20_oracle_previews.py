@@ -31,8 +31,9 @@ matrix), two declarations:
   register state over lineitem l_orderkey (~15k distinct at sf0.01 —
   the raw-estimator regime n ≳ 2.5·m), built on the l_orderkey%7
   corpus split via `build_hll_state` (the stamp HLL sketches
-  previously lacked), refreshed with the batch split, estimated with
-  the exact-distinct audit. Registers merge by MAX, so refresh ≡
+  previously lacked), refreshed with the batch split, estimated via
+  the stamp-validated `hll_state_estimate` with the exact-distinct
+  audit. Registers merge by MAX, so refresh ≡
   from-scratch and the oracle is the full register replay over ALL
   of lineitem via the ONE shared `_hll_oracle` builder
   (`queries/curation.py` — relation/key parameterized, no drift).
@@ -132,9 +133,9 @@ def test_incremental_hll_preview(spark, any_sf):
     the one-row estimate record with the exact-distinct audit, equal
     to the from-scratch sketch of all of lineitem by register-max
     mergeability."""
-    from food_panda_etl_spark.operators.hll import hll_estimate
     from food_panda_etl_spark.operators.hll_incremental import (
         build_hll_state,
+        hll_state_estimate,
         incremental_hll_refresh,
     )
     from food_panda_etl_spark.queries.curation import _hll_oracle
@@ -150,7 +151,7 @@ def test_incremental_hll_preview(spark, any_sf):
     st = incremental_hll_refresh(
         st, li.filter(F.col("l_orderkey") % 7 == 0), "l_orderkey"
     ).localCheckpoint(eager=False)
-    est = hll_estimate(st)
+    est = hll_state_estimate(st)  # the stamp-validated read
     exact = li.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_exact")
     )

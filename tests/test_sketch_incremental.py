@@ -29,6 +29,7 @@ from food_panda_etl_spark.operators.hll import (
 from food_panda_etl_spark.operators.hll_incremental import (
     HLL_STATE_GEO_KEYS,
     build_hll_state,
+    hll_state_estimate,
     incremental_hll_refresh,
 )
 from food_panda_etl_spark.operators.state_geometry import state_geometry
@@ -93,12 +94,15 @@ def test_cms_stamp_mismatch_raises(spark, sf_dir):
     st = cms_sketch(corpus, "user_id", 512, _D)
     with pytest.raises(ValueError, match="does not match the supplied"):
         incremental_cms_refresh(st, batch, "user_id", _W, _D)
-    # hand-built (stripped) state: accepted with matching geometry
+    # hand-built (stripped) NON-EMPTY state: accepted with matching
+    # geometry and merged identically to the stamped original (review
+    # r18 — a limit(0) comparison here was vacuous)
     stripped = spark.createDataFrame(
         st.collect(), "d int, b bigint, cnt bigint"
     )
-    out = incremental_cms_refresh(st.limit(0), batch, "user_id", 512, _D)
-    ref = incremental_cms_refresh(stripped.limit(0), batch, "user_id", 512, _D)
+    out = incremental_cms_refresh(st, batch, "user_id", 512, _D)
+    ref = incremental_cms_refresh(stripped, batch, "user_id", 512, _D)
+    assert len(_rows(out, ["d", "b", "cnt"])) > 0
     assert _rows(out, ["d", "b", "cnt"]) == _rows(ref, ["d", "b", "cnt"])
 
 
@@ -109,9 +113,15 @@ def test_hll_refresh_equals_from_scratch(spark, sf_dir):
     direct = hll_sketch(ev, "user_id")
     cols = ["reg", "rho"]
     assert _rows(st, cols) == _rows(direct, cols)
-    got = hll_estimate(st).collect()
+    got = hll_state_estimate(st).collect()
     want = hll_estimate(direct).collect()
     assert got == want
+    # the estimate path validates the stamp too (review r18: a
+    # smaller-m read passes hll_estimate's rank-range guard — cap
+    # GROWS as m shrinks on the portable grid — and would compute a
+    # plausibly-positive estimate on the wrong alpha/m² arithmetic)
+    with pytest.raises(ValueError, match="does not match the supplied"):
+        hll_state_estimate(st, m=128)
 
 
 def test_hll_refresh_grouped_and_chained(spark, sf_dir):
