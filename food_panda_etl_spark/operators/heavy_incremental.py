@@ -44,9 +44,11 @@ Scale: state is ≤ k rows per group + one totals row per group —
 geometry-bounded, never vocabulary-sized; a refresh costs one
 batch-sized hash agg + a ≤ (k + batch-distinct)-row merge; the window
 combine re-aggregates ≤ days·k summary rows, never the fact. The
-truncate's rank window partitions by the GROUP columns (flat state
-uses a single constant group — the window runs over a ≤ k + distinct
-row frame, never a fact).
+truncate's rank window partitions by the GROUP columns, and the flat
+(single constant group) path pre-truncates to the global top-(k+1)
+with a distributed sort+limit first — so even the INITIAL corpus
+build's constant-partition window sees ≤ k+1 rows, never the
+vocabulary (ADVICE r18; `_mg_truncate` docstring).
 """
 
 from __future__ import annotations
@@ -73,6 +75,19 @@ def _geo(k: int, key_col: str) -> dict:
     }
 
 
+def _flat_top_counts(counts: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Global top-(k+1) of an exact (key, cnt) table by the truncate's
+    (cnt desc, key) total order. sort+limit compiles to per-partition
+    local top-(k+1) plus a (k+1)-row single-partition merge — no task
+    ever sorts the vocabulary — and any superset of the global
+    top-(k+1) yields identical kept/delta rows downstream
+    (:func:`_mg_truncate` docstring), so the pre-truncate cannot
+    change output. Plan-gated in tests/test_heavy_incremental.py."""
+    return counts.orderBy(F.col("cnt").desc(), F.col(key_col)).limit(
+        int(k) + 1
+    )
+
+
 def _mg_truncate(
     counts: DataFrame,
     key_col: str,
@@ -89,7 +104,22 @@ def _mg_truncate(
     the counters and the bound bookkeeping must know). Rank ties break
     by key, so the subtracted VALUE is total-order deterministic
     (equal boundary counts yield the same delta whichever key ranks
-    k+1)."""
+    k+1).
+
+    Flat (no group_cols) inputs are pre-truncated to the global
+    top-(k+1) by the same (cnt desc, key) total order BEFORE the rank
+    window (ADVICE r18): only ranks 1..k+1 ever reach the output —
+    rows beyond carry cnt ≤ delta and drop in the filter — so any
+    superset of the global top-(k+1) yields identical kept/delta
+    rows, and sort+limit compiles to per-partition local top-(k+1)
+    plus a (k+1)-row single-partition merge (the two-phase
+    global-rank trade, `operators/order.py`). Without it the initial
+    corpus build ranked the entire distinct-key vocabulary through
+    one constant-partition task; with it that window sees ≤ k+1
+    rows. Grouped inputs keep the plain per-group window — the frame
+    is one group's distinct keys, distributed across groups."""
+    if not group_cols:
+        counts = _flat_top_counts(counts, key_col, k)
     parts = (
         [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
     )

@@ -288,3 +288,53 @@ def test_null_group_keys_form_their_own_group(spark):
     # "hot" holds 30/54 of the NULL group and 9/10 of g1 — both must
     # surface despite the NULL group key
     assert (None, "hot") in got and ("g1", "hot") in got
+
+
+def test_flat_build_pre_truncates_before_the_rank_window(spark):
+    """ADVICE r18: the INITIAL flat build must not rank the whole
+    distinct-key vocabulary through one constant-partition task. The
+    pre-truncate (`_flat_top_counts`) is the guarantee: its plan is a
+    distributed TakeOrdered/limit — per-partition local top-(k+1)
+    plus a (k+1)-row merge, no Window node, no vocabulary-wide sort —
+    and its OUTPUT is exactly the global top-(k+1) by the truncate's
+    (cnt desc, key) total order, which is all ranks 1..k+1 the
+    downstream window can ever emit."""
+    from food_panda_etl_spark.operators.heavy_incremental import (
+        _flat_top_counts,
+    )
+
+    k = 7
+    counts = (
+        spark.range(3000)
+        .select((F.col("id") % 999).cast("string").alias("token"))
+        .repartition(8)
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    top = _flat_top_counts(counts, "token", k)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "Limit" in plan
+    assert "Window" not in plan
+    got = [(r.token, r.cnt) for r in top.collect()]
+    want = sorted(
+        ((r.token, r.cnt) for r in counts.collect()),
+        key=lambda x: (-x[1], x[0]),
+    )[: k + 1]
+    assert sorted(got, key=lambda x: (-x[1], x[0])) == want
+    # and the full flat summary over the same frame is unchanged by
+    # the pre-truncate: survivors are the counts above the (k+1)-th
+    # largest, deficit records it (999 keys at cnt 3 or 4: the
+    # boundary count is 4 for k=7 → every counter drops, the mass
+    # lands in the deficit)
+    c, t = mg_summary(
+        spark.range(3000)
+        .select((F.col("id") % 999).cast("string").alias("token"))
+        .repartition(8),
+        "token",
+        k,
+    )
+    tot = t.collect()[0]
+    assert tot.n == 3000
+    boundary = want[k][1] if len(want) > k else 0
+    assert tot.deficit == boundary
+    assert all(r.cnt > 0 for r in c.collect())

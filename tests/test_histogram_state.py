@@ -10,7 +10,6 @@ repartitioning, and (d) be loud on malformed/mismatched state."""
 
 from __future__ import annotations
 
-import math
 import random
 
 import pytest
