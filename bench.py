@@ -9,8 +9,9 @@ LAST 2000 characters of stdout and parses the JSON line out of them —
 r6-r8's lines outgrew that and the artifacts lost their leading keys
 ("parsed": null). The printed line is therefore kept under 2000 chars:
 compact separators, per-query seconds at 2 decimals, query keys DROP the
-"q_" prefix (restore it to match declared names — the line carries
-"keyprefix":"q_" as the hint), calibration under short keys ("cal":
+"q_" prefix and print a leading "incremental_" as "inc_" (restore them
+to match declared names — the line carries "keyprefix":"q_" and
+"keymap":{"inc_":"incremental_"} as the hints), calibration under short keys ("cal":
 {"cpu": …, "py": …} = the byte-frozen probe's cpu_arith_sec /
 py_arith_sec), and — when any key's two passes disagreed by >1.5x — a
 "disp" dict naming those keys with their pass ratio (each got a third
@@ -249,9 +250,22 @@ HEADLINE = [
     "q_incremental_group_priority",
     "q_group_priority_window",
     "q_bloom_intersect",
+    # r19 additions: the seven maintained-summary-state declarations —
+    # both faces of exact heavy hitters (MG state built per run =
+    # worst-case from-raw; the window face merges per-day summaries),
+    # per-group rank-quantile buckets, both faces of histogram
+    # quantiles, and the incremental CMS/HLL refreshes (linear/max-
+    # mergeable state built per run, probed with exact audit sides).
+    "q_incremental_heavy",
+    "q_heavy_window",
+    "q_quantile_bucket_by_group",
+    "q_incremental_quantile",
+    "q_quantile_window",
+    "q_incremental_cms",
+    "q_incremental_hll",
 ]
 
-# Bench coverage accounting (VERDICT r6 task 7): 126 of the 179
+# Bench coverage accounting (VERDICT r6 task 7): 133 of the 186
 # declared keys are timed above. The 53 excluded, by category:
 # (a) 25 sub-100 ms scalar/single-dim relational+SQL function checks
 #     whose runtime is plan-construction overhead, not data flow —
@@ -413,8 +427,18 @@ def main() -> None:
     # if future HEADLINE growth outruns the budget, drop the CHEAPEST
     # keys from the printed dict (never from BENCH_LAST_RUN.json, which
     # keeps every key at full precision) rather than truncating or
-    # aborting — an honest partial line beats a lost artifact.
-    printed = {k.removeprefix("q_"): round(v, 2) for k, v in times.items()}
+    # aborting — an honest partial line beats a lost artifact. r19
+    # widening: eleven headline keys now start with "incremental_"
+    # (12 chars); printing it as "inc_" (declared in "keymap"
+    # alongside "keyprefix") buys back ~90 chars ≈ a dozen cheap keys
+    # that would otherwise fall to the omitted marker.
+    def _short(name: str) -> str:
+        name = name.removeprefix("q_")
+        if name.startswith("incremental_"):
+            name = "inc_" + name[len("incremental_"):]
+        return name
+
+    printed = {_short(k): round(v, 2) for k, v in times.items()}
     omitted = 0
     # dispersion marker: keys that needed a third pass, with their
     # two-pass max/min ratio — a non-empty dict says "this round's VM
@@ -427,7 +451,7 @@ def main() -> None:
         for name in retried
     }
     worst = sorted(ratios, key=ratios.get, reverse=True)[:8]
-    disp = {name.removeprefix("q_"): round(ratios[name], 2) for name in worst}
+    disp = {_short(name): round(ratios[name], 2) for name in worst}
     disp_more = len(retried) - len(worst)
 
     def render() -> str:
@@ -436,6 +460,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "keyprefix": "q_",
+            "keymap": {"inc_": "incremental_"},
             "queries": printed,
             "sf": sf,
             "cal": {
