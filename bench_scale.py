@@ -1584,10 +1584,22 @@ def r20_curves(spark, sizes) -> dict:
     - Incremental HLL refresh: the stamped m=256 register state
       PREBUILT likewise, refreshed with the same fixed batch --
       expected FLAT: one batch-sized register agg + a <= 2*m-row max.
+    - Incremental DSIR refresh + state scoring (r19 bank addition):
+      the <= 1024-row hashed-bigram count state PREBUILT from a
+      growing synthetic two-bigram corpus, (a) refreshed with a FIXED
+      4096-doc batch -- expected FLAT: one batch-sized bucket hash agg
+      + a <= 2*buckets union-sum -- and (b) probed by scoring the
+      fixed batch against the state -- expected FLAT: batch featurize
+      + broadcast join against the state, the production CDC shape.
     """
     from food_panda_etl_spark.operators.cms import cms_sketch
     from food_panda_etl_spark.operators.cms_incremental import (
         incremental_cms_refresh,
+    )
+    from food_panda_etl_spark.operators.dsir_incremental import (
+        build_dsir_state,
+        dsir_score_against_state,
+        incremental_dsir_refresh,
     )
     from food_panda_etl_spark.operators.hll_incremental import (
         build_hll_state,
@@ -1597,7 +1609,24 @@ def r20_curves(spark, sizes) -> dict:
     curves: dict[str, dict[int, float]] = {
         "incremental_cms_refresh": {},
         "incremental_hll_refresh": {},
+        "incremental_dsir_refresh": {},
+        "dsir_score_from_state": {},
     }
+
+    def synth_docs(frame):
+        """Three-token docs over a 997-word vocabulary, ~1/5 target."""
+        return frame.select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 5 == 0, "en").otherwise("de").alias(
+                "lang"
+            ),
+            F.concat(
+                F.lit("w"), (F.col("id") % 997).cast("string"),
+                F.lit(" w"), ((F.col("id") * 31) % 997).cast("string"),
+                F.lit(" w"), ((F.col("id") * 17) % 997).cast("string"),
+            ).alias("text"),
+        )
+
     for n in sizes:
         corpus = spark.range(n).select(
             ((F.col("id") * 2654435761) % (n // 2)).alias("k")
@@ -1605,10 +1634,13 @@ def r20_curves(spark, sizes) -> dict:
         batch = spark.range(4096).select(
             ((F.col("id") * 9973) % (n // 2)).alias("k")
         )
+        docs = synth_docs(spark.range(n))
+        bdocs = synth_docs(spark.range(n, n + 4096))
         c0 = cms_sketch(corpus, "k", 1024, 4).cache()
         h0 = build_hll_state(corpus, "k").cache()
+        d0 = build_dsir_state(docs, F.col("lang") == "en").cache()
         try:
-            c0.count(), h0.count()  # untimed
+            c0.count(), h0.count(), d0.count()  # untimed
 
             def run_cms():
                 incremental_cms_refresh(
@@ -1627,8 +1659,26 @@ def r20_curves(spark, sizes) -> dict:
             curves["incremental_hll_refresh"][n] = min(
                 timed(run_hll), timed(run_hll)
             )
+
+            def run_dsir():
+                incremental_dsir_refresh(
+                    d0, bdocs, F.col("lang") == "en"
+                ).write.format("noop").mode("overwrite").save()
+
+            curves["incremental_dsir_refresh"][n] = min(
+                timed(run_dsir), timed(run_dsir)
+            )
+
+            def run_dsir_score():
+                dsir_score_against_state(bdocs, d0).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            curves["dsir_score_from_state"][n] = min(
+                timed(run_dsir_score), timed(run_dsir_score)
+            )
         finally:
-            c0.unpersist(), h0.unpersist()
+            c0.unpersist(), h0.unpersist(), d0.unpersist()
     return curves
 
 

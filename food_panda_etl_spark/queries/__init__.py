@@ -152,11 +152,14 @@ DECLARED_WINDOW = [
 # r21, beyond the final round — 42×r17, 43×r18, and ONE r15 key).
 # Exactly ONE key is age-MANDATORY at r20: q_case_when (r15-latest,
 # deliberately deferred here; 15 <= 20-5 arms test_evidence_age for
-# it at WINDOW_ROUND=20 — window it FIRST). The r20 bank is EMPTY by
-# construction (its two keys were pulled forward into this window),
-# so tests/test_r20_oracle_previews.py is already registry-driven and
-# the promotion guard is satisfied; r20 owes NO declarations. That
-# frees ~49 slots for hardening and evidence refreshes, in priority
+# it at WINDOW_ROUND=20 — window it FIRST). The r20 bank holds ONE
+# declaration (its original two keys were pulled forward into this
+# window; r19 then banked `q_incremental_dsir` — the CLASSIFIER/score
+# family's maintained-state face, operators/dsir_incremental.py,
+# preview-verified sf0.001/0.01/0.1 in tests/test_r20_oracle_
+# previews.py with oracle = ORACLES["q_dsir_weight"] — the promotion
+# guard arms for it at WINDOW_ROUND=20). That leaves ~48 slots for
+# hardening and evidence refreshes, in priority
 # order: (a) the sampling carry-column tie guard
 # (operators/sampling_incremental.py:140-149, VERDICT r18 task 3) —
 # byte-change riders q_incremental_group_priority +
