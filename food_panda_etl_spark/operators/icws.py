@@ -68,13 +68,16 @@ from food_panda_etl_spark.operators.weighted_jaccard import (
 _GRID = 1 << 31
 
 
-def _units(element, i: int, j: int, seed: int):
+def _units(element, i, j, seed: int):
     """TWO deterministic Uniform(0,1) draws per (element, hash i,
     slot j) — one xxhash64 split into its low and high 31-bit halves
     (each uniform on the grid; the middle bits separate them). Halving
     the hash count matters here: the ICWS projection is the per-row
-    hot loop (5 uniforms × num_hashes per element)."""
-    h = F.xxhash64(element, F.lit(i * 4 + j), F.lit(seed))
+    hot loop (5 uniforms × num_hashes per element). ``i``/``j`` may be
+    Python ints or int Columns — ``i * 4 + j`` stays IntegerType either
+    way, so the xxhash64 input types (and therefore every draw) are
+    bit-identical across the two call shapes."""
+    h = F.xxhash64(element, i * 4 + j, F.lit(seed))
     lo = F.pmod(h, F.lit(_GRID)).cast("double")
     hi = F.pmod(F.shiftrightunsigned(h, 33), F.lit(_GRID)).cast("double")
     g = F.lit(float(_GRID))
@@ -97,14 +100,28 @@ def icws_signatures(
     counterpart of `dedup.minhash_from_shingles`, band-compatible with
     `dedup.band_rows` by construction (64-bit components named mI).
     Rows with NULL or non-positive weight are skipped (ln is undefined
-    there; a zero-weight element is not in the weighted set)."""
+    there; a zero-weight element is not in the weighted set).
+
+    The per-hash chain is built ONCE as a higher-order-function lambda
+    over sequence(0, k−1) instead of k unrolled struct columns
+    (r19 optimization): the unrolled form's ~k×40-node expression tree
+    made Catalyst analysis/optimization/codegen the dominant cost of
+    every consumer (measured 3.3–3.7 s of driver-side gap per build at
+    sf0.1) and its generated code no faster — unlike the cheap
+    `minhash_from_shingles` chains, each ICWS lambda body carries 3
+    string xxhash64 + 3 ln calls, so interpreter overhead is noise
+    while tree size is not (A/B at sf0.1: cold 13.4 s → 10.0 s, warm
+    4.3 s → 3.0 s for the corpus sig+bands subpipeline). The lambda
+    reproduces the unrolled expressions bit-for-bit (``i`` enters only
+    as the IntegerType hash salt ``i*4+j``; equality property-tested
+    in tests/test_icws.py)."""
     el = F.col(element_col)
     lnw = F.log(F.col(weight_col).cast("double"))
-    cols = []
-    for i in range(num_hashes):
-        u1, u2 = _units(el, i, 1, seed)
-        u3, u4 = _units(el, i, 2, seed)
-        u5, _ = _units(el, i, 3, seed)
+
+    def _chain(i):
+        u1, u2 = _units(el, i, F.lit(1), seed)
+        u3, u4 = _units(el, i, F.lit(2), seed)
+        u5, _ = _units(el, i, F.lit(3), seed)
         # Gamma(2,1) as −ln(u·v): ONE ln of the product instead of two
         # (u, v ∈ (2^−32, 1] so the product cannot underflow; the hot
         # loop drops from 5 to 3 ln per (element, hash))
@@ -114,16 +131,16 @@ def icws_signatures(
         t = F.floor(lnw / r + beta)
         lna = F.log(cg) - r * (t.cast("double") + 1.0 - beta)
         sig = F.xxhash64(el, t)
-        cols.append(
-            F.struct(lna.alias("a"), sig.alias("s")).alias(f"__h{i}")
-        )
+        return F.struct(lna.alias("a"), sig.alias("s"))
+
+    arr = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), _chain)
     hashed = (
         wt.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .select(F.col(id_col).alias("doc"), *cols)
+        .select(F.col(id_col).alias("doc"), arr.alias("__hs"))
     )
     return hashed.groupBy("doc").agg(
         *[
-            F.min(f"__h{i}").getField("s").alias(f"m{i}")
+            F.min(F.col("__hs").getItem(i)).getField("s").alias(f"m{i}")
             for i in range(num_hashes)
         ]
     )

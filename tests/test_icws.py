@@ -107,6 +107,54 @@ def test_fixture_recall_and_exactness(spark, sf_dir):
     assert approx == exact  # recall 1.0 AND verified values identical
 
 
+def test_hof_form_matches_unrolled_reference(spark):
+    """The r19 optimization rebuilt the per-hash chain as ONE
+    higher-order-function lambda over sequence(0, k−1) (Catalyst tree
+    O(1) instead of O(k·40) — see icws_signatures docstring). The draw
+    stream must be BIT-IDENTICAL to the original unrolled form: ``i``
+    enters the chain only as the IntegerType hash salt ``i*4+j``, so
+    an unrolled reference with Python-int literals must reproduce
+    every component exactly (this is what keeps q_incremental_icws's
+    candidate set — and therefore its oracle hash — unchanged)."""
+    from food_panda_etl_spark.operators.icws import _units
+
+    rows = [
+        ("d%d" % (i % 11), "tok%d pre%d" % (i, i % 5), 0.03 + (i % 17) / 9.0)
+        for i in range(300)
+    ]
+    wt = spark.createDataFrame(rows, "doc string, shingle string, w double")
+    k = 16
+
+    # unrolled reference: the pre-r19 form, one struct column per hash
+    el = F.col("shingle")
+    lnw = F.log(F.col("w").cast("double"))
+    cols = []
+    for i in range(k):
+        u1, u2 = _units(el, F.lit(i), F.lit(1), 42)
+        u3, u4 = _units(el, F.lit(i), F.lit(2), 42)
+        u5, _ = _units(el, F.lit(i), F.lit(3), 42)
+        r = -F.log(u1 * u2)
+        cg = -F.log(u3 * u4)
+        beta = u5
+        t = F.floor(lnw / r + beta)
+        lna = F.log(cg) - r * (t.cast("double") + 1.0 - beta)
+        cols.append(
+            F.struct(lna.alias("a"), F.xxhash64(el, t).alias("s")).alias(
+                f"__h{i}"
+            )
+        )
+    ref = (
+        wt.filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .select(F.col("doc"), *cols)
+        .groupBy("doc")
+        .agg(*[F.min(f"__h{i}").getField("s").alias(f"m{i}") for i in range(k)])
+    )
+    got = icws_signatures(wt, num_hashes=k)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
 def test_validation():
     with pytest.raises(ValueError, match="dividing num_hashes"):
         icws_lsh_pairs(None, "doc_id", "text", num_hashes=30, bands=16)
