@@ -225,16 +225,35 @@ def edit_distance_join(
         )
         .distinct()
     )
-    cand = cand_long.unionByName(cand_short).distinct()
+    # Verify-stage parallelism (r19 optimization): the candidate table
+    # is BYTE-tiny (two 8-byte ids per row) but CPU-dense (one
+    # Levenshtein DP per row), so AQE's byte-based partition coalescing
+    # mis-sizes it — at sf0.1 the whole verify collapsed to ONE task
+    # holding a 5.7 s serial DP loop while 31 cores idled. An explicit
+    # pair-keyed repartition to defaultParallelism pins the verify at
+    # cluster width (user-specified partition counts are exempt from
+    # AQE coalescing); dropDuplicates reuses that exchange's
+    # partitioning, so candidate dedup still costs the single shuffle
+    # it always did.
+    cand = (
+        cand_long.unionByName(cand_short)
+        .repartition(par, "id_a", "id_b")
+        .dropDuplicates()
+    )
     sa = strs.select(F.col("doc").alias("id_a"), F.col("__s").alias("__sa"))
     sb = strs.select(F.col("doc").alias("id_b"), F.col("__s").alias("__sb"))
+    # levenshtein's threshold form (Spark 3.5+) runs the banded
+    # O(k·len) DP and returns −1 above the bound — for every kept row
+    # (dist ≤ k) the banded value IS the exact distance, so the output
+    # is row-identical to the unbounded O(len²) DP at a fraction of
+    # the per-pair cost.
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("__sa", "__sb").cast("int").alias("dist"),
+            F.levenshtein("__sa", "__sb", k).cast("int").alias("dist"),
         )
-        .filter(F.col("dist") <= k)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= k))
     )
