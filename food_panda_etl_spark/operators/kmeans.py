@@ -65,17 +65,36 @@ def assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment as a projection: argmin over the k
     literal distances, ties to the smaller cell id (lexicographic least
-    over (dist, cell) structs — deterministic in every engine)."""
-    best = F.least(
-        *[
-            F.struct(
-                _dist_sq(F.col(vec_col), c).alias("d"),
-                F.lit(i).cast("int").alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    over (dist, cell) structs — deterministic in every engine).
+
+    Built as ONE lambda over a k×dim literal matrix instead of k
+    unrolled fold expressions (r19 optimization): the unrolled tree
+    made Catalyst planning the dominant per-iteration cost of Lloyd
+    rounds (the folds are interpreted either way, so tree size is pure
+    overhead — measured 0.7 s → 0.4 s per assignment at sf0.01, and it
+    compounds once per iteration per consumer). array_min over
+    (dist, cell) structs is the same lexicographic-least tie-break as
+    F.least; each element's fold reproduces `_dist_sq` bit-for-bit
+    (equality property-tested in tests/test_kmeans.py)."""
+    cc = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    vec = F.col(vec_col)
+
+    def _d(c):
+        return F.aggregate(
+            F.zip_with(
+                vec, c, lambda x, cv: (x.cast("double") - cv) * (x.cast("double") - cv)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            _d(F.element_at(cc, i + 1)).alias("d"), i.cast("int").alias("c")
+        ),
     )
-    return vectors.withColumn(out_col, best["c"])
+    return vectors.withColumn(out_col, F.array_min(arr)["c"])
 
 
 def assign_cells_arrow(
@@ -186,10 +205,17 @@ def kmeans_centroids_df(
     query surface (row-shaped so the driver's hash compare applies)."""
     cents = kmeans_fit(vectors, k, iters, id_col, vec_col)
     spark = vectors.sparkSession
+    # k·dim driver-side literals as a pure-JVM VALUES relation (r19,
+    # localrel.py): createDataFrame(list) routes every partition
+    # compute through a pickled-Python round trip (~0.4 s of worker
+    # scheduling for 240 rows at local[32]); the VALUES scan is a
+    # LocalTableScan with bit-exact float round-trip.
+    from food_panda_etl_spark.localrel import values_df
+
     rows = [
         (ci, d, float(v)) for ci, c in enumerate(cents) for d, v in enumerate(c)
     ]
-    return spark.createDataFrame(rows, "cell INT, dim INT, centroid DOUBLE")
+    return values_df(spark, rows, "cell INT, dim INT, centroid DOUBLE")
 
 
 def inertia(

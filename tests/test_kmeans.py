@@ -82,6 +82,40 @@ def test_fewer_than_k_vectors_raises(spark):
         kmeans_fit(df, k=8, iters=1)
 
 
+def test_hof_assignment_matches_unrolled_reference(spark, sf_dir):
+    """The r19 optimization rebuilt assign_cells as one lambda over a
+    k×dim literal matrix (see its docstring). Assignment must be
+    BIT-IDENTICAL to the pre-r19 unrolled form — k separate _dist_sq
+    folds argmin'd via F.least over (dist, cell) structs — including
+    the smaller-cell-id tie-break (this is what keeps q_kmeans /
+    q_semantic_dedup / IVF cell routing, and therefore their oracle
+    hashes, unchanged)."""
+    from food_panda_etl_spark.operators.kmeans import _dist_sq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [[float(x) for x in r[0]] for r in
+             e.orderBy("vec_id").limit(8).select("embedding").collect()]
+    # duplicate centroid 0 as centroid 7: forces exact distance ties so
+    # the tie-break path is exercised, not just measure-zero-avoided
+    cents[7] = list(cents[0])
+    ref_best = F.least(
+        *[
+            F.struct(
+                _dist_sq(F.col("embedding"), c).alias("d"),
+                F.lit(i).cast("int").alias("c"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    ref = (
+        e.withColumn("cell", ref_best["c"])
+        .select("vec_id", "cell")
+        .collect()
+    )
+    got = assign_cells(e, cents).select("vec_id", "cell").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
 def test_one_round_is_projection_plus_single_exchange(spark, sf_dir):
     """Scale gate: assignment compiles to a row expression (no join
     node of any kind) and the centroid update is ONE hash-aggregate
