@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from food_panda_etl_spark.localrel import values_df
 
 #: End-of-word marker (its own symbol, per the BPE paper).
 EOW = "</w>"
@@ -139,8 +140,9 @@ def bpe_train(
     word-histogram aggregation; each round then costs one pair
     hash-agg + one narrow HOF projection over the vocabulary table."""
     _, merges = _bpe_fit(df, text_col, n_merges)
-    return df.sparkSession.createDataFrame(
-        merges, "rank int, lhs string, rhs string, pair_freq bigint"
+    return values_df(
+        df.sparkSession, merges,
+        "rank int, lhs string, rhs string, pair_freq bigint",
     )
 
 
@@ -148,8 +150,9 @@ def bpe_vocab(df: DataFrame, text_col: str = "text", n_merges: int = 6):
     """The companion artifact: (words-with-final-symbols, merge table).
     Exposed for tests; the declared query ships the merge table."""
     words, merges = _bpe_fit(df, text_col, n_merges)
-    return words, df.sparkSession.createDataFrame(
-        merges, "rank int, lhs string, rhs string, pair_freq bigint"
+    return words, values_df(
+        df.sparkSession, merges,
+        "rank int, lhs string, rhs string, pair_freq bigint",
     )
 
 

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from food_panda_etl_spark.localrel import values_df
 
 from food_panda_etl_spark.operators.order import global_running_sum
 from food_panda_etl_spark.operators.sampling import (
@@ -104,9 +105,10 @@ def pps_stratified_sample(
             )
     spark = df.sparkSession
     stratum_type = df.schema[stratum_col].dataType.simpleString()
-    qdf = spark.createDataFrame(
+    qdf = values_df(
+        spark,
         [(s, int(k)) for s, k in quotas.items()],
-        schema=f"{stratum_col} {stratum_type}, __k bigint",
+        f"{stratum_col} {stratum_type}, __k bigint",
     )
     # the weight guard and ordering hash are the flat sampler's OWN
     # definitions — the composition-equivalence invariant (and the r8

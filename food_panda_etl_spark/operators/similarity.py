@@ -17,6 +17,7 @@ import pandas as pd  # module level: pandas_udf type hints resolve via globals
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from food_panda_etl_spark.localrel import values_df
 from pyspark.sql.window import Window
 
 
@@ -241,7 +242,8 @@ def ivf_topk(
             vectors.select(F.col(vec_col)), cent_lists, refine_iters, vec_col
         )
     spark = vectors.sparkSession
-    cent = spark.createDataFrame(
+    cent = values_df(
+        spark,
         [(i, c) for i, c in enumerate(cent_lists)],
         "cell INT, cvec ARRAY<DOUBLE>",
     ).select("cell", "cvec", F.sqrt(l2_norm_sq(F.col("cvec"))).alias("cnorm"))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from food_panda_etl_spark.operators.asof import asof_join
 from food_panda_etl_spark.operators.range_join import range_join
 from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.localrel import values_df
 from food_panda_etl_spark.queries.aggregates import dsum
 from food_panda_etl_spark.tables import load_table
 
@@ -229,8 +230,9 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nk"),
     )
     right = n.select("n_nationkey", "n_name").unionByName(
-        n.sparkSession.createDataFrame(
-            [(None, "UNASSIGNED")], "n_nationkey bigint, n_name string"
+        values_df(
+            n.sparkSession, [(None, "UNASSIGNED")],
+            "n_nationkey bigint, n_name string",
         )
     )
     return left.join(

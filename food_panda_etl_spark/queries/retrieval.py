@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.localrel import values_df
 from food_panda_etl_spark.tables import load_table
 
 CHUNK_WINDOW = 32
@@ -150,7 +151,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from food_panda_etl_spark.operators.retrieval import bm25_topk
 
     d = load_table(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    qdf = values_df(spark, BM25_QUERIES, "query_id int, term string")
     return bm25_topk(d, qdf, k1=1.2, b=0.75, k=5)
 
 
@@ -199,7 +200,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql import functions as F
 
-    qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    qdf = values_df(spark, BM25_QUERIES, "query_id int, term string")
     lex = bm25_topk(d, qdf, k1=1.2, b=0.75, k=20).select(
         "query_id", "doc_id", "rnk"
     )

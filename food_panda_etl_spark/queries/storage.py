@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from food_panda_etl_spark.operators.zorder import zorder_key, zorder_key_sql
 from food_panda_etl_spark.queries import query
+from food_panda_etl_spark.localrel import values_df
 from food_panda_etl_spark.tables import load_table
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -421,7 +422,8 @@ def q_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared output is the per-stratum audit (n_total, quota, n_kept);
     production keeps the rows instead of counting them."""
     d = load_table(spark, sf_dir, "documents")
-    w = spark.createDataFrame(
+    w = values_df(
+        spark,
         [("en", 40), ("zh", 15), ("es", 15), ("de", 15), ("fr", 15)],
         "lang string, wgt int",
     )
