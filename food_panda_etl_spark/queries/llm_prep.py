@@ -144,7 +144,14 @@ def q_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = d.filter(F.col("doc_id") % 37 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10000
     )
-    base = d.unionByName(dups)
+    # Repartition-first parallelism (the dedup.tokenized() pattern,
+    # r19): the corpus arrives as few parquet splits, and without the
+    # exchange the triple-regex clean + langid + dedup-hash chain — the
+    # composite's per-row hot path — runs on as many cores as there
+    # were input files (measured: two 3.3 s tasks at sf0.1 while 30
+    # cores idled). One narrow (id, text) shuffle buys full width.
+    par = spark.sparkContext.defaultParallelism
+    base = d.unionByName(dups).repartition(par, "doc_id")
 
     # Stage 1 — clean (same chain as q_text_clean, over the union).
     cleaned = base.select(
