@@ -61,6 +61,15 @@ def get_spark(
         # (r7). Only read at JVM launch; a no-op on an already-running
         # session; overridable via extra_conf / SPARK_GRAFT_DRIVER_MEM.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # Long driver sessions (the 133-key bench, multi-query drives)
+        # accumulate localCheckpoint blocks until a JVM GC lets the
+        # ContextCleaner unpersist them — the default periodicGC
+        # interval (30 min) never fires inside a bench run, so late-
+        # suite queries measurably pay the accumulated heap (r19:
+        # byte-identical keys ran 2x slower in-suite than isolated).
+        # 2 min bounds the accumulation window; a no-op for short
+        # sessions and for cluster drivers with idle heap.
+        "spark.cleaner.periodicGC.interval": "2min",
     }
     if extra_conf:
         conf.update(extra_conf)
