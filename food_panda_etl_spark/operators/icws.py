@@ -102,46 +102,73 @@ def icws_signatures(
     Rows with NULL or non-positive weight are skipped (ln is undefined
     there; a zero-weight element is not in the weighted set).
 
-    The per-hash chain is built ONCE as a higher-order-function lambda
-    over sequence(0, k−1) instead of k unrolled struct columns
-    (r19 optimization): the unrolled form's ~k×40-node expression tree
-    made Catalyst analysis/optimization/codegen the dominant cost of
-    every consumer (measured 3.3–3.7 s of driver-side gap per build at
-    sf0.1) and its generated code no faster — unlike the cheap
-    `minhash_from_shingles` chains, each ICWS lambda body carries 3
-    string xxhash64 + 3 ln calls, so interpreter overhead is noise
-    while tree size is not (A/B at sf0.1: cold 13.4 s → 10.0 s, warm
-    4.3 s → 3.0 s for the corpus sig+bands subpipeline). The lambda
-    reproduces the unrolled expressions bit-for-bit (``i`` enters only
-    as the IntegerType hash salt ``i*4+j``; equality property-tested
-    in tests/test_icws.py)."""
+    Shape (r19 optimization, two steps of evidence): the pre-r19 form
+    unrolled k struct columns — its ~k×40-node expression tree made
+    Catalyst analysis/codegen the dominant cost of every consumer
+    (~3.5 s of driver-side gap per build at sf0.1). A
+    transform(sequence(0, k−1), …) lambda fixed the tree size but runs
+    on Spark's INTERPRETED expression paths (HOFs are CodegenFallback),
+    whose shared virtual-dispatch sites go megamorphic in a long
+    driver session: after a 132-query bench pass the identical lambda
+    ran 2–3× slower than in a fresh JVM (13.7 s in-suite vs 5.5 s
+    isolated for the incremental screen). The final form EXPLODES the
+    hash index instead — sequence(0, k−1) → explode → ONE small
+    codegen'd chain with ``__i`` as a column → 32 conditional
+    min-aggregates (partial-aggregation collapses each doc's rows
+    before the exchange, so shuffle bytes are unchanged). Whole-stage
+    codegen JITs this monomorphically: aged-JVM A/B 5.1 s → 2.3 s over
+    the lambda form, small planning tree, and the expressions are
+    bit-identical to both prior forms (``i`` enters only as the
+    IntegerType hash salt ``i*4+j``; equality property-tested against
+    the unrolled reference in tests/test_icws.py)."""
     el = F.col(element_col)
     lnw = F.log(F.col(weight_col).cast("double"))
-
-    def _chain(i):
-        u1, u2 = _units(el, i, F.lit(1), seed)
-        u3, u4 = _units(el, i, F.lit(2), seed)
-        u5, _ = _units(el, i, F.lit(3), seed)
-        # Gamma(2,1) as −ln(u·v): ONE ln of the product instead of two
-        # (u, v ∈ (2^−32, 1] so the product cannot underflow; the hot
-        # loop drops from 5 to 3 ln per (element, hash))
-        r = -F.log(u1 * u2)
-        cg = -F.log(u3 * u4)
-        beta = u5
-        t = F.floor(lnw / r + beta)
-        lna = F.log(cg) - r * (t.cast("double") + 1.0 - beta)
-        sig = F.xxhash64(el, t)
-        return F.struct(lna.alias("a"), sig.alias("s"))
-
-    arr = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), _chain)
+    i = F.col("__i")
+    u1, u2 = _units(el, i, F.lit(1), seed)
+    u3, u4 = _units(el, i, F.lit(2), seed)
+    u5, _ = _units(el, i, F.lit(3), seed)
+    # Gamma(2,1) as −ln(u·v): ONE ln of the product instead of two
+    # (u, v ∈ (2^−32, 1] so the product cannot underflow; the hot
+    # loop drops from 5 to 3 ln per (element, hash))
+    r = -F.log(u1 * u2)
+    cg = -F.log(u3 * u4)
+    beta = u5
+    t = F.floor(lnw / r + beta)
+    lna = F.log(cg) - r * (t.cast("double") + 1.0 - beta)
+    sig = F.xxhash64(el, t)
     hashed = (
         wt.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .select(F.col(id_col).alias("doc"), arr.alias("__hs"))
+        .select(
+            F.col(id_col).alias("doc"),
+            el.alias(element_col),
+            F.col(weight_col).alias(weight_col),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1))
+            ).alias("__i"),
+        )
+        .select(
+            "doc", F.struct(lna.alias("a"), sig.alias("s")).alias("__h"), "__i"
+        )
     )
-    return hashed.groupBy("doc").agg(
+    # TWO-LEVEL aggregation, deliberately: a single groupBy("doc") with
+    # k min-over-struct aggregates generates one enormous update method
+    # that C2 takes seconds to compile — in a driver JVM already
+    # saturated by a multi-query session's compile queue (measured:
+    # 290 s of cumulative JIT time over one 133-key bench pass), the
+    # first execution ran at interpreter speed for ~10 s. Level 1 is
+    # ONE tiny min-over-struct per (doc, i) — partial aggregation
+    # collapses to (docs × k) rows before its exchange; level 2 routes
+    # the k winners into columns with primitive-long mins (each WHEN
+    # touches one small agg buffer). Same winners, same columns; the
+    # doc-keyed shuffle it adds carries docs × k 16-byte rows.
+    winners = (
+        hashed.groupBy("doc", "__i")
+        .agg(F.min("__h").getField("s").alias("__s"))
+    )
+    return winners.groupBy("doc").agg(
         *[
-            F.min(F.col("__hs").getItem(i)).getField("s").alias(f"m{i}")
-            for i in range(num_hashes)
+            F.min(F.when(F.col("__i") == k, F.col("__s"))).alias(f"m{k}")
+            for k in range(num_hashes)
         ]
     )
 
