@@ -8,6 +8,7 @@ is what lets Catalyst push filters and prune columns into the scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLES = [
     "region",
@@ -28,6 +29,18 @@ TABLES = [
 DIMENSION_TABLES = {"region", "nation", "supplier", "part"}
 
 
+# Per-(session, path) parquet SCHEMA cache (r19 optimization): a bare
+# spark.read.parquet() runs a footer/schema-inference job on EVERY
+# call (~95 ms at local[32]), and a 133-key bench issues ~400
+# load_table calls per pass. Caching the inferred StructType and
+# passing it back via reader.schema() skips the job; this is METADATA
+# caching (what a metastore does), not result caching — every action
+# still computes from the parquet bytes, and the cache dies with the
+# process. Keyed by applicationId so a new session (or a test's fresh
+# local session) re-infers.
+_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -44,7 +57,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session.py's builder) means sessions we did NOT build — the
         # correctness driver's, a notebook's — can read the table too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py);
         # truncate to micros exactly like DuckDB does (floor division —
