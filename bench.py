@@ -8,14 +8,25 @@ Artifact-size contract (ADVICE r8): the per-round driver stores only the
 LAST 2000 characters of stdout and parses the JSON line out of them —
 r6-r8's lines outgrew that and the artifacts lost their leading keys
 ("parsed": null). The printed line is therefore kept under 2000 chars:
-compact separators, per-query seconds at 2 decimals, query keys DROP the
-"q_" prefix and print a leading "incremental_" as "inc_" (restore them
-to match declared names — the line carries "keyprefix":"q_" and
-"keymap":{"inc_":"incremental_"} as the hints), calibration under short keys ("cal":
-{"cpu": …, "py": …} = the byte-frozen probe's cpu_arith_sec /
-py_arith_sec), and — when any key's two passes disagreed by >1.5x — a
-"disp" dict naming those keys with their pass ratio (each got a third
-run; the reported min is the credible figure). The FULL-fidelity
+compact separators, query keys DROP only the "q_" prefix (the
+"keyprefix":"q_" hint restores declared names; the r19 "inc_" keymap is
+GONE — VERDICT r19 item 1: the driver's differ never applied it, so the
+five incremental_* keys it shortened diffed as phantom drop/new pairs
+and their improvements fell out of the geomean. Deleting it re-breaks
+the diff ONCE more this round — r19 printed inc_*, r20 prints
+incremental_* — and then the names are stable at their declared forms).
+Per-query seconds print at 2 decimals below 1 s and 1 decimal above
+(≤5% quantization everywhere; full 3-decimal record in the JSON
+mirror) — VERDICT r19 asked for ALL 133 keys at 1 decimal, but the 133
+declared names alone are ~1.9k chars of key text before any values or
+punctuation, so full coverage cannot fit the 2000-char tail under ANY
+per-key precision; the mixed precision + cheapest-key omission below is
+the maximum-coverage honest line (~90 keys, vs 81 in r19). Calibration
+rides under short keys ("cal": {"cpu": …, "py": …} = the byte-frozen
+probe's cpu_arith_sec / py_arith_sec), and — when any key's two passes
+disagreed by >1.5x — a "disp" dict names the worst of those keys with
+their pass ratio (each got a third run; the reported min is the
+credible figure). The FULL-fidelity
 result (declared names, 3-decimal seconds, every per-pass time under
 "passes", long calibration keys) is written to BENCH_LAST_RUN.json at
 the repo root — an UNCOMMITTED scratch mirror (gitignored), because
@@ -424,21 +435,22 @@ def main() -> None:
         f.write("\n")
 
     # the printed line must survive the driver's 2000-char stdout tail;
-    # if future HEADLINE growth outruns the budget, drop the CHEAPEST
-    # keys from the printed dict (never from BENCH_LAST_RUN.json, which
+    # when HEADLINE growth outruns the budget, drop the CHEAPEST keys
+    # from the printed dict (never from BENCH_LAST_RUN.json, which
     # keeps every key at full precision) rather than truncating or
-    # aborting — an honest partial line beats a lost artifact. r19
-    # widening: eleven headline keys now start with "incremental_"
-    # (12 chars); printing it as "inc_" (declared in "keymap"
-    # alongside "keyprefix") buys back ~90 chars ≈ a dozen cheap keys
-    # that would otherwise fall to the omitted marker.
+    # aborting — an honest partial line beats a lost artifact. Names
+    # are the DECLARED names minus the "q_" keyprefix, nothing else
+    # (the r19 "inc_" shortening is gone — module docstring / VERDICT
+    # r19 item 1); precision is mixed (2 decimals under 1 s, 1 above)
+    # so the ~40 cheapest keys the budget forces out are exactly the
+    # ones whose 1-decimal ratios would have been quantization noise.
     def _short(name: str) -> str:
-        name = name.removeprefix("q_")
-        if name.startswith("incremental_"):
-            name = "inc_" + name[len("incremental_"):]
-        return name
+        return name.removeprefix("q_")
 
-    printed = {_short(k): round(v, 2) for k, v in times.items()}
+    def _prec(v: float) -> float:
+        return round(v, 2 if v < 1.0 else 1)
+
+    printed = {_short(k): _prec(v) for k, v in times.items()}
     omitted = 0
     # dispersion marker: keys that needed a third pass, with their
     # two-pass max/min ratio — a non-empty dict says "this round's VM
@@ -460,7 +472,6 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "keyprefix": "q_",
-            "keymap": {"inc_": "incremental_"},
             "queries": printed,
             "sf": sf,
             "cal": {
