@@ -282,20 +282,25 @@ def bloom_prefilter(
     this to pre-filter the BIG side of a join before its shuffle (the
     100 TB job the module docstring promises). :func:`bloom_probe`
     aggregates per probe key, which is right for a verdict TABLE but
-    costs a groupBy — a shuffle of the probe frame. Here the whole
-    sketch is folded into ONE broadcast row — a FLAT (j·width + b) → 1
-    map of ≤ m entries (positions are < width, so the flattening is
-    collision-free) built by ONE ≤ m-row aggregation over the DISTINCT
-    cells (the distinct also makes naively-unioned shard sketches work
-    instead of aborting map_from_entries on a duplicate key,
-    review-caught; `bloom_merge` remains the documented combine) — so
-    the fact side is ONE map-only projection after a broadcast: zero
-    fact shuffles, zero fact aggregations (plan-gated, exchange count
-    PINNED). Same one-sided contract:
-    present keys ALWAYS get 1; NULL keys get 0 (a NULL can never match
-    the equi-join this guards). Lookups use try_element_at — ANSI
-    element_at raises on missing map keys, and a missing key is the
-    filter's entire point."""
+    costs a groupBy — a shuffle of the probe frame. Here each hash
+    row's set-bit positions become one BROADCAST hash relation and the
+    fact side takes k_hashes stacked BroadcastHashJoin LEFT probes on
+    its k cell expressions — zero fact shuffles, zero fact
+    aggregations (plan-gated, exchange count PINNED), and each probe
+    is an O(1) hash-table lookup. (The pre-r20 form folded the sketch
+    into ONE broadcast map row and read it with try_element_at — but
+    Spark map values are unsorted arrays, so every lookup LINEARLY
+    SCANNED the ≤ m-entry map: at the derived decontamination geometry
+    (~10⁵ set bits x 4 lookups per fact row) the "map-only" projection
+    measured ~48 executor-seconds at sf0.1, two orders above the hash
+    joins. Verdicts are bit-identical — same affine cells, same
+    one-sided contract.) Each per-hash build side is the DISTINCT b
+    set of that j row (≤ width rows, so at most one match per probe —
+    no fact-row duplication even for naively-unioned shard sketches
+    with duplicate (j, b) rows; `bloom_merge` remains the documented
+    combine). Present keys ALWAYS get 1; NULL keys get 0 (a NULL cell
+    expression never equi-matches — the same reason the join this
+    guards would drop the row)."""
     width = _validate(m_bits, k_hashes)
     check_probe_geometry(
         "bloom_prefilter",
@@ -310,45 +315,49 @@ def bloom_prefilter(
             " expected [j, b, set] — to use a grouped sketch, filter to "
             "ONE group and select('j', 'b', 'set') first"
         )
-    if out_col in df.columns or "__bloom" in df.columns:
+    clash = [c for c in df.columns if c.startswith("__bloom")] + (
+        [out_col] if out_col in df.columns else []
+    )
+    if clash:
         raise ValueError(
-            f"bloom_prefilter: df already has a {out_col!r}/__bloom "
-            "column — pass a different out_col or rename"
+            f"bloom_prefilter: df already has {sorted(set(clash))!r} — "
+            "__bloom*-prefixed names are the operator's probe columns "
+            "and out_col must be fresh; rename or pass a different "
+            "out_col"
         )
     if out_col.startswith("__"):
         raise ValueError(
             f"bloom_prefilter: out_col {out_col!r} uses the operator's "
-            "reserved __-prefix — out_col='__bloom' would silently "
-            "overwrite the broadcast map and then be dropped (ADVICE "
+            "reserved __-prefix — a '__bloom*' out_col would silently "
+            "collide with the probe columns and then be dropped (ADVICE "
             "r12); pick an unprefixed name"
         )
-    one = (
-        sketch.select(
-            (F.col("j").cast("long") * width + F.col("b")).alias("__jb")
-        )
-        .distinct()
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("__jb"), F.lit(1)))
-            ).alias("__bloom")
-        )
-    )
     k = F.col(col)
+    out = df
     hit_all = None
     for j in range(k_hashes):
-        hit = F.try_element_at(
-            F.col("__bloom"), F.lit(j * width) + _cell(k, j, width)
-        ).isNotNull()
+        # ≤ width distinct positions per hash row: at most ONE match
+        # per probe, so the left join can never duplicate fact rows
+        row_j = (
+            sketch.filter(F.col("j") == j)
+            .select(F.col("b").alias(f"__bloom{j}"))
+            .distinct()
+        )
+        out = out.join(
+            F.broadcast(row_j),
+            _cell(k, j, width) == F.col(f"__bloom{j}"),
+            "left",
+        )
+        hit = F.col(f"__bloom{j}").isNotNull()
         hit_all = hit if hit_all is None else (hit_all & hit)
     return (
-        df.crossJoin(F.broadcast(one))
-        .withColumn(
+        out.withColumn(
             out_col,
             F.when(k.isNotNull() & hit_all, F.lit(1))
             .otherwise(F.lit(0))
             .cast("int"),
         )
-        .drop("__bloom")
+        .drop(*[f"__bloom{j}" for j in range(k_hashes)])
     )
 
 
