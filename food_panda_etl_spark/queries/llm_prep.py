@@ -182,7 +182,17 @@ def q_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Stage 3 — quality filter (Gopher-style minimum length + known lang).
-    quality = tagged.filter((F.col("n_tokens") >= 20) & (F.col("lang") != "und"))
+    # Checkpointed (r20): the triple-regex clean + langid chain above is
+    # the composite's per-row hot path, and `quality` feeds THREE
+    # independent subtrees (the dedup hash agg, the collision-rescue
+    # branch of keep_ids, and the survivors semi-join) across the many
+    # jobs CC/packing launch — profiled at sf0.1 the chain re-executed
+    # per consumer (~45 executor-seconds total for a ~13 s chain).
+    # One lazy materialization cuts every re-run (guide §5: reuse vs
+    # recompute; the survivors/connected_components convention).
+    quality = tagged.filter(
+        (F.col("n_tokens") >= 20) & (F.col("lang") != "und")
+    ).localCheckpoint(eager=False)
 
     # Stage 4 — exact dedup, the q_dedup two-hash discipline: shuffle an
     # 8-byte xxhash64(ct), never the payload; a second independent hash
