@@ -85,32 +85,44 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+
+    def _hop(cur: DataFrame) -> DataFrame:
         nbr_min = (
-            sym.join(labels, sym["d"] == labels["id"])
+            sym.join(cur, sym["d"] == cur["id"])
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=False)
+        return cur.join(nbr_min, cur["id"] == nbr_min["s"], "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
         )
-        labels = new_labels
+
+    # TWO hops per materialized round (r20, VERDICT r19 task 2): the
+    # fixed per-round cost at any scale is the checkpoint
+    # materialization + the convergence aggregate (plus AQE planning of
+    # each round's stages), NOT the tiny 2/3-column joins — profiled at
+    # sf0.1 the whole loop was ~0.6 s/round on a 323-edge graph. Each
+    # round now propagates labels two hops before paying that fixed
+    # cost, halving rounds-to-fixpoint. Same fixpoint (min reachable id
+    # is hop-schedule-independent — labels stay within the component
+    # and only decrease), and the monotone convergence proof is
+    # unchanged: an unchanged sum(comp) after a two-hop round proves
+    # NEITHER hop moved — a fixpoint. Worst case does ONE wasted extra
+    # hop inside the final confirming round (a tiny extra join in that
+    # round's plan, no extra action).
+    for _ in range(max_iter):
+        labels = _hop(_hop(labels)).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds — "
-            "component diameter exceeds the cap; raise max_iter or switch "
-            "to the large-star/small-star variant"
+            f"connected_components did not converge in {max_iter} "
+            "two-hop rounds — component diameter exceeds the cap; raise "
+            "max_iter or switch to the large-star/small-star variant"
         )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 

@@ -38,6 +38,7 @@ def l2_norm_sq(a) -> Column:
     )
 
 
+
 def cosine(a, b) -> Column:
     return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
@@ -764,12 +765,15 @@ def cell_neardup_pairs(
 
     assign = assign_cells_arrow if arrow_assignment else assign_cells
     par = vectors.sparkSession.sparkContext.defaultParallelism
+    # The assigned source is checkpointed lazily (r20) so the
+    # interpreted k-distance assignment fold runs ONCE, not once per
+    # join side.
     src = assign(vectors, centroids, vec_col=vec_col, out_col="cell").select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.sqrt(l2_norm_sq(F.col(vec_col))).alias("norm"),
         "cell",
-    )
+    ).localCheckpoint(eager=False)
     # Explicit numbered repartition for the same reason as
     # triangle_neardup_pairs: shuffle bytes are tiny but join OUTPUT is
     # the per-cell quadratic verify — AQE must not coalesce it onto one
