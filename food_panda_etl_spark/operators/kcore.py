@@ -112,7 +112,8 @@ def kcore_peel(
         kdf = degree_scaled_k(ed, num, den, src=src).localCheckpoint(
             eager=False
         )
-    for _ in range(int(n_rounds)):
+    n_rounds = int(n_rounds)
+    for it in range(n_rounds):
         deg = ed.groupBy(src).agg(F.count("*").alias("__deg"))
         if kdf is not None:
             alive = (
@@ -122,9 +123,13 @@ def kcore_peel(
             )
         else:
             alive = deg.filter(F.col("__deg") >= int(k)).select(src)
-        ed = (
-            ed.join(alive, src, "semi")
-            .join(alive.withColumnRenamed(src, dst), dst, "semi")
-            .localCheckpoint(eager=False)
+        ed = ed.join(alive, src, "semi").join(
+            alive.withColumnRenamed(src, dst), dst, "semi"
         )
+        # r20: truncate lineage every SECOND round (plus the last) —
+        # the pagerank/labelprop cadence: the checkpoint call is the
+        # fixed per-round cost, the peel itself is integer-exact and
+        # checkpoint-placement-independent.
+        if it % 2 == 1 or it == n_rounds - 1:
+            ed = ed.localCheckpoint(eager=False)
     return ed.groupBy(src).agg(F.count("*").cast("bigint").alias("deg"))

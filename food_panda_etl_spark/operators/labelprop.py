@@ -73,7 +73,8 @@ def label_propagation(
     labels = nodes.select(
         F.col(id_col), F.col(label_col)
     ).localCheckpoint(eager=False)
-    for _ in range(int(n_iter)):
+    n_iter = int(n_iter)
+    for it in range(n_iter):
         votes = (
             edges.join(labels, edges[src_col] == labels[id_col])
             .groupBy(F.col(dst_col).alias("__to"), F.col(label_col))
@@ -87,12 +88,18 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("__to", F.col(label_col).alias("__new"))
         )
-        labels = (
-            labels.join(best, labels[id_col] == best["__to"], "left")
-            .select(
-                F.col(id_col),
-                F.coalesce(F.col("__new"), F.col(label_col)).alias(label_col),
-            )
-            .localCheckpoint(eager=False)
+        labels = labels.join(
+            best, labels[id_col] == best["__to"], "left"
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("__new"), F.col(label_col)).alias(label_col),
         )
+        # r20: truncate lineage every SECOND round (plus the last) —
+        # the checkpoint call is the fixed per-round cost (AQE stage
+        # jobs + block materialization), not the 2-column round itself;
+        # two rounds per checkpoint halves it and the round values are
+        # checkpoint-placement-independent (integer votes, total-order
+        # argmax — the pagerank r20 cadence).
+        if it % 2 == 1 or it == n_iter - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels

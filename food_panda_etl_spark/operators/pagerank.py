@@ -29,9 +29,10 @@ RANKING use (tests pin the exact choice against an independent Python
 reference implementing the same variant).
 
 Collect inventory: the node count N (one scalar) — the k-means
-centroid-budget convention. Lineage is truncated every round with a
-lazy localCheckpoint (the connected-components convention), so round k
-does not replay rounds 1..k−1.
+centroid-budget convention. Lineage is truncated every SECOND round
+with a lazy localCheckpoint (r20; the connected-components convention,
+at half the fixed checkpoint/AQE-boundary cost), so no round replays
+more than one predecessor.
 """
 
 from __future__ import annotations
@@ -79,16 +80,22 @@ def pagerank(
     # 5.5 → 4.0 s at sf0.1; the pps_systematic_sample multi-consumer
     # convention)
     edges = edges.localCheckpoint(eager=False)
-    outdeg = (
-        edges.groupBy(src_col)
-        .agg(F.count("*").alias("__deg"))
+    outdeg = edges.groupBy(src_col).agg(F.count("*").alias("__deg"))
+    # r20: out-degree is loop-invariant, so it rides IN the rank state
+    # (id, rank, __deg) instead of being re-joined every round — one
+    # keyed join per round removed (guide §2.4). __deg is NULL exactly
+    # for dangling nodes (no out-edges), and those ids appear in NO
+    # edge row, so the contribution equi-join never reads their NULL —
+    # the old inner outdeg join dropped nothing either (every edge src
+    # has an outdeg row by construction). Arithmetic per contribution
+    # is byte-identical.
+    state = (
+        nodes.join(outdeg, nodes[id_col] == outdeg[src_col], "left")
+        .select(F.col(id_col), F.lit(1.0 / n).alias("rank"), F.col("__deg"))
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.select(
-        F.col(id_col), F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint(eager=False)
     teleport = F.lit((1.0 - damping) / n)
-    for _ in range(n_iter):
+    for it in range(n_iter):
         # contributions quantize onto the 1e-12 INTEGER grid —
         # round(c·1e12) as BIGINT, identical half-away ties in both
         # engines — NOT a decimal cast: round-1 contributions are
@@ -97,8 +104,7 @@ def pagerank(
         # the scale-12 decimal tie where HALF_UP and HALF_EVEN diverge
         # (the r6 centroid lesson, applied before the r7 oracle lands).
         contribs = (
-            edges.join(ranks, edges[src_col] == ranks[id_col])
-            .join(outdeg, src_col)
+            edges.join(state, edges[src_col] == state[id_col])
             .select(
                 F.col(dst_col).alias("__to"),
                 F.round(
@@ -109,19 +115,29 @@ def pagerank(
             .groupBy("__to")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contribs, nodes[id_col] == contribs["__to"], "left")
-            .select(
-                F.col(id_col),
-                (
-                    teleport
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0)).cast("double")
-                        / F.lit(1000000000000.0)
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        state = state.select(id_col, "__deg").join(
+            contribs, F.col(id_col) == contribs["__to"], "left"
+        ).select(
+            F.col(id_col),
+            (
+                teleport
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("__in"), F.lit(0)).cast("double")
+                    / F.lit(1000000000000.0)
+                )
+            ).alias("rank"),
+            F.col("__deg"),
         )
-    return ranks
+        # r20: lineage is truncated every SECOND round (plus the last) —
+        # the checkpoint call is what runs the round's AQE stages as
+        # driver-visible jobs and materializes blocks, and at any scale
+        # its fixed cost dominates these 2/3-column rounds (profiled
+        # ~3 jobs/round at sf0.1). Two rounds per checkpoint halves
+        # that; plans stay two rounds deep, far below the Catalyst
+        # blowup the per-round truncation exists to prevent. Values are
+        # checkpoint-placement-independent (the round arithmetic is on
+        # the 1e-12 integer grid — property-tested under partitioning).
+        if it % 2 == 1 or it == n_iter - 1:
+            state = state.localCheckpoint(eager=False)
+    return state.select(F.col(id_col), F.col("rank"))
