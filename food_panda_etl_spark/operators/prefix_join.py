@@ -59,8 +59,18 @@ def ranked_shingles(sh: DataFrame) -> DataFrame:
     pos = F.row_number().over(
         Window.partitionBy("doc").orderBy("__df", "shingle")
     )
+    # Explicit numbered repartition before the per-doc window (r20; the
+    # r19 edit_join recipe): the window's exchange carries byte-tiny
+    # (doc, shingle, df) rows, so AQE coalesced it — and with every
+    # downstream join broadcast, the prefix window + candidate
+    # equi-join + the whole verify expansion ran as ONE 5-task stage at
+    # sf0.1 while 27 cores idled. A user-specified count is AQE-exempt
+    # and the window reuses the exchange (same key), so this pins the
+    # entire candidate+verify pipeline at full width for free.
+    par = sh.sparkSession.sparkContext.defaultParallelism
     return (
         sh.join(dfreq, "shingle")
+        .repartition(par, "doc")
         .withColumn("__pos", pos)
         .join(sizes, "doc")
         .select("doc", "shingle", "n_sh", "__pos")

@@ -96,8 +96,16 @@ def tf_prefix_candidates(
         .orderBy("__df", "shingle")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # user-numbered repartition before the per-doc window (r20): AQE
+    # coalesced the window exchange to ~5 tasks at sf0.1 and — every
+    # downstream join being broadcast — serialized the whole
+    # prefix+candidate+verify pipeline on them (the prefix_join.
+    # ranked_shingles recipe; exchange count unchanged, the window
+    # reuses it)
+    par = shc.sparkSession.sparkContext.defaultParallelism
     prefix = (
         shc.join(dfreq, "shingle")
+        .repartition(par, "doc")
         .withColumn("__cum_prev", F.coalesce(F.sum("c").over(w), F.lit(0)))
         .join(sizes, "doc")
         .filter(
