@@ -157,19 +157,32 @@ def icws_signatures(
     # 290 s of cumulative JIT time over one 133-key bench pass), the
     # first execution ran at interpreter speed for ~10 s. Level 1 is
     # ONE tiny min-over-struct per (doc, i) — partial aggregation
-    # collapses to (docs × k) rows before its exchange; level 2 routes
-    # the k winners into columns with primitive-long mins (each WHEN
-    # touches one small agg buffer). Same winners, same columns; the
-    # doc-keyed shuffle it adds carries docs × k 16-byte rows.
+    # collapses to (docs × k) rows before its exchange. Level 2 (r20)
+    # folds the k winners into ONE deterministic map — collect_list of
+    # (i, s) sorted by i, map_from_entries — and projects m0..m{k-1}
+    # out of it: the r19 form's k conditional primitive mins were k
+    # agg buffers × k WHEN branches per input row (k² predicate
+    # evaluations) and ~5·k py4j/analysis ops to construct; the map
+    # agg is one buffer, one O(k log k) sort per doc, and measured
+    # 0.95 → 0.57 s at sf0.01 with ~0.14 s less driver-side build
+    # time. Values are identical (level-1 winners are unique per
+    # (doc, i), so the sorted map is exactly the k winners; pinned by
+    # tests/test_icws.py and the driver oracle). Every doc with ≥1
+    # positive-weight element carries ALL k indices (the explode
+    # generates each i unconditionally), so no m{k} lookup can miss.
     winners = (
         hashed.groupBy("doc", "__i")
         .agg(F.min("__h").getField("s").alias("__s"))
     )
-    return winners.groupBy("doc").agg(
-        *[
-            F.min(F.when(F.col("__i") == k, F.col("__s"))).alias(f"m{k}")
-            for k in range(num_hashes)
-        ]
+    m = winners.groupBy("doc").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__i"), F.col("__s")))
+            )
+        ).alias("__m")
+    )
+    return m.select(
+        "doc", *[F.col("__m")[k].alias(f"m{k}") for k in range(num_hashes)]
     )
 
 
