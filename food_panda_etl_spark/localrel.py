@@ -54,7 +54,14 @@ def _sql_val(v, typ: str) -> str:
     if isinstance(v, (list, tuple)):
         inner = typ[typ.index("<") + 1 : typ.rindex(">")] if "<" in typ else "DOUBLE"
         return "array(" + ", ".join(_sql_val(x, inner) for x in v) + ")"
-    raise TypeError(f"values_df: unsupported literal type {type(v)!r}")
+    raise _Unsupported(f"values_df: unsupported literal type {type(v)!r}")
+
+
+class _Unsupported(TypeError):
+    """An input value the VALUES encoder has no literal form for —
+    values_df falls back to createDataFrame instead of failing
+    (ADVICE r19: date/timestamp/decimal stratum keys worked via
+    createDataFrame before r19 and must keep working)."""
 
 
 def values_df(
@@ -67,6 +74,16 @@ def values_df(
     ``schema`` is the usual DDL string ("lang string, wgt int"); every
     row is cast column-wise to the declared type, so the result matches
     ``spark.createDataFrame(rows, schema)`` in both values and schema.
+
+    Degenerate/unsupported inputs FALL BACK to ``createDataFrame``
+    rather than raising (ADVICE r19 items 1-2): an EMPTY row list is
+    legal (e.g. `_bpe_fit` on a whitespace-only corpus produces an
+    empty merges table — an empty ParallelCollection is cheap and a
+    VALUES relation cannot be empty), and so is any literal type the
+    encoder has no SQL form for (date/timestamp/decimal stratum keys
+    reach this via pps_stratified quota tables) — those rows take the
+    pre-r19 pickled path, only the common None/bool/int/float/str/list
+    fast path stays pure-JVM.
     """
     cols = []
     for part in _split_top(schema):
@@ -74,11 +91,23 @@ def values_df(
         cols.append((name, typ.strip()))
     rows = list(rows)
     if not rows:
-        raise ValueError("values_df: empty literal relation")
-    vals = ", ".join(
-        "(" + ", ".join(_sql_val(v, t) for v, (_, t) in zip(r, cols)) + ")"
-        for r in rows
-    )
+        return spark.createDataFrame([], schema)
+    # _sql_str's escaping assumes the default parser mode (ADVICE r19
+    # item 2): under escapedStringLiterals=true backslashes are taken
+    # literally and '\\' / \' would corrupt string values — take the
+    # pickled path there instead of emitting a wrong relation
+    if (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    ):
+        return spark.createDataFrame([tuple(r) for r in rows], schema)
+    try:
+        vals = ", ".join(
+            "(" + ", ".join(_sql_val(v, t) for v, (_, t) in zip(r, cols)) + ")"
+            for r in rows
+        )
+    except _Unsupported:
+        return spark.createDataFrame([tuple(r) for r in rows], schema)
     sel = ", ".join(
         f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(cols)
     )

@@ -88,6 +88,12 @@ def assign_cells(
             lambda acc, x: acc + x,
         )
 
+    if not centroids:
+        # ADVICE r19 item 4: F.sequence(0, -1) counts DOWN to [0, -1]
+        # (the lm.py cross-engine trap), so an empty centroid list
+        # would emit garbage assignments at runtime where the old
+        # F.least(*[]) failed loudly at build time — keep failing here.
+        raise ValueError("assign_cells: centroids must be non-empty")
     arr = F.transform(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda i: F.struct(

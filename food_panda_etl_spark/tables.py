@@ -38,7 +38,7 @@ DIMENSION_TABLES = {"region", "nation", "supplier", "part"}
 # still computes from the parquet bytes, and the cache dies with the
 # process. Keyed by applicationId so a new session (or a test's fresh
 # local session) re-infers.
-_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
+_SCHEMA_CACHE: dict[tuple[str, str, int], StructType] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -58,7 +58,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # correctness driver's, a notebook's — can read the table too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    key = (spark.sparkContext.applicationId, path)
+    # mtime in the key (ADVICE r19 item 3): a same-path rewrite with a
+    # different schema within one session would otherwise read through
+    # the stale StructType and yield silent NULLs for renamed columns.
+    # os.stat of a local path is ~microseconds — still no Spark job.
+    # (Non-local/unstat-able paths fall back to mtime=0: same-session
+    # immutability is then the caller's contract, as documented above.)
+    import os
+
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = 0
+    key = (spark.sparkContext.applicationId, path, mtime)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

@@ -65,6 +65,34 @@ def test_double_arrays(spark):
     _same(spark, rows, "cell int, cvec array<double>")
 
 
-def test_empty_raises(spark):
-    with pytest.raises(ValueError, match="empty"):
-        values_df(spark, [], "a int")
+def test_empty_falls_back_to_typed_empty_frame(spark):
+    # ADVICE r19 item 1: an empty merges list is a legitimate
+    # degenerate input (whitespace-only BPE corpus) — values_df must
+    # return the typed empty frame createDataFrame used to, not raise.
+    out = values_df(spark, [], "a int, b string")
+    assert out.count() == 0
+    assert out.schema.simpleString() == "struct<a:int,b:string>"
+
+
+def test_unsupported_type_falls_back(spark):
+    # ADVICE r19 item 2: literal types the VALUES encoder cannot emit
+    # (date/timestamp/decimal stratum keys) take the createDataFrame
+    # path instead of raising TypeError.
+    import datetime
+
+    out = values_df(
+        spark, [(datetime.date(2024, 1, 2), 7)], "d date, n int"
+    ).collect()
+    assert out[0][0] == datetime.date(2024, 1, 2) and out[0][1] == 7
+
+
+def test_escaped_string_literals_mode_falls_back(spark):
+    # ADVICE r19 item 2: _sql_str assumes escapedStringLiterals=false;
+    # under the legacy parser mode the relation must come out value-
+    # identical via the fallback path.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got = values_df(spark, [("a\\b'c",)], "t string").collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    assert got == "a\\b'c"
