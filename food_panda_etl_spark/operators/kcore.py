@@ -123,13 +123,13 @@ def kcore_peel(
             )
         else:
             alive = deg.filter(F.col("__deg") >= int(k)).select(src)
-        ed = ed.join(alive, src, "semi").join(
-            alive.withColumnRenamed(src, dst), dst, "semi"
+        ed = (
+            ed.join(alive, src, "semi")
+            .join(alive.withColumnRenamed(src, dst), dst, "semi")
+            # per-round truncation, deliberately (r20 measured the
+            # 2-round cadence: the fused plans' extra codegen/JIT cost
+            # exceeded the saved boundary here — 2.28 → 2.51/2.47 s
+            # across two full bench runs; rejected on measurement)
+            .localCheckpoint(eager=False)
         )
-        # r20: truncate lineage every SECOND round (plus the last) —
-        # the pagerank/labelprop cadence: the checkpoint call is the
-        # fixed per-round cost, the peel itself is integer-exact and
-        # checkpoint-placement-independent.
-        if it % 2 == 1 or it == n_rounds - 1:
-            ed = ed.localCheckpoint(eager=False)
     return ed.groupBy(src).agg(F.count("*").cast("bigint").alias("deg"))

@@ -88,18 +88,17 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("__to", F.col(label_col).alias("__new"))
         )
-        labels = labels.join(
-            best, labels[id_col] == best["__to"], "left"
-        ).select(
-            F.col(id_col),
-            F.coalesce(F.col("__new"), F.col(label_col)).alias(label_col),
+        labels = (
+            labels.join(best, labels[id_col] == best["__to"], "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__new"), F.col(label_col)).alias(label_col),
+            )
+            # per-round truncation, deliberately (r20 measured the
+            # 2-round cadence that pays off for pagerank: here the
+            # fused two-round plans' extra codegen/JIT cost exceeded
+            # the saved checkpoint boundary — 1.98 → 2.17/2.49 s
+            # across two full bench runs; rejected on measurement)
+            .localCheckpoint(eager=False)
         )
-        # r20: truncate lineage every SECOND round (plus the last) —
-        # the checkpoint call is the fixed per-round cost (AQE stage
-        # jobs + block materialization), not the 2-column round itself;
-        # two rounds per checkpoint halves it and the round values are
-        # checkpoint-placement-independent (integer votes, total-order
-        # argmax — the pagerank r20 cadence).
-        if it % 2 == 1 or it == n_iter - 1:
-            labels = labels.localCheckpoint(eager=False)
     return labels
