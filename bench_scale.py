@@ -1682,6 +1682,208 @@ def r20_curves(spark, sizes) -> dict:
     return curves
 
 
+def cores_probe(spark, quick: bool) -> dict:
+    """Core-count scaling evidence at a COMPUTE-DOMINATED size (VERDICT
+    r19 task 6): at sf0.1 every bench key sits on the 0.2-2 s fixed-
+    overhead floor (plan compile + scheduling), so the driver's
+    8-vs-32-core ratios all read ≈1 and say nothing about parallelism.
+    This probe runs a representative operator per cost class — scan-agg,
+    shuffle join, window, and the shingle/hash hot loops — over SEEDED
+    GENERATED inputs (the synth_* row generators above; deterministic,
+    no testdata dependence) sized so 32-core wall is multiple seconds,
+    i.e. the overhead floor is <10% and the 8-core/32-core wall ratio
+    measures actual parallel speedup. Run it twice:
+
+        SPARK_GRAFT_CPUS=32 python bench_scale.py --cores
+        SPARK_GRAFT_CPUS=8  python bench_scale.py --cores
+
+    and record the per-probe ratios (SCALING_r20.json / SCALE.md).
+    Min-of-two per probe, the bench.py steady-state convention."""
+    from food_panda_etl_spark.operators.dedup import minhash_from_shingles, shingle_table
+    from food_panda_etl_spark.operators.decontam_bloom import (
+        bloom_screened_contamination,
+    )
+    from food_panda_etl_spark.operators.icws import icws_signatures
+    from food_panda_etl_spark.operators.pagerank import pagerank
+    from food_panda_etl_spark.operators.prefix_join import jaccard_prefix_join
+    from food_panda_etl_spark.operators.tf_jaccard import tf_weights
+    from food_panda_etl_spark.operators.weighted_jaccard import (
+        shingle_multiset_table,
+    )
+    from pyspark.sql import Window
+
+    s = 0.25 if quick else 1.0
+    probes: dict[str, float] = {}
+
+    def point(name, fn):
+        probes[name] = min(timed(fn), timed(fn))
+
+    # scan + hash aggregate: 200M generated rows, 1000 groups
+    n = int(200_000_000 * s)
+    point(
+        "scan_groupby_agg",
+        lambda: spark.range(n)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("g"),
+            (F.col("id") % 997).alias("v"),
+        )
+        .groupBy("g")
+        .agg(F.sum("v"), F.avg("v"), F.count("*"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # shuffle join + aggregate: 50M fact x 5M dim on an 8-byte key
+    nf, nd = int(50_000_000 * s), int(5_000_000 * s)
+    fact = spark.range(nf).select(
+        F.pmod(F.xxhash64("id"), F.lit(nd)).alias("k"),
+        (F.col("id") % 131).alias("v"),
+    )
+    dim = spark.range(nd).select(
+        F.col("id").alias("k"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(50)).alias("dg")
+    )
+    point(
+        "shuffle_join_agg",
+        lambda: fact.join(dim, "k")
+        .groupBy("dg")
+        .agg(F.sum("v"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # per-key running-sum window: 50M rows over 100k keys
+    nw = int(50_000_000 * s)
+    w = Window.partitionBy("k").orderBy("id")
+    point(
+        "window_running_sum",
+        lambda: spark.range(nw)
+        .select(
+            "id",
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("k"),
+            (F.col("id") % 17).alias("v"),
+        )
+        .withColumn("cum", F.sum("v").over(w))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # MinHash signature build (shingle explode + 32-hash agg) — the
+    # near-dup family's map-side hot loop
+    docs = synth_documents(spark, int(300_000 * s), None).localCheckpoint(
+        eager=True
+    )
+    point(
+        "minhash_signatures",
+        lambda: minhash_from_shingles(
+            shingle_table(docs, "doc_id", "text", n=5)
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # ICWS signature build — the real-weight hot loop (3 ln + 4 hashes
+    # per (element, hash index))
+    wdocs = _wj_corpus(spark, int(150_000 * s)).localCheckpoint(eager=True)
+    point(
+        "icws_signatures",
+        lambda: icws_signatures(
+            tf_weights(shingle_multiset_table(wdocs, "doc_id", "text", 3))
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # exact-Jaccard prefix join over the duplicated-doc corpus (the
+    # r13 curve's linear regime, at a compute-dominated size)
+    pdocs = (
+        spark.range(int(200_000 * s))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"t{j}_"),
+                        ((F.col("id") / 2).cast("long") * 31 + j).cast(
+                            "string"
+                        ),
+                    )
+                    for j in range(8)
+                ],
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    point(
+        "jaccard_prefix_join",
+        lambda: jaccard_prefix_join(pdocs, "doc_id", "text", n=3)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # Bloom-screened decontamination: 1M train docs vs a fixed 512-doc
+    # eval set (the r15 curve's shape, one big point)
+    evals = spark.range(512).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("b"),
+                    F.pmod(F.col("id") * 40 + i, F.lit(4096)).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    train = synth_documents(spark, int(1_000_000 * s), None).localCheckpoint(
+        eager=True
+    )
+    point(
+        "decontam_bloom",
+        lambda: bloom_screened_contamination(
+            train, evals, "doc_id", "text", n=5
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # PageRank, 5 rounds over a 4-out-degree seeded digraph (~8M edges)
+    ng = int(1_000_000 * s)
+    e = (
+        spark.range(ng)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("id") * 4 + j), F.lit(ng))
+                        for j in range(4)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = spark.range(ng).select(F.col("id")).localCheckpoint(eager=True)
+    point(
+        "pagerank_5r",
+        lambda: pagerank(nodes, e, n_iter=5)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return probes
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     r5_only = "--r5" in sys.argv  # only the r5 curves (semdedup/kmeans/zorder/skew)
@@ -1696,6 +1898,15 @@ def main() -> None:
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         },
     )
+    if "--cores" in sys.argv:  # core-count scaling probe (VERDICT r19 task 6)
+        probes = cores_probe(spark, quick)
+        print(
+            json.dumps(
+                {"metric": "cores_probe", "cpus": cpus, "quick": quick,
+                 "probes": probes}
+            )
+        )
+        return
     if "--r9" in sys.argv:  # only the r9 curves (stratified PPS / drift)
         sizes = [20_000, 80_000] + ([] if quick else [320_000])
         curves = r9_curves(spark, sizes)
